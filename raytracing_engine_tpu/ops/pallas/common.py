@@ -1,0 +1,68 @@
+"""Shared plane-math helpers for the Pallas kernels."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from raytracing_engine_tpu.config import MAX_OBJECTS
+
+
+def pick_tile(h: int, w: int, max_th: int = 16, max_tw: int = 256):
+    """Largest nice tile dims that divide (h, w). Level dims are multiples
+    of 8, so this always terminates at (8, 8) or smaller-dim fallbacks."""
+    th = next((t for t in (max_th, 8) if h % t == 0), h)
+    tw = next((t for t in (max_tw, 128, 8) if w % t == 0), w)
+    return min(th, h), min(tw, w)
+
+
+def tile_pixel_planes(row0, col0, th: int, tw: int):
+    """(rows, cols) f32 planes of global pixel indices for this tile."""
+    rows = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + row0
+    cols = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + col0
+    return rows, cols
+
+
+def rotate_planes(qx, qy, qz, qw, vx, vy, vz):
+    """Quaternion rotate with scalar q and plane v — utilities.glsl:26-29.
+
+    t = cross(q.xyz, v) + q.w*v;  r = v + 2*cross(q.xyz, t)
+    """
+    tx = qy * vz - qz * vy + qw * vx
+    ty = qz * vx - qx * vz + qw * vy
+    tz = qx * vy - qy * vx + qw * vz
+    rx = vx + 2.0 * (qy * tz - qz * ty)
+    ry = vy + 2.0 * (qz * tx - qx * tz)
+    rz = vz + 2.0 * (qx * ty - qy * tx)
+    return rx, ry, rz
+
+
+def ray_dir_planes(ncx, ncy, qx, qy, qz, qw):
+    """normalize(rotate(q, (ncx, 1, ncy))) — compute.glsl:77 as planes."""
+    vx, vy, vz = ncx, jnp.ones_like(ncx), ncy
+    dx, dy, dz = rotate_planes(qx, qy, qz, qw, vx, vy, vz)
+    inv = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    return dx / inv, dy / inv, dz / inv
+
+
+def sphere_sdf_plane(px, py, pz, cx, cy, cz, radius):
+    """sphereSDF as planes with scalar center/radius — utilities.glsl:36-38."""
+    dx = px - cx
+    dy = py - cy
+    dz = pz - cz
+    return jnp.sqrt(dx * dx + dy * dy + dz * dz) - radius
+
+
+def unrolled_sdf_caches(px, py, pz, obj_ref, obj_count, big):
+    """SDFs of all MAX_OBJECTS slots at plane position p, dead slots = big.
+
+    obj_ref: SMEM (MAX_OBJECTS, 4) — [cx, cy, cz, radius] per row.
+    Returns a list of MAX_OBJECTS planes.
+    """
+    out = []
+    for k in range(MAX_OBJECTS):
+        d = sphere_sdf_plane(
+            px, py, pz, obj_ref[k, 0], obj_ref[k, 1], obj_ref[k, 2], obj_ref[k, 3]
+        )
+        out.append(jnp.where(k < obj_count, d, big))
+    return out

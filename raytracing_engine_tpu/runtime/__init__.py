@@ -1,0 +1,3 @@
+"""Host runtime: frame loop, headless server, checkpointing."""
+
+from raytracing_engine_tpu.runtime.frame import FrameLoop, InputEvent  # noqa: F401

@@ -1,0 +1,112 @@
+"""Headless frame loop — the TPU-native replacement for the winit event loop.
+
+The reference's per-frame loop (src/main.rs:721-928) does: input integration
+→ push-constant update (position ACCUMULATES across frames, rotation is
+absolute yaw/pitch) → re-record command buffer → submit → present, with
+per-swapchain-image fences so the CPU records frame N+1 while the GPU renders
+frame N. The TPU analog:
+
+- input integration is the same math (camera.integrate_input),
+- "re-record + submit" is one jitted call — XLA async dispatch gives the
+  frames-in-flight pipelining for free (we only block when reading a frame
+  back, the analog of present),
+- the swapchain is a host-side frame sink (PNG directory / in-memory ring).
+
+There is no window system; interaction is an InputEvent stream (scripted or
+replayed), preserving the reference's WASD/QE + mouse-look semantics so
+interactive behavior is testable (SURVEY.md §5/§7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracing_engine_tpu.camera import Camera, integrate_input
+from raytracing_engine_tpu.config import RenderConfig
+from raytracing_engine_tpu.models import conemarch
+from raytracing_engine_tpu.utils.timing import FrameStats, conemarch_ray_count
+
+
+@dataclasses.dataclass
+class InputEvent:
+    """One frame's worth of input, mirroring the reference's key/mouse state.
+
+    move:   [right(D-A), forward(W-S), up(Q-E)] each in {-1, 0, 1}
+            (src/main.rs:751-768)
+    rot:    [yaw(Right-Left), pitch(Down-Up)] each in {-1, 0, 1}
+            (src/main.rs:738-749)
+    cursor: raw mouse delta in px (src/main.rs:686,732)
+    dt:     seconds since last update
+    """
+
+    move: tuple = (0.0, 0.0, 0.0)
+    rot: tuple = (0.0, 0.0)
+    cursor: tuple = (0.0, 0.0)
+    dt: float = 1.0 / 60.0
+
+
+class FrameLoop:
+    """Drives camera state + jitted rendering over an input-event stream."""
+
+    def __init__(
+        self,
+        cfg: RenderConfig,
+        scene,
+        render_fn: Optional[Callable] = None,
+        camera: Optional[Camera] = None,
+    ):
+        self.cfg = cfg
+        self.scene = scene
+        self.camera = camera if camera is not None else Camera.initial()
+        self._render = render_fn if render_fn is not None else conemarch.render_jit
+        self._primary, self._secondary = conemarch_ray_count(
+            cfg, int(scene.light_count)
+        )
+
+    def step(self, event: InputEvent):
+        """Integrate one input event and render. Returns the device image
+        (async — not blocked on) like the reference's submit-without-wait."""
+        self.camera = integrate_input(
+            self.camera,
+            jnp.asarray(event.move, jnp.float32),
+            jnp.asarray(event.rot, jnp.float32),
+            jnp.asarray(event.cursor, jnp.float32),
+            jnp.float32(event.dt),
+            jnp.float32(self.cfg.width),
+        )
+        return self._render(
+            self.cfg, self.scene, self.camera.position, self.camera.quat()
+        )
+
+    def run(
+        self,
+        events: Iterable[InputEvent],
+        sink: Optional[Callable[[int, np.ndarray], None]] = None,
+        stats: bool = False,
+    ):
+        """Render a sequence of frames. With a sink, each frame is pulled to
+        host (the 'present'); otherwise frames stay on device and only the
+        last is synchronized. Returns per-frame FrameStats when stats=True."""
+        frame_stats = []
+        img = None
+        for i, ev in enumerate(events):
+            t0 = time.perf_counter()
+            img = self.step(ev)
+            if sink is not None or stats:
+                img = jax.block_until_ready(img)
+            dt = time.perf_counter() - t0
+            if sink is not None:
+                sink(i, np.asarray(img))
+            if stats:
+                frame_stats.append(
+                    FrameStats(self._primary, self._secondary, dt)
+                )
+        if img is not None:
+            jax.block_until_ready(img)
+        return frame_stats if stats else img

@@ -1,0 +1,4 @@
+"""Host utilities: image IO, timing/metrics."""
+
+from raytracing_engine_tpu.utils.image import write_png, to_srgb_u8  # noqa: F401
+from raytracing_engine_tpu.utils.timing import FrameStats, Timer  # noqa: F401

@@ -1,0 +1,101 @@
+"""Headless image output.
+
+The reference presents to a swapchain (UNORM formats — linear floats are
+clamped to [0,1] and quantized to 8-bit on store, src/main.rs:476-484); the
+TPU build is headless and writes PNGs. ``to_srgb_u8`` reproduces the UNORM
+clamp+quantize (no gamma — the reference requests *_UNORM, not *_SRGB, so the
+shader's linear output is displayed as-is).
+
+The PNG encoder is dependency-free (zlib + struct), enough for RGB8 frames.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def to_srgb_u8(img: np.ndarray) -> np.ndarray:
+    """Linear float RGB (H, W, 3) → u8, matching UNORM store semantics:
+    clamp to [0,1], round-to-nearest at 8 bits."""
+    img = np.asarray(img, np.float32)
+    return np.clip(np.rint(np.clip(img, 0.0, 1.0) * 255.0), 0, 255).astype(np.uint8)
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Write (H, W, 3) u8 or linear-float image to an RGB PNG."""
+    if img.dtype != np.uint8:
+        img = to_srgb_u8(img)
+    h, w, c = img.shape
+    assert c == 3, "write_png expects RGB"
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        block = tag + data
+        return struct.pack(">I", len(data)) + block + struct.pack(
+            ">I", zlib.crc32(block) & 0xFFFFFFFF
+        )
+
+    # filter type 0 (None) per scanline
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def read_png(path: str) -> np.ndarray:
+    """Minimal RGB8 PNG reader (filter types 0-4) for round-trip tests."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit, ctype = struct.unpack(">IIBB", body[:10])
+            assert bit == 8 and ctype == 2, "only RGB8 supported"
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    out = np.zeros((h, w, 3), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], np.uint8
+        ).astype(np.int32)
+        cur = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = cur[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if ft == 0:
+                val = line[x]
+            elif ft == 1:
+                val = line[x] + a
+            elif ft == 2:
+                val = line[x] + b
+            elif ft == 3:
+                val = line[x] + (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                val = line[x] + pred
+            cur[x] = val & 0xFF
+        out[y] = cur.reshape(w, 3)
+        prev = cur
+    return out
