@@ -3,12 +3,14 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Primary metric (BASELINE.json:2): Mrays/s (primary + secondary rays) on the
-flagship renderer. Baseline target: 500 Mrays/s @ 1080p on 1 chip
+flagship renderer at 1080p. Baseline target: 500 Mrays/s on 1 chip
 (BASELINE.json:5) — vs_baseline = value / 500.
 
-Ray accounting (utils/timing.py): primary = one march per pixel per pyramid
-level (the reference dispatches every level every frame), secondary = one
-shadow ray per live light per output pixel.
+Methodology: K frames with distinct camera quaternions, dependency-chained
+INSIDE one jitted lax.fori_loop (frame i+1's input depends on frame i's
+output), so neither async dispatch nor host/tunnel latency can hide or
+inflate device time. Ray accounting per utils/timing.py: one march per pixel
+per pyramid level + one shadow ray per live light per output pixel.
 """
 
 from __future__ import annotations
@@ -17,35 +19,43 @@ import json
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+import numpy as np
 
 
-def bench_conemarch(width=1920, height=1088, frames=20, warmup=3):
+def bench_conemarch(width=1920, height=1088, frames=20):
+    import jax
+    import jax.numpy as jnp
+
     from raytracing_engine_tpu.config import RenderConfig
-    from raytracing_engine_tpu.models import conemarch
+    from raytracing_engine_tpu.models import pallas_renderer
     from raytracing_engine_tpu.scene import default_scene
     from raytracing_engine_tpu.utils.timing import conemarch_ray_count
 
     cfg = RenderConfig(width=width, height=height)
     scene = default_scene()
-    pos = jnp.zeros((3,), jnp.float32)
-    quat = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
 
-    render = conemarch.render_jit
-    img = jax.block_until_ready(render(cfg, scene, pos, quat))
-    for _ in range(warmup):
-        img = jax.block_until_ready(render(cfg, scene, pos, quat))
+    @jax.jit
+    def run(scene, pos, quats):
+        def body(i, acc):
+            q = quats[i] * (1.0 + 0.0 * acc)  # chain frames
+            img = pallas_renderer.render(cfg, scene, pos, q)
+            return acc + img[0, 0, 0]
 
+        return jax.lax.fori_loop(0, quats.shape[0], body, jnp.float32(0.0))
+
+    rng = np.random.default_rng(0)
+    qs = rng.normal(size=(frames, 4)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    quats = jnp.asarray(qs)
+    pos = jnp.zeros(3, jnp.float32)
+
+    run(scene, pos, quats).block_until_ready()  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(frames):
-        img = render(cfg, scene, pos, quat)
-    jax.block_until_ready(img)
+    run(scene, pos, quats).block_until_ready()
     dt = (time.perf_counter() - t0) / frames
 
     primary, secondary = conemarch_ray_count(cfg, int(scene.light_count))
-    mrays = (primary + secondary) / dt / 1e6
-    return mrays, dt
+    return (primary + secondary) / dt / 1e6, dt
 
 
 def main():
@@ -53,7 +63,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "Mrays/s (primary+secondary), 1080p cone-march renderer",
+                "metric": "Mrays/s (primary+secondary), 1080p cone-march renderer (Pallas)",
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 500.0, 4),

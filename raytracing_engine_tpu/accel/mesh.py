@@ -1,0 +1,114 @@
+"""Triangle-mesh utilities: OBJ loading + procedural generators.
+
+The BVH benchmark configs call for ~70k-triangle meshes (BASELINE config 3);
+with no network access, procedural generators (subdivided icosphere, torus
+knot) provide meshes of any size. ``load_obj`` handles user meshes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_obj(path: str) -> np.ndarray:
+    """Minimal OBJ reader: v + f (tri or fan-triangulated). Returns (T, 3, 3)."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) for p in parts[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                for k in range(1, len(idx) - 1):  # fan
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    v = np.asarray(verts, np.float32)
+    f = np.asarray(faces, np.int64)
+    return v[f]
+
+
+def icosphere(subdivisions: int = 4, radius: float = 1.0,
+              center=(0.0, 0.0, 0.0)) -> np.ndarray:
+    """Subdivided icosahedron: 20 * 4^n triangles (n=6 → 81920 ≈ bunny-class).
+    Returns (T, 3, 3) float32."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        np.float64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        np.int64,
+    )
+    tris = verts[faces]  # (F, 3, 3)
+    for _ in range(subdivisions):
+        a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+        ab = (a + b) / 2
+        bc = (b + c) / 2
+        ca = (c + a) / 2
+        for m in (ab, bc, ca):
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+        tris = np.concatenate(
+            [
+                np.stack([a, ab, ca], 1),
+                np.stack([ab, b, bc], 1),
+                np.stack([ca, bc, c], 1),
+                np.stack([ab, bc, ca], 1),
+            ]
+        )
+    out = tris * radius + np.asarray(center, np.float64)
+    return out.astype(np.float32)
+
+
+def torus_knot(p: int = 2, q: int = 3, segments: int = 400, sides: int = 32,
+               radius: float = 2.0, tube: float = 0.4,
+               center=(0.0, 0.0, 0.0)) -> np.ndarray:
+    """(p,q) torus-knot tube mesh: 2 * segments * sides triangles.
+    segments=1100, sides=32 → ~70k tris (BVH bench scale). Returns (T, 3, 3)."""
+    t = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    r = np.cos(q * t) + 2.0
+    path = np.stack(
+        [r * np.cos(p * t), r * np.sin(p * t), -np.sin(q * t)], axis=1
+    ) * (radius / 3.0)
+
+    # Frenet-ish frame
+    nxt = np.roll(path, -1, axis=0)
+    tang = nxt - path
+    tang /= np.linalg.norm(tang, axis=1, keepdims=True)
+    up = np.array([0.0, 0.0, 1.0])
+    side = np.cross(tang, up)
+    side /= np.linalg.norm(side, axis=1, keepdims=True)
+    up2 = np.cross(side, tang)
+
+    theta = np.linspace(0, 2 * np.pi, sides, endpoint=False)
+    circ = (
+        np.cos(theta)[None, :, None] * side[:, None, :]
+        + np.sin(theta)[None, :, None] * up2[:, None, :]
+    )
+    ring = path[:, None, :] + tube * circ  # (segments, sides, 3)
+
+    i = np.arange(segments)
+    j = np.arange(sides)
+    i1 = (i + 1) % segments
+    j1 = (j + 1) % sides
+    a = ring[i][:, j]        # (segments, sides, 3)
+    b = ring[i1][:, j]
+    c = ring[i1][:, j1]
+    d = ring[i][:, j1]
+    t1 = np.stack([a, b, c], axis=2).reshape(-1, 3, 3)
+    t2 = np.stack([a, c, d], axis=2).reshape(-1, 3, 3)
+    tris = np.concatenate([t1, t2]) + np.asarray(center, np.float64)
+    return tris.astype(np.float32)

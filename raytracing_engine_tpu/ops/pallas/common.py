@@ -9,17 +9,19 @@ from raytracing_engine_tpu.config import MAX_OBJECTS
 
 
 def pick_tile(h: int, w: int, max_th: int = 16, max_tw: int = 256):
-    """Largest nice tile dims that divide (h, w). Level dims are multiples
-    of 8, so this always terminates at (8, 8) or smaller-dim fallbacks."""
+    """Tile dims that divide (h, w) under Mosaic's block constraints: the
+    last block dim must be a multiple of 128 (or the full width), the
+    second-to-last a multiple of 8 (or the full height)."""
+    tw = next((t for t in (max_tw, 128) if w % t == 0), w)
     th = next((t for t in (max_th, 8) if h % t == 0), h)
-    tw = next((t for t in (max_tw, 128, 8) if w % t == 0), w)
     return min(th, h), min(tw, w)
 
 
 def tile_pixel_planes(row0, col0, th: int, tw: int):
-    """(rows, cols) f32 planes of global pixel indices for this tile."""
-    rows = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + row0
-    cols = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + col0
+    """(rows, cols) f32 planes of global pixel indices for this tile.
+    Mosaic only lowers integer iota; cast to f32 after."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32) + row0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32) + col0
     return rows, cols
 
 

@@ -42,15 +42,17 @@ def _march_tile(ox, oy, oz, dx, dy, dz, threshold, obj_ref, obj_count,
 
     cache0 = unrolled_sdf_caches(ox, oy, oz, obj_ref, obj_count, big)
     zeros = jnp.zeros_like(ox)
-    state0 = (zeros, zeros, zeros > 1.0, jnp.int32(0), tuple(cache0))
+    # `done` is carried as an f32 0/1 plane — Mosaic cannot legalize i1
+    # vectors in while-loop carries
+    state0 = (zeros, zeros, zeros, jnp.int32(0), tuple(cache0))
 
     def cond(state):
         length, last, done, it, cache = state
-        return (it < max_steps) & jnp.any(~done & (length < big))
+        return (it < max_steps) & jnp.any((done == 0.0) & (length < big))
 
     def body(state):
         length, last, done, it, cache = state
-        active = ~done & (length < big)
+        active = (done == 0.0) & (length < big)
 
         px = ox + dx * length
         py = oy + dy * length
@@ -83,7 +85,7 @@ def _march_tile(ox, oy, oz, dx, dy, dz, threshold, obj_ref, obj_count,
         cache = tuple(
             jnp.where(active, nc, oc) for nc, oc in zip(new_cache, cache)
         )
-        done = done | (active & hit)
+        done = jnp.where(active & hit, 1.0, done)
         return (length, last, done, it + 1, cache)
 
     length, _, _, _, _ = jax.lax.while_loop(cond, body, state0)

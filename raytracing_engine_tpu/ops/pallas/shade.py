@@ -41,15 +41,16 @@ def _shadow_march_tile(ox, oy, oz, dx, dy, dz, end, obj_ref, obj_count,
 
     cache0 = unrolled_sdf_caches(ox, oy, oz, obj_ref, obj_count, big)
     zeros = jnp.zeros_like(ox)
-    state0 = (zeros, zeros, zeros + 1.0, zeros > 1.0, jnp.int32(0), tuple(cache0))
+    # `occluded` carried as f32 0/1 — Mosaic cannot carry i1 vectors
+    state0 = (zeros, zeros, zeros + 1.0, zeros, jnp.int32(0), tuple(cache0))
 
     def cond(state):
         length, last, nearest, occluded, it, cache = state
-        return (it < max_steps) & jnp.any(~occluded & (length < end))
+        return (it < max_steps) & jnp.any((occluded == 0.0) & (length < end))
 
     def body(state):
         length, last, nearest, occluded, it, cache = state
-        active = ~occluded & (length < end)
+        active = (occluded == 0.0) & (length < end)
 
         px = ox + dx * length
         py = oy + dy * length
@@ -81,11 +82,11 @@ def _shadow_march_tile(ox, oy, oz, dx, dy, dz, end, obj_ref, obj_count,
         cache = tuple(
             jnp.where(active, nc, oc) for nc, oc in zip(new_cache, cache)
         )
-        occluded = occluded | (active & hit)
+        occluded = jnp.where(active & hit, 1.0, occluded)
         return (length, last, nearest, occluded, it + 1, cache)
 
     _, _, nearest, occluded, _, _ = jax.lax.while_loop(cond, body, state0)
-    return jnp.where(occluded, 0.0, nearest)
+    return jnp.where(occluded != 0.0, 0.0, nearest)
 
 
 def _shade_kernel(params_ref, count_ref, obj_ref, mat_ref, light_ref,

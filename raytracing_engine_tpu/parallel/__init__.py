@@ -5,3 +5,7 @@ from raytracing_engine_tpu.parallel.sharding import (  # noqa: F401
     render_sharded,
     sharded_render_step,
 )
+from raytracing_engine_tpu.parallel.pt_sharding import (  # noqa: F401
+    render_pt_sharded,
+    sharded_pt_step,
+)

@@ -1,0 +1,75 @@
+"""Multi-chip path tracing: image-row tiles × spp samples over the mesh.
+
+The wavefront path tracer's natural SPMD axes (SURVEY.md §2.5):
+- ``tiles``: each device traces a horizontal band of the image — zero
+  communication until final assembly,
+- ``samples``: spp split across devices; a psum over the axis averages the
+  independent estimates (the renderer analog of data parallelism).
+
+Per-pass RNG is image-wide-then-sliced and keyed by GLOBAL pass index, so
+the sharded result is bit-identical to the single-device render with the
+same key and total spp.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax, random
+from jax.sharding import PartitionSpec as P
+
+from raytracing_engine_tpu.parallel.sharding import SAMPLE_AXIS, TILE_AXIS
+from raytracing_engine_tpu.pathtracer.integrator import PTConfig, trace_pass
+
+
+def render_pt_sharded(cfg: PTConfig, scene, cam_pos, cam_quat, spp: int,
+                      key, mesh, bvh=None):
+    """SPMD progressive pass over `mesh`. Returns ((H, W, 3) image, nrays)."""
+    n_t = mesh.shape[TILE_AXIS]
+    n_s = mesh.shape[SAMPLE_AXIS]
+    if cfg.height % n_t:
+        raise ValueError(f"height {cfg.height} not divisible by tiles={n_t}")
+    if spp % n_s:
+        raise ValueError(f"spp {spp} not divisible by samples={n_s}")
+    band_h = cfg.height // n_t
+    local_spp = spp // n_s
+
+    def body(scene, cam_pos, cam_quat, key):
+        t = lax.axis_index(TILE_AXIS)
+        s = lax.axis_index(SAMPLE_AXIS)
+
+        def pass_body(i, carry):
+            acc, nrays = carry
+            gpass = s * local_spp + i  # global pass index
+            rad, nr = trace_pass(
+                cfg, scene, cam_pos, cam_quat, random.fold_in(key, gpass),
+                bvh=bvh, row0=t * band_h, band_h=band_h,
+            )
+            return acc + rad, nrays + nr
+
+        # initial carries must be marked device-varying to match the body
+        acc0 = lax.pvary(jnp.zeros((band_h, cfg.width, 3), jnp.float32),
+                         (TILE_AXIS, SAMPLE_AXIS))
+        nr0 = lax.pvary(jnp.float32(0.0), (TILE_AXIS, SAMPLE_AXIS))
+        acc, nrays = lax.fori_loop(0, local_spp, pass_body, (acc0, nr0))
+        acc = lax.psum(acc, SAMPLE_AXIS) / spp
+        nrays = lax.psum(nrays, SAMPLE_AXIS)
+        nrays = lax.psum(nrays, TILE_AXIS)
+        return acc, nrays
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(TILE_AXIS, None, None), P()),
+    )(scene, cam_pos, cam_quat, key)
+
+
+def sharded_pt_step(cfg: PTConfig, spp: int, mesh, bvh=None):
+    """Jitted sharded path-trace step: (scene, pos, quat, key) -> (img, nrays)."""
+    fn = partial(render_pt_sharded, cfg, spp=spp, mesh=mesh, bvh=bvh)
+    return jax.jit(
+        lambda scene, pos, quat, key: fn(scene, pos, quat, key=key)
+    )

@@ -1,0 +1,21 @@
+"""Wavefront path tracer — the north-star extension (BASELINE.json).
+
+Beyond reference parity (the cone-march renderer reproduces
+shaders/compute.glsl + fragment.glsl), this subsystem extends the engine per
+the driver-set north star: SoA ray buffers in HBM, wavefront stages
+(ray-gen → intersect → shade) over a `lax.fori_loop` bounce loop, triangle
+meshes with a stackless breadth-ordered BVH, next-event estimation,
+progressive multi-spp accumulation with checkpoint/resume, and tile/spp
+sharding over a device mesh.
+"""
+
+from raytracing_engine_tpu.pathtracer.scene import (  # noqa: F401
+    PTScene,
+    DIFFUSE,
+    MIRROR,
+    EMISSIVE,
+)
+from raytracing_engine_tpu.pathtracer.integrator import (  # noqa: F401
+    render_pt,
+    PTConfig,
+)

@@ -1,0 +1,368 @@
+"""Wavefront path-tracing integrator with next-event estimation + MIS.
+
+The bounce loop is a ``lax.fori_loop`` over static max_bounces; all per-ray
+state is component planes (H, W) — SoA ray buffers in HBM, stage barriers
+between intersect/shade exactly as in a wavefront tracer (the north star's
+architecture). Dead lanes are masked, not compacted (compaction on TPU is a
+sort + per-tile early-exit in the Pallas intersector — a later optimization;
+the estimator is already correct).
+
+Estimator: unidirectional path tracing, cosine-sampled Lambertian + perfect
+mirrors, NEE toward uniform-area-sampled emissive primitives, combined with
+BSDF sampling via the power heuristic (MIS). Delta (mirror) bounces skip NEE
+and take emission hits at full weight. Fixed path length (no Russian
+roulette): truncation at max_bounces, standard for real-time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax, random
+
+from raytracing_engine_tpu.ops import vec3 as v3
+from raytracing_engine_tpu.pathtracer import sampler
+from raytracing_engine_tpu.pathtracer.intersect import ray_sphere, ray_triangle
+from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, MIRROR, PTScene
+
+INF = jnp.float32(jnp.inf)
+_PI = float(jnp.pi)
+
+
+@dataclasses.dataclass(frozen=True)
+class PTConfig:
+    width: int = 800
+    height: int = 600
+    fov: float = 1.0
+    max_bounces: int = 4
+    t_min: float = 1e-3
+    eps: float = 1e-3          # shadow/scatter origin offset along the normal
+    use_nee: bool = True
+
+    @property
+    def ratio(self):
+        return (self.fov, self.fov * self.height / self.width)
+
+
+# ---------------------------------------------------------------------------
+# scene intersection (brute force; accel/bvh.py provides the culled variant)
+# ---------------------------------------------------------------------------
+
+def _sphere_nearest(scene, o3, d3, t_min):
+    smask = jnp.arange(scene.sph_pos.shape[0]) < scene.sph_count
+    ts = ray_sphere(o3, d3, scene.sph_pos, scene.sph_radius, t_min)
+    ts = jnp.where(smask, ts, INF)
+    return jnp.min(ts, axis=-1), jnp.argmin(ts, axis=-1)
+
+
+def _triangle_nearest(scene, bvh, o3, d3, t_min):
+    """(t, original-tri-index, e1, e2) of the nearest triangle hit.
+
+    bvh=None → brute force over the padded SoA; else stackless traversal
+    (accel/bvh.py) with index mapped back through bvh.perm."""
+    if bvh is None:
+        tmask = jnp.arange(scene.tri_v0.shape[0]) < scene.tri_count
+        tt, _, _ = ray_triangle(
+            o3, d3, scene.tri_v0, scene.tri_e1, scene.tri_e2, t_min
+        )
+        tt = jnp.where(tmask, tt, INF)
+        t_t = jnp.min(tt, axis=-1)
+        i_t = jnp.argmin(tt, axis=-1)
+        return t_t, i_t, scene.tri_e1[i_t], scene.tri_e2[i_t]
+    from raytracing_engine_tpu.accel.bvh import bvh_intersect
+
+    t_t, ridx, _, _ = bvh_intersect(bvh, o3, d3, t_min=t_min)
+    safe = jnp.maximum(ridx, 0)
+    i_t = bvh.perm[safe]
+    return t_t, i_t, bvh.e1[safe], bvh.e2[safe]
+
+
+def intersect_scene(scene: PTScene, o3, d3, t_min, bvh=None):
+    """Nearest hit over all primitives.
+
+    o3/d3: (..., 3). Returns dict of planes: t, hit, normal (V3, oriented
+    against the ray), mat_id, light_area (area of the hit primitive if its
+    material emits, for MIS pdf), all shaped (...,).
+    """
+    t_s, i_s = _sphere_nearest(scene, o3, d3, t_min)
+    t_t, i_t, e1_t, e2_t = _triangle_nearest(scene, bvh, o3, d3, t_min)
+
+    use_tri = t_t < t_s
+    t = jnp.minimum(t_s, t_t)
+    hit = jnp.isfinite(t)
+
+    p3 = o3 + d3 * t[..., None]
+    n_sph = p3 - scene.sph_pos[i_s]
+    cr = jnp.cross(e1_t, e2_t)
+    n3 = jnp.where(use_tri[..., None], cr, n_sph)
+    n3 = n3 / jnp.maximum(
+        jnp.linalg.norm(n3, axis=-1, keepdims=True), 1e-20
+    )
+    # two-sided shading: orient against the incoming ray
+    n3 = jnp.where(
+        (jnp.sum(n3 * d3, axis=-1) > 0.0)[..., None], -n3, n3
+    )
+
+    mat_id = jnp.where(use_tri, scene.tri_mat[i_t], scene.sph_mat[i_s])
+
+    sph_area = 4.0 * _PI * scene.sph_radius[i_s] ** 2
+    tri_area = 0.5 * jnp.linalg.norm(cr, axis=-1)
+    light_area = jnp.where(use_tri, tri_area, sph_area)
+
+    return dict(
+        t=t,
+        hit=hit,
+        p3=p3,
+        n3=n3,
+        mat_id=mat_id,
+        light_area=light_area,
+    )
+
+
+def occluded(scene: PTScene, o3, d3, max_t, t_min, bvh=None):
+    """Any-hit test up to max_t (...,). Returns bool plane."""
+    smask = jnp.arange(scene.sph_pos.shape[0]) < scene.sph_count
+    ts = ray_sphere(o3, d3, scene.sph_pos, scene.sph_radius, t_min)
+    ts = jnp.where(smask, ts, INF)
+    t_sph = jnp.min(ts, axis=-1)
+    if bvh is None:
+        tmask = jnp.arange(scene.tri_v0.shape[0]) < scene.tri_count
+        tt, _, _ = ray_triangle(
+            o3, d3, scene.tri_v0, scene.tri_e1, scene.tri_e2, t_min
+        )
+        tt = jnp.where(tmask, tt, INF)
+        t_tri = jnp.min(tt, axis=-1)
+    else:
+        from raytracing_engine_tpu.accel.bvh import bvh_intersect
+
+        # per-lane t_max bounds the any-hit search to the light distance
+        _, idx, _, _ = bvh_intersect(
+            bvh, o3, d3, t_min=t_min, t_max=max_t, any_hit=True
+        )
+        return (t_sph < max_t) | (idx >= 0)
+    return jnp.minimum(t_sph, t_tri) < max_t
+
+
+# ---------------------------------------------------------------------------
+# NEE light sampling
+# ---------------------------------------------------------------------------
+
+def sample_light_point(scene: PTScene, u_sel, u1, u2):
+    """Pick a light uniformly, sample a uniform-area point on it.
+
+    Returns (point (...,3), normal (...,3), Le (...,3), pdf_area (...,),
+    any_light bool scalar). pdf_area includes the selection probability.
+    """
+    count = jnp.maximum(scene.light_count, 1)
+    idx = jnp.minimum((u_sel * count).astype(jnp.int32), count - 1)
+    kind = scene.light_kind[idx]
+    prim = scene.light_prim[idx]
+    area = scene.light_area[idx]
+
+    # sphere sample
+    c = scene.sph_pos[prim]
+    r = scene.sph_radius[prim]
+    z = 1.0 - 2.0 * u1
+    rr = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * _PI * u2
+    n_s = jnp.stack([rr * jnp.cos(phi), rr * jnp.sin(phi), z], axis=-1)
+    p_s = c + n_s * r[..., None]
+    mat_s = scene.sph_mat[prim]
+
+    # triangle sample
+    v0 = scene.tri_v0[prim]
+    e1 = scene.tri_e1[prim]
+    e2 = scene.tri_e2[prim]
+    su = jnp.sqrt(u1)
+    b1 = (su * (1.0 - u2))[..., None]
+    b2 = (su * u2)[..., None]
+    p_t = v0 + e1 * b1 + e2 * b2
+    n_t = jnp.cross(e1, e2)
+    n_t = n_t / jnp.maximum(jnp.linalg.norm(n_t, axis=-1, keepdims=True), 1e-20)
+    mat_t = scene.tri_mat[prim]
+
+    is_tri = (kind == 1)[..., None]
+    point = jnp.where(is_tri, p_t, p_s)
+    normal = jnp.where(is_tri, n_t, n_s)
+    mat = jnp.where(kind == 1, mat_t, mat_s)
+    le = scene.mat_emission[mat]
+
+    pdf_area = 1.0 / (area * count)
+    return point, normal, le, pdf_area
+
+
+# ---------------------------------------------------------------------------
+# the integrator
+# ---------------------------------------------------------------------------
+
+def camera_rays(cfg: PTConfig, cam_pos, cam_quat, u1, u2, row0=0):
+    """Jittered primary rays using the engine's NDC mapping
+    (compute.glsl:71-77 with a sub-pixel offset for anti-aliasing).
+    u1/u2 may be a row band of the image; row0 is its first global row."""
+    from raytracing_engine_tpu.ops.quaternion import quat_rotate
+
+    bh, w = u1.shape
+    h = cfg.height
+    ix = jnp.arange(w, dtype=jnp.float32)[None, :]
+    iy = jnp.arange(bh, dtype=jnp.float32)[:, None] + row0
+    ncx = ((ix + u1) * 2.0 / w - 1.0) * cfg.ratio[0]
+    ncy = ((iy + u2) * 2.0 / h - 1.0) * cfg.ratio[1]
+    vdir = jnp.stack([ncx, jnp.ones_like(ncx), ncy], axis=-1)
+    vdir = quat_rotate(cam_quat, vdir)
+    vdir = vdir / jnp.linalg.norm(vdir, axis=-1, keepdims=True)
+    o3 = jnp.broadcast_to(cam_pos, vdir.shape)
+    return o3, vdir
+
+
+def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
+               row0=0, band_h=None):
+    """One sample per pixel. Returns ((H, W, 3) radiance, rays-traced scalar).
+    row0/band_h restrict to a horizontal band (tile-sharded rendering);
+    randoms are always drawn image-wide and sliced, so a sharded render is
+    bit-identical to the single-device one."""
+    h, w = (band_h or cfg.height), cfg.width
+
+    def draw(k, n):
+        full = random.uniform(k, (n, cfg.height, cfg.width))
+        if band_h is None:
+            return full
+        return lax.dynamic_slice_in_dim(full, row0, band_h, axis=1)
+
+    kj = random.fold_in(key, 0)
+    u = draw(kj, 2)
+    o3, d3 = camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0)
+
+    # all carries derived from the (device-varying) ray DIRECTIONS so their
+    # varying-axis types are loop-invariant under shard_map (o3 alone is a
+    # broadcast of the replicated camera position — unvarying)
+    zero3 = d3 * 0.0
+    zero = zero3[..., 0]
+    o3 = o3 + zero3
+    state = dict(
+        o3=o3,
+        d3=d3,
+        throughput=zero3 + 1.0,
+        radiance=zero3,
+        alive=zero == 0.0,
+        # True iff the PREVIOUS vertex performed NEE — emission hit through a
+        # vertex that did NOT (camera, mirror, emissive-diffuse) gets full
+        # weight; weighting it down would double-discount and bias darker.
+        prev_did_nee=zero > 0.0,
+        prev_pdf=zero,
+        nrays=jnp.sum(zero),
+    )
+
+    def bounce(b, st):
+        kb = random.fold_in(key, b + 1)
+        u = draw(kb, 5)
+
+        st = dict(st)
+        st["nrays"] += jnp.sum(st["alive"])
+
+        isect = intersect_scene(scene, st["o3"], st["d3"], cfg.t_min, bvh=bvh)
+        hit = isect["hit"] & st["alive"]
+        mat_id = isect["mat_id"]
+        albedo = scene.mat_albedo[mat_id]
+        emission = scene.mat_emission[mat_id]
+        kind = scene.mat_kind[mat_id]
+        n3 = isect["n3"]
+        p3 = isect["p3"]
+
+        # --- emission on hit (MIS-weighted against NEE) -------------------
+        emissive = jnp.any(emission > 0.0, axis=-1)
+        cos_l = jnp.abs(jnp.sum(n3 * st["d3"], axis=-1))
+        pdf_light_w = (
+            (1.0 / jnp.maximum(isect["light_area"] * jnp.maximum(scene.light_count, 1), 1e-20))
+            * isect["t"] ** 2
+            / jnp.maximum(cos_l, 1e-6)
+        )
+        w_bsdf = jnp.where(
+            st["prev_did_nee"],
+            sampler.power_heuristic(st["prev_pdf"], pdf_light_w),
+            1.0,
+        )
+        add_e = jnp.where((hit & emissive)[..., None],
+                          st["throughput"] * emission * w_bsdf[..., None], 0.0)
+        st["radiance"] = st["radiance"] + add_e
+
+        # --- NEE from diffuse surfaces ------------------------------------
+        if cfg.use_nee:
+            lp3, ln3, le, pdf_area = sample_light_point(scene, u[2], u[3], u[4])
+            to_l = lp3 - p3
+            dist = jnp.linalg.norm(to_l, axis=-1)
+            wi3 = to_l / jnp.maximum(dist[..., None], 1e-20)
+            cos_s = jnp.sum(n3 * wi3, axis=-1)
+            cos_ll = jnp.abs(jnp.sum(ln3 * -wi3, axis=-1))
+
+            nee_candidate = (
+                hit & (kind == DIFFUSE) & (scene.light_count > 0)
+                & (cos_s > 0.0) & (cos_ll > 1e-6) & (dist > cfg.eps)
+            )
+            shadow_o = p3 + n3 * cfg.eps
+            st["nrays"] += jnp.sum(nee_candidate)
+            blocked = occluded(
+                scene, shadow_o, wi3, dist * (1.0 - 1e-3), cfg.t_min, bvh=bvh
+            )
+            vis = nee_candidate & ~blocked
+
+            pdf_w = pdf_area * dist**2 / jnp.maximum(cos_ll, 1e-6)
+            f = albedo / _PI
+            w_nee = sampler.power_heuristic(pdf_w, cos_s / _PI)
+            contrib = (
+                st["throughput"] * f * le
+                * (cos_s / jnp.maximum(pdf_w, 1e-20) * w_nee)[..., None]
+            )
+            st["radiance"] = st["radiance"] + jnp.where(vis[..., None], contrib, 0.0)
+
+        # --- scatter -------------------------------------------------------
+        nx, ny, nz = n3[..., 0], n3[..., 1], n3[..., 2]
+        (ddx, ddy, ddz), pdf_cos = sampler.cosine_hemisphere(u[0], u[1], (nx, ny, nz))
+        diff_d3 = jnp.stack([ddx, ddy, ddz], axis=-1)
+        mirr_d3 = st["d3"] - 2.0 * jnp.sum(st["d3"] * n3, axis=-1, keepdims=True) * n3
+
+        is_mirror = kind == MIRROR
+        new_d3 = jnp.where(is_mirror[..., None], mirr_d3, diff_d3)
+        new_o3 = p3 + n3 * cfg.eps
+        new_thr = st["throughput"] * albedo  # diffuse: f*cos/pdf = albedo; mirror: albedo
+
+        cont = hit & (jnp.max(new_thr, axis=-1) > 0.0)
+        st["throughput"] = jnp.where(cont[..., None], new_thr, 0.0)
+        st["o3"] = jnp.where(cont[..., None], new_o3, st["o3"])
+        st["d3"] = jnp.where(cont[..., None], new_d3, st["d3"])
+        st["alive"] = cont
+        st["prev_did_nee"] = (
+            hit & (kind == DIFFUSE) & (scene.light_count > 0)
+            & jnp.bool_(cfg.use_nee)
+        )
+        st["prev_pdf"] = pdf_cos
+        return st
+
+    state = lax.fori_loop(0, cfg.max_bounces + 1, bounce, state)
+    return state["radiance"], state["nrays"]
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def render_pt(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
+              key=None, bvh=None, spp_offset=0):
+    """Average `spp` passes. Returns ((H, W, 3) image, rays-traced scalar).
+    Pass a BVH (accel/bvh.py) to accelerate triangle intersection.
+
+    Pass i uses fold_in(key, spp_offset + i): progressive renders chunked at
+    arbitrary boundaries reproduce the exact same sample sequence."""
+    if key is None:
+        key = random.PRNGKey(0)
+
+    def body(i, carry):
+        acc, nrays = carry
+        rad, nr = trace_pass(cfg, scene, cam_pos, cam_quat,
+                             random.fold_in(key, spp_offset + i), bvh=bvh)
+        return acc + rad, nrays + nr
+
+    acc, nrays = lax.fori_loop(
+        0, spp, body,
+        (jnp.zeros((cfg.height, cfg.width, 3), jnp.float32), jnp.float32(0.0)),
+    )
+    return acc / spp, nrays

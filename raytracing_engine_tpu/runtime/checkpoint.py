@@ -1,0 +1,91 @@
+"""Checkpoint / resume for progressive accumulation.
+
+The reference is stateless per frame (SURVEY.md §5 — camera state dies with
+the process); progressive 1024-spp accumulation (BASELINE config 4) needs
+restartability: (accumulated radiance, spp done, RNG key, camera pose) is
+the complete state of a progressive render. Stored as a plain .npz — no
+framework lock-in, loadable anywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class ProgressiveState:
+    accum: jnp.ndarray      # (H, W, 3) SUM of per-pass radiance (not mean)
+    spp_done: int
+    key: jnp.ndarray        # base PRNG key (pass i uses fold_in(key, i))
+    cam_pos: jnp.ndarray    # (3,)
+    cam_quat: jnp.ndarray   # (4,)
+
+    @property
+    def image(self) -> np.ndarray:
+        """Current mean image."""
+        return np.asarray(self.accum) / max(self.spp_done, 1)
+
+
+def save_checkpoint(path: str, state: ProgressiveState) -> None:
+    tmp = path + ".tmp"
+    np.savez(
+        tmp,
+        accum=np.asarray(state.accum),
+        spp_done=np.int64(state.spp_done),
+        key=np.asarray(state.key),
+        cam_pos=np.asarray(state.cam_pos),
+        cam_quat=np.asarray(state.cam_quat),
+    )
+    os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+
+
+def load_checkpoint(path: str) -> ProgressiveState:
+    z = np.load(path)
+    return ProgressiveState(
+        accum=jnp.asarray(z["accum"]),
+        spp_done=int(z["spp_done"]),
+        key=jnp.asarray(z["key"]),
+        cam_pos=jnp.asarray(z["cam_pos"]),
+        cam_quat=jnp.asarray(z["cam_quat"]),
+    )
+
+
+def progressive_render(
+    cfg,
+    scene,
+    state: ProgressiveState,
+    target_spp: int,
+    passes_per_chunk: int = 16,
+    bvh=None,
+    checkpoint_path: str | None = None,
+):
+    """Advance a progressive render to target_spp in resumable chunks.
+
+    Yields the state after each chunk (also checkpointing if a path is
+    given), so a killed job resumes exactly — pass i always uses
+    fold_in(key, i), making the result independent of chunking.
+    """
+    from raytracing_engine_tpu.pathtracer.integrator import render_pt
+
+    while state.spp_done < target_spp:
+        n = min(passes_per_chunk, target_spp - state.spp_done)
+        # pass i (globally) always uses fold_in(key, i) via spp_offset, so
+        # the accumulated result is independent of chunk boundaries
+        img, _ = render_pt(
+            cfg, scene, state.cam_pos, state.cam_quat, n, state.key,
+            bvh=bvh, spp_offset=jnp.int32(state.spp_done),
+        )
+        state = ProgressiveState(
+            accum=state.accum + img * n,
+            spp_done=state.spp_done + n,
+            key=state.key,
+            cam_pos=state.cam_pos,
+            cam_quat=state.cam_quat,
+        )
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, state)
+        yield state
