@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 
-def bench_conemarch(width=1920, height=1088, frames=20):
+def bench_conemarch(width=1920, height=1088, frames=50):
     import jax
     import jax.numpy as jnp
 
@@ -43,16 +43,24 @@ def bench_conemarch(width=1920, height=1088, frames=20):
 
         return jax.lax.fori_loop(0, quats.shape[0], body, jnp.float32(0.0))
 
-    rng = np.random.default_rng(0)
-    qs = rng.normal(size=(frames, 4)).astype(np.float32)
-    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
-    quats = jnp.asarray(qs)
+    def mkquats(seed):
+        qs = np.random.default_rng(seed).normal(size=(frames, 4)).astype(np.float32)
+        qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+        return jnp.asarray(qs)
+
     pos = jnp.zeros(3, jnp.float32)
 
-    run(scene, pos, quats).block_until_ready()  # compile + warm
-    t0 = time.perf_counter()
-    run(scene, pos, quats).block_until_ready()
-    dt = (time.perf_counter() - t0) / frames
+    # IMPORTANT: the timed call must use inputs the runtime has never seen
+    # (the axon tunnel memoizes repeated identical dispatches), and the
+    # result must be FETCHED — blocking alone has been observed unreliable
+    # on tunneled backends. The scalar fetch RTT is amortized over `frames`.
+    float(run(scene, pos, mkquats(0)))  # compile + warm
+    best = float("inf")
+    for seed in (1, 2, 3):
+        t0 = time.perf_counter()
+        float(run(scene, pos, mkquats(seed)))
+        best = min(best, (time.perf_counter() - t0) / frames)
+    dt = best
 
     primary, secondary = conemarch_ray_count(cfg, int(scene.light_count))
     return (primary + secondary) / dt / 1e6, dt

@@ -1,0 +1,182 @@
+"""Command-line frame server: render scenes headlessly to PNGs.
+
+The TPU-native replacement for the reference's windowed app — scripted
+camera paths instead of WASD/mouse, PNG frames instead of a swapchain.
+
+Usage:
+    python -m raytracing_engine_tpu.cli render  --size 512x512 --out out/
+    python -m raytracing_engine_tpu.cli orbit   --frames 60 --out orbit/
+    python -m raytracing_engine_tpu.cli pt      --scene cornell --spp 64
+    python -m raytracing_engine_tpu.cli pt      --scene knot --spp 16 --bvh
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _parse_size(s: str):
+    w, h = s.lower().split("x")
+    return int(w), int(h)
+
+
+def cmd_render(args):
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    import raytracing_engine_tpu as rt
+    from raytracing_engine_tpu.models import pallas_renderer, conemarch
+    from raytracing_engine_tpu.utils import write_png
+
+    w, h = _parse_size(args.size)
+    cfg = rt.RenderConfig(width=w, height=h)
+    scene = rt.default_scene()
+    cam = rt.Camera.initial()
+    render = conemarch.render_jit if args.engine == "jnp" else pallas_renderer.render_jit
+    t0 = time.perf_counter()
+    img = jax.block_until_ready(render(cfg, scene, cam.position, cam.quat()))
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, "frame_0000.png")
+    write_png(path, np.asarray(img))
+    print(f"{path}  ({time.perf_counter()-t0:.1f}s incl. compile)")
+
+
+def cmd_orbit(args):
+    import jax
+    import numpy as np
+
+    import raytracing_engine_tpu as rt
+    from raytracing_engine_tpu.camera import Camera, orbit_path
+    from raytracing_engine_tpu.models import pallas_renderer
+    from raytracing_engine_tpu.utils import write_png
+    from raytracing_engine_tpu.utils.timing import FrameStats, conemarch_ray_count
+
+    w, h = _parse_size(args.size)
+    cfg = rt.RenderConfig(width=w, height=h)
+    scene = rt.default_scene()
+    positions, rotations = orbit_path(args.frames)
+    os.makedirs(args.out, exist_ok=True)
+    primary, secondary = conemarch_ray_count(cfg, int(scene.light_count))
+    for i in range(args.frames):
+        cam = Camera(position=positions[i], rotation=rotations[i])
+        t0 = time.perf_counter()
+        img = jax.block_until_ready(
+            pallas_renderer.render_jit(cfg, scene, cam.position, cam.quat())
+        )
+        st = FrameStats(primary, secondary, time.perf_counter() - t0)
+        write_png(os.path.join(args.out, f"frame_{i:04d}.png"), np.asarray(img))
+        print(f"frame {i:3d}: {st.seconds*1e3:7.2f} ms  {st.mrays_per_sec:8.1f} Mrays/s")
+
+
+def cmd_pt(args):
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from raytracing_engine_tpu.pathtracer import PTConfig, render_pt
+    from raytracing_engine_tpu.pathtracer import scenes as pt_scenes
+    from raytracing_engine_tpu.utils import write_png
+
+    w, h = _parse_size(args.size)
+    cfg = PTConfig(width=w, height=h, max_bounces=args.bounces)
+    bvh = None
+    if args.scene == "cornell":
+        scene = pt_scenes.cornell_box()
+        pos, quat = jnp.array([0.0, 0.2, 0.0]), jnp.array([0.0, 0.0, 0.0, 1.0])
+    elif args.scene == "spheres":
+        scene = pt_scenes.material_spheres()
+        pos, quat = jnp.zeros(3), jnp.array([0.0, 0.0, 0.0, 1.0])
+    elif args.scene == "knot":
+        import numpy as onp
+
+        from raytracing_engine_tpu.accel import build_bvh, torus_knot
+        from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+
+        mesh = torus_knot(segments=args.segments, sides=32, center=(0.0, 8.0, 0.0))
+        mats = [
+            {"albedo": (0.7, 0.6, 0.4), "kind": DIFFUSE},
+            {"albedo": (0, 0, 0), "emission": (10.0, 10.0, 10.0), "kind": DIFFUSE},
+            {"albedo": (0.5, 0.5, 0.6), "kind": DIFFUSE},
+        ]
+        scene = build_pt_scene(
+            spheres=[((6.0, 4.0, 6.0), 1.5, 1), ((0.0, 8.0, -103.0), 100.0, 2)],
+            triangles=mesh,
+            tri_mats=onp.zeros(mesh.shape[0], onp.int32),
+            materials=mats,
+        )
+        if args.bvh:
+            bvh = build_bvh(mesh)
+        pos, quat = jnp.zeros(3), jnp.array([0.0, 0.0, 0.0, 1.0])
+    else:
+        raise SystemExit(f"unknown scene {args.scene}")
+
+    key = jax.random.PRNGKey(args.seed)
+    t0 = time.perf_counter()
+    if args.checkpoint:
+        from raytracing_engine_tpu.runtime.checkpoint import (
+            ProgressiveState,
+            load_checkpoint,
+            progressive_render,
+        )
+
+        if os.path.exists(args.checkpoint) and not args.fresh:
+            state = load_checkpoint(args.checkpoint)
+            print(f"resuming at {state.spp_done} spp")
+        else:
+            state = ProgressiveState(
+                accum=jnp.zeros((h, w, 3), jnp.float32),
+                spp_done=0, key=key, cam_pos=pos, cam_quat=quat,
+            )
+        for state in progressive_render(cfg, scene, state, args.spp,
+                                        bvh=bvh, checkpoint_path=args.checkpoint):
+            print(f"  {state.spp_done}/{args.spp} spp")
+        img = state.image
+        nrays = float("nan")
+    else:
+        img, nrays = render_pt(cfg, scene, pos, quat, args.spp, key, bvh=bvh)
+        img = np.asarray(jax.block_until_ready(img))
+    dt = time.perf_counter() - t0
+    out = args.out or f"{args.scene}_{args.spp}spp.png"
+    write_png(out, np.asarray(img))
+    print(f"{out}  {dt:.1f}s  ({float(nrays)/1e6:.1f} Mrays)")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="raytracing_engine_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="single cone-march frame of the default scene")
+    r.add_argument("--size", default="512x512")
+    r.add_argument("--out", default="out")
+    r.add_argument("--engine", choices=["pallas", "jnp"], default="pallas")
+    r.set_defaults(fn=cmd_render)
+
+    o = sub.add_parser("orbit", help="camera-orbit sequence (interactive analog)")
+    o.add_argument("--size", default="512x512")
+    o.add_argument("--frames", type=int, default=60)
+    o.add_argument("--out", default="orbit")
+    o.set_defaults(fn=cmd_orbit)
+
+    p = sub.add_parser("pt", help="path-trace a scene")
+    p.add_argument("--scene", choices=["cornell", "spheres", "knot"], default="cornell")
+    p.add_argument("--size", default="256x256")
+    p.add_argument("--spp", type=int, default=16)
+    p.add_argument("--bounces", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bvh", action="store_true")
+    p.add_argument("--segments", type=int, default=1100)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--fresh", action="store_true")
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_pt)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,10 @@ class RenderConfig:
     fov: float = 1.0
     max_march_steps: int = 256
     max_shadow_steps: int = 256
+    # Pallas kernel tile caps (ops/pallas/common.py pick_tile). Part of this
+    # frozen config so kernel specializations key on them under jit.
+    tile_h: int = 16
+    tile_w: int = 256
 
     def __post_init__(self):
         if self.width % 8 or self.height % 8:

@@ -11,9 +11,14 @@ from raytracing_engine_tpu.config import MAX_OBJECTS
 def pick_tile(h: int, w: int, max_th: int = 16, max_tw: int = 256):
     """Tile dims that divide (h, w) under Mosaic's block constraints: the
     last block dim must be a multiple of 128 (or the full width), the
-    second-to-last a multiple of 8 (or the full height)."""
-    tw = next((t for t in (max_tw, 128) if w % t == 0), w)
-    th = next((t for t in (max_th, 8) if h % t == 0), h)
+    second-to-last a multiple of 8 (or the full height).
+
+    Smaller tiles converge independently sooner (fewer wasted march steps
+    per tile); larger tiles amortize loop/grid overhead. The caps live in
+    RenderConfig (tile_h/tile_w) so they are part of the jit cache key.
+    """
+    tw = next((t for t in (max_tw, 256, 128) if t <= max_tw and w % t == 0), w)
+    th = next((t for t in (max_th, 16, 8) if t <= max_th and h % t == 0), h)
     return min(th, h), min(tw, w)
 
 

@@ -142,7 +142,7 @@ def depth_level_pallas(cfg: RenderConfig, level: int, scene, cam_pos, cam_quat,
     if interpret is None:
         interpret = _interpret_default()
     w, h = cfg.level_dims[level]
-    tile_h, tile_w = pick_tile(h, w)
+    tile_h, tile_w = pick_tile(h, w, cfg.tile_h, cfg.tile_w)
 
     img_s = cfg.level_image_size(level)
     params = jnp.concatenate([

@@ -211,7 +211,7 @@ def shade_pallas(cfg: RenderConfig, scene, cam_pos, cam_quat, depth,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     h, w = cfg.height, cfg.width
-    tile_h, tile_w = pick_tile(h, w)
+    tile_h, tile_w = pick_tile(h, w, cfg.tile_h, cfg.tile_w)
 
     img_s = cfg.level_image_size(cfg.level_count - 1)
     params = jnp.concatenate([

@@ -54,6 +54,7 @@ class PTScene:
     light_kind: jax.Array   # (L,) int32 — 0 sphere, 1 triangle
     light_prim: jax.Array   # (L,) int32 — index into the primitive arrays
     light_area: jax.Array   # (L,) f32   — surface area (uniform-area pdf)
+    light_le: jax.Array     # (L, 3) f32 — emitted radiance (precomputed)
     light_count: jax.Array  # () int32
 
     @property
@@ -108,26 +109,31 @@ def build_pt_scene(
         mat_kind[i] = m.get("kind", DIFFUSE)
 
     # --- light table: all primitives whose material emits -----------------
-    lk, lp, la = [], [], []
+    lk, lp, la, le = [], [], [], []
     for i in range(S):
         if np.any(mat_emission[sph_mat[i]] > 0):
             lk.append(0)
             lp.append(i)
             la.append(4.0 * np.pi * float(sph_radius[i]) ** 2)
+            le.append(mat_emission[sph_mat[i]])
     for i in range(T):
         if np.any(mat_emission[tri_mats[i]] > 0):
             lk.append(1)
             lp.append(i)
             cross = np.cross(e1[i], e2[i])
             la.append(0.5 * float(np.linalg.norm(cross)))
+            le.append(mat_emission[tri_mats[i]])
     L = len(lk)
     light_pad = light_pad or max(L, 1)
     light_kind = np.zeros((light_pad,), np.int32)
     light_prim = np.zeros((light_pad,), np.int32)
     light_area = np.ones((light_pad,), np.float32)
+    light_le = np.zeros((light_pad, 3), np.float32)
     light_kind[:L] = lk
     light_prim[:L] = lp
     light_area[:L] = la
+    if L:
+        light_le[:L] = np.stack(le)
 
     return PTScene(
         sph_pos=jnp.asarray(sph_pos),
@@ -145,5 +151,6 @@ def build_pt_scene(
         light_kind=jnp.asarray(light_kind),
         light_prim=jnp.asarray(light_prim),
         light_area=jnp.asarray(light_area),
+        light_le=jnp.asarray(light_le),
         light_count=jnp.int32(L),
     )

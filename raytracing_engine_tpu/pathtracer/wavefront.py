@@ -1,0 +1,416 @@
+"""SoA wavefront path tracer — the TPU-fast integrator.
+
+Same estimator as pathtracer/integrator.py (NEE + power-heuristic MIS,
+cosine Lambertian + mirrors, fixed bounce count) and the SAME RNG stream
+(identical keys/shapes/slicing), but every per-ray quantity is a component
+plane (H, W) and every <= 8-slot scene table is unrolled into scalar selects
+— no (..., 3) or (..., K) trailing axes anywhere on the hot path, so the
+whole bounce loop is lane-dense VPU work. This is the production path; the
+stacked-layout integrator remains the readable cross-check reference.
+
+Triangles: unrolled scalar Möller-Trumbore up to ``TRI_UNROLL_MAX`` slots;
+bigger meshes use the BVH (mesh *area lights* must live in the unrolled
+range — true for the bench scenes; the reference integrator has no limit).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax, random
+
+from raytracing_engine_tpu.ops import vec3 as v3
+from raytracing_engine_tpu.pathtracer import sampler
+from raytracing_engine_tpu.pathtracer.integrator import PTConfig
+from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, MIRROR, PTScene
+
+_PI = float(jnp.pi)
+TRI_UNROLL_MAX = 32
+BIG = jnp.float32(3.4e38)
+
+
+def _sel(idx, table_col, n):
+    """Select-chain gather: out[lane] = table_col[idx[lane]] for idx < n."""
+    out = jnp.zeros_like(idx, dtype=table_col.dtype) * table_col[0]
+    for k in range(n):
+        out = jnp.where(idx == k, table_col[k], out)
+    return out
+
+
+def _camera_rays(cfg: PTConfig, cam_pos, cam_quat, u1, u2, row0=0):
+    bh, w = u1.shape
+    ix = jnp.arange(w, dtype=jnp.float32)[None, :]
+    iy = jnp.arange(bh, dtype=jnp.float32)[:, None] + row0
+    ncx = ((ix + u1) * 2.0 / cfg.width - 1.0) * cfg.ratio[0]
+    ncy = ((iy + u2) * 2.0 / cfg.height - 1.0) * cfg.ratio[1]
+    qx, qy, qz, qw = cam_quat[0], cam_quat[1], cam_quat[2], cam_quat[3]
+    vx, vy, vz = ncx, jnp.ones_like(ncx), ncy
+    tx = qy * vz - qz * vy + qw * vx
+    ty = qz * vx - qx * vz + qw * vy
+    tz = qx * vy - qy * vx + qw * vz
+    dx = vx + 2.0 * (qy * tz - qz * ty)
+    dy = vy + 2.0 * (qz * tx - qx * tz)
+    dz = vz + 2.0 * (qx * ty - qy * tx)
+    n = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    d = (dx / n, dy / n, dz / n)
+    o = (cam_pos[0] + dx * 0.0, cam_pos[1] + dy * 0.0, cam_pos[2] + dz * 0.0)
+    return o, d
+
+
+def _sphere_hits(scene: PTScene, o, d, t_min):
+    """Unrolled nearest sphere: (t, idx) planes; t=BIG on miss."""
+    S = scene.sph_pos.shape[0]
+    best_t = jnp.full_like(o[0], BIG)
+    best_i = jnp.full_like(o[0], -1.0)
+    for k in range(S):
+        cx, cy, cz = scene.sph_pos[k, 0], scene.sph_pos[k, 1], scene.sph_pos[k, 2]
+        r = scene.sph_radius[k]
+        ocx, ocy, ocz = o[0] - cx, o[1] - cy, o[2] - cz
+        b = ocx * d[0] + ocy * d[1] + ocz * d[2]
+        c0 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - c0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        t = jnp.where(t0 > t_min, t0, t1)
+        ok = (disc > 0.0) & (t > t_min) & (k < scene.sph_count) & (t < best_t)
+        best_t = jnp.where(ok, t, best_t)
+        best_i = jnp.where(ok, float(k), best_i)
+    return best_t, best_i.astype(jnp.int32)
+
+
+def _tri_hits_unrolled(scene: PTScene, o, d, t_min):
+    """Unrolled nearest triangle over the (small) padded slots."""
+    T = scene.tri_v0.shape[0]
+    best_t = jnp.full_like(o[0], BIG)
+    best_i = jnp.full_like(o[0], -1.0)
+    for k in range(T):
+        v0x, v0y, v0z = scene.tri_v0[k, 0], scene.tri_v0[k, 1], scene.tri_v0[k, 2]
+        e1x, e1y, e1z = scene.tri_e1[k, 0], scene.tri_e1[k, 1], scene.tri_e1[k, 2]
+        e2x, e2y, e2z = scene.tri_e2[k, 0], scene.tri_e2[k, 1], scene.tri_e2[k, 2]
+        # pvec = d x e2
+        px = d[1] * e2z - d[2] * e2y
+        py = d[2] * e2x - d[0] * e2z
+        pz = d[0] * e2y - d[1] * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv = 1.0 / jnp.where(jnp.abs(det) < 1e-9, 1.0, det)
+        tvx, tvy, tvz = o[0] - v0x, o[1] - v0y, o[2] - v0z
+        u = (tvx * px + tvy * py + tvz * pz) * inv
+        # qvec = tvec x e1
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        vv = (d[0] * qx + d[1] * qy + d[2] * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+        ok = (
+            (jnp.abs(det) >= 1e-9) & (u >= 0.0) & (vv >= 0.0)
+            & (u + vv <= 1.0) & (t > t_min) & (k < scene.tri_count)
+            & (t < best_t)
+        )
+        best_t = jnp.where(ok, t, best_t)
+        best_i = jnp.where(ok, float(k), best_i)
+    return best_t, best_i.astype(jnp.int32)
+
+
+def _tri_hits(scene: PTScene, o, d, t_min, bvh):
+    """(t, original tri index, e1 V3, e2 V3) of the nearest triangle."""
+    T = scene.tri_v0.shape[0]
+    if bvh is not None:
+        from raytracing_engine_tpu.accel.bvh import bvh_intersect
+
+        o3 = v3.stack(o)
+        d3 = v3.stack(d)
+        t, ridx, _, _ = bvh_intersect(bvh, o3, d3, t_min=t_min)
+        safe = jnp.maximum(ridx, 0)
+        idx = bvh.perm[safe]
+        e1 = v3.unstack(bvh.e1[safe])
+        e2 = v3.unstack(bvh.e2[safe])
+        return jnp.where(ridx >= 0, t, BIG), idx, e1, e2
+    if T <= TRI_UNROLL_MAX:
+        t, idx = _tri_hits_unrolled(scene, o, d, t_min)
+        safe = jnp.maximum(idx, 0)
+        e1c = (_sel(safe, scene.tri_e1[:, 0], T),
+               _sel(safe, scene.tri_e1[:, 1], T),
+               _sel(safe, scene.tri_e1[:, 2], T))
+        e2c = (_sel(safe, scene.tri_e2[:, 0], T),
+               _sel(safe, scene.tri_e2[:, 1], T),
+               _sel(safe, scene.tri_e2[:, 2], T))
+        return t, safe, e1c, e2c
+    # big mesh without a BVH: stacked fallback (slow — build a BVH instead)
+    from raytracing_engine_tpu.pathtracer.intersect import ray_triangle
+
+    o3 = v3.stack(o)
+    d3 = v3.stack(d)
+    tmask = jnp.arange(T) < scene.tri_count
+    tt, _, _ = ray_triangle(o3, d3, scene.tri_v0, scene.tri_e1, scene.tri_e2, t_min)
+    tt = jnp.where(tmask, tt, BIG)
+    t = jnp.min(tt, axis=-1)
+    idx = jnp.argmin(tt, axis=-1)
+    e1 = v3.unstack(scene.tri_e1[idx])
+    e2 = v3.unstack(scene.tri_e2[idx])
+    return t, idx, e1, e2
+
+
+def _intersect(scene: PTScene, o, d, t_min, bvh):
+    t_s, i_s = _sphere_hits(scene, o, d, t_min)
+    t_t, i_t, e1, e2 = _tri_hits(scene, o, d, t_min, bvh)
+
+    use_tri = t_t < t_s
+    t = jnp.minimum(t_s, t_t)
+    hit = t < BIG
+
+    p = v3.add(o, v3.scale(d, t))
+
+    S = scene.sph_pos.shape[0]
+    si = jnp.maximum(i_s, 0)
+    scx = _sel(si, scene.sph_pos[:, 0], S)
+    scy = _sel(si, scene.sph_pos[:, 1], S)
+    scz = _sel(si, scene.sph_pos[:, 2], S)
+    n_sph = (p[0] - scx, p[1] - scy, p[2] - scz)
+    n_tri = v3.cross(e1, e2)
+    n = v3.where(use_tri, n_tri, n_sph)
+    nlen = jnp.maximum(v3.length(n), 1e-20)
+    n = v3.scale(n, 1.0 / nlen)
+    n = v3.where(v3.dot(n, d) > 0.0, v3.neg(n), n)  # two-sided
+
+    sph_mat = _sel(si, scene.sph_mat, S)
+    T = scene.tri_v0.shape[0]
+    if bvh is not None or T > TRI_UNROLL_MAX:
+        tri_mat = scene.tri_mat[i_t]  # gather — T too large to unroll
+    else:
+        tri_mat = _sel(i_t, scene.tri_mat, T)
+    mat_id = jnp.where(use_tri, tri_mat, sph_mat)
+
+    sr = _sel(si, scene.sph_radius, S)
+    sph_area = 4.0 * _PI * sr * sr
+    tri_area = 0.5 * v3.length(v3.cross(e1, e2))
+    light_area = jnp.where(use_tri, tri_area, sph_area)
+
+    return dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area)
+
+
+def _occluded(scene: PTScene, o, d, max_t, t_min, bvh):
+    S = scene.sph_pos.shape[0]
+    blocked = jnp.zeros_like(o[0], dtype=bool)
+    for k in range(S):
+        cx, cy, cz = scene.sph_pos[k, 0], scene.sph_pos[k, 1], scene.sph_pos[k, 2]
+        r = scene.sph_radius[k]
+        ocx, ocy, ocz = o[0] - cx, o[1] - cy, o[2] - cz
+        b = ocx * d[0] + ocy * d[1] + ocz * d[2]
+        c0 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - c0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        t = jnp.where(t0 > t_min, t0, t1)
+        ok = (disc > 0.0) & (t > t_min) & (t < max_t) & (k < scene.sph_count)
+        blocked = blocked | ok
+
+    T = scene.tri_v0.shape[0]
+    if bvh is not None:
+        from raytracing_engine_tpu.accel.bvh import bvh_intersect
+
+        _, idx, _, _ = bvh_intersect(
+            bvh, v3.stack(o), v3.stack(d), t_min=t_min, t_max=max_t, any_hit=True
+        )
+        blocked = blocked | (idx >= 0)
+    elif T <= TRI_UNROLL_MAX:
+        t_t, i_t = _tri_hits_unrolled(scene, o, d, t_min)
+        blocked = blocked | (t_t < max_t)
+    else:
+        from raytracing_engine_tpu.pathtracer.intersect import ray_triangle
+
+        tmask = jnp.arange(T) < scene.tri_count
+        tt, _, _ = ray_triangle(
+            v3.stack(o), v3.stack(d), scene.tri_v0, scene.tri_e1, scene.tri_e2, t_min
+        )
+        tt = jnp.where(tmask, tt, BIG)
+        blocked = blocked | (jnp.min(tt, axis=-1) < max_t)
+    return blocked
+
+
+def _sample_light(scene: PTScene, u_sel, u1, u2):
+    """Plane-native NEE light sample (see integrator.sample_light_point)."""
+    L = scene.light_kind.shape[0]
+    count = jnp.maximum(scene.light_count, 1)
+    idx = jnp.minimum((u_sel * count).astype(jnp.int32), count - 1)
+
+    kind = _sel(idx, scene.light_kind, L)
+    prim = _sel(idx, scene.light_prim, L)
+    area = _sel(idx, scene.light_area, L)
+    le = (_sel(idx, scene.light_le[:, 0], L),
+          _sel(idx, scene.light_le[:, 1], L),
+          _sel(idx, scene.light_le[:, 2], L))
+
+    S = scene.sph_pos.shape[0]
+    c = (_sel(prim, scene.sph_pos[:, 0], S),
+         _sel(prim, scene.sph_pos[:, 1], S),
+         _sel(prim, scene.sph_pos[:, 2], S))
+    r = _sel(prim, scene.sph_radius, S)
+    z = 1.0 - 2.0 * u1
+    rr = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * _PI * u2
+    n_s = (rr * jnp.cos(phi), rr * jnp.sin(phi), z)
+    p_s = v3.add(c, v3.scale(n_s, r))
+
+    Tn = min(scene.tri_v0.shape[0], TRI_UNROLL_MAX)
+    v0 = (_sel(prim, scene.tri_v0[:, 0], Tn),
+          _sel(prim, scene.tri_v0[:, 1], Tn),
+          _sel(prim, scene.tri_v0[:, 2], Tn))
+    e1 = (_sel(prim, scene.tri_e1[:, 0], Tn),
+          _sel(prim, scene.tri_e1[:, 1], Tn),
+          _sel(prim, scene.tri_e1[:, 2], Tn))
+    e2 = (_sel(prim, scene.tri_e2[:, 0], Tn),
+          _sel(prim, scene.tri_e2[:, 1], Tn),
+          _sel(prim, scene.tri_e2[:, 2], Tn))
+    su = jnp.sqrt(u1)
+    b1 = su * (1.0 - u2)
+    b2 = su * u2
+    p_t = v3.add(v0, v3.add(v3.scale(e1, b1), v3.scale(e2, b2)))
+    n_t = v3.cross(e1, e2)
+    n_t = v3.scale(n_t, 1.0 / jnp.maximum(v3.length(n_t), 1e-20))
+
+    is_tri = kind == 1
+    point = v3.where(is_tri, p_t, p_s)
+    normal = v3.where(is_tri, n_t, n_s)
+    pdf_area = 1.0 / (area * count)
+    return point, normal, le, pdf_area
+
+
+def _mat_lookup(scene: PTScene, mat_id):
+    M = scene.mat_albedo.shape[0]
+    albedo = (_sel(mat_id, scene.mat_albedo[:, 0], M),
+              _sel(mat_id, scene.mat_albedo[:, 1], M),
+              _sel(mat_id, scene.mat_albedo[:, 2], M))
+    emission = (_sel(mat_id, scene.mat_emission[:, 0], M),
+                _sel(mat_id, scene.mat_emission[:, 1], M),
+                _sel(mat_id, scene.mat_emission[:, 2], M))
+    kind = _sel(mat_id, scene.mat_kind, M)
+    return albedo, emission, kind
+
+
+def trace_pass_soa(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key,
+                   bvh=None, row0=0, band_h=None):
+    """One sample per pixel, plane layout. Returns ((h,w,3) image, nrays)."""
+    h, w = (band_h or cfg.height), cfg.width
+
+    def draw(k, n):
+        full = random.uniform(k, (n, cfg.height, cfg.width))
+        if band_h is None:
+            return full
+        return lax.dynamic_slice_in_dim(full, row0, band_h, axis=1)
+
+    u = draw(random.fold_in(key, 0), 2)
+    o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0)
+
+    zero = d[0] * 0.0
+    o = v3.add(o, v3.scale(d, 0.0))  # make o device-varying like d
+    st = dict(
+        o=o, d=d,
+        thr=(zero + 1.0, zero + 1.0, zero + 1.0),
+        rad=(zero, zero, zero),
+        alive=zero == 0.0,
+        prev_did_nee=zero > 0.0,
+        prev_pdf=zero,
+        nrays=jnp.sum(zero),
+    )
+
+    def bounce(b, st):
+        st = dict(st)
+        u = draw(random.fold_in(key, b + 1), 5)
+        st["nrays"] = st["nrays"] + jnp.sum(st["alive"])
+
+        isect = _intersect(scene, st["o"], st["d"], cfg.t_min, bvh)
+        hit = isect["hit"] & st["alive"]
+        albedo, emission, kind = _mat_lookup(scene, isect["mat_id"])
+        n = isect["n"]
+        p = isect["p"]
+
+        # --- emission (MIS vs NEE of the previous vertex) ------------------
+        emissive = (emission[0] > 0.0) | (emission[1] > 0.0) | (emission[2] > 0.0)
+        cos_l = jnp.abs(v3.dot(n, st["d"]))
+        pdf_light_w = (
+            1.0 / jnp.maximum(isect["light_area"] * jnp.maximum(scene.light_count, 1), 1e-20)
+            * isect["t"] ** 2 / jnp.maximum(cos_l, 1e-6)
+        )
+        w_b = jnp.where(
+            st["prev_did_nee"],
+            sampler.power_heuristic(st["prev_pdf"], pdf_light_w),
+            1.0,
+        )
+        gate = jnp.where(hit & emissive, w_b, 0.0)
+        st["rad"] = v3.add(st["rad"], v3.mul(st["thr"], v3.scale(emission, gate)))
+
+        # --- NEE ------------------------------------------------------------
+        if cfg.use_nee:
+            lp, ln, le, pdf_area = _sample_light(scene, u[2], u[3], u[4])
+            to_l = v3.sub(lp, p)
+            dist = v3.length(to_l)
+            wi = v3.scale(to_l, 1.0 / jnp.maximum(dist, 1e-20))
+            cos_s = v3.dot(n, wi)
+            cos_ll = jnp.abs(v3.dot(ln, wi))
+
+            cand = (
+                hit & (kind == DIFFUSE) & (scene.light_count > 0)
+                & (cos_s > 0.0) & (cos_ll > 1e-6) & (dist > cfg.eps)
+            )
+            st["nrays"] = st["nrays"] + jnp.sum(cand)
+            sh_o = v3.add(p, v3.scale(n, cfg.eps))
+            blocked = _occluded(scene, sh_o, wi, dist * (1.0 - 1e-3), cfg.t_min, bvh)
+            vis = cand & ~blocked
+
+            pdf_w = pdf_area * dist**2 / jnp.maximum(cos_ll, 1e-6)
+            w_nee = sampler.power_heuristic(pdf_w, cos_s / _PI)
+            scale = jnp.where(
+                vis, cos_s / jnp.maximum(pdf_w, 1e-20) * w_nee / _PI, 0.0
+            )
+            contrib = v3.mul(v3.mul(st["thr"], albedo), v3.scale(le, scale))
+            st["rad"] = v3.add(st["rad"], contrib)
+
+        # --- scatter ----------------------------------------------------------
+        diff_d, pdf_cos = sampler.cosine_hemisphere(u[0], u[1], n)
+        mirr_d = v3.sub(st["d"], v3.scale(n, 2.0 * v3.dot(st["d"], n)))
+        is_mirror = kind == MIRROR
+        new_d = v3.where(is_mirror, mirr_d, diff_d)
+        new_o = v3.add(p, v3.scale(n, cfg.eps))
+        new_thr = v3.mul(st["thr"], albedo)
+
+        cont = hit & (
+            jnp.maximum(new_thr[0], jnp.maximum(new_thr[1], new_thr[2])) > 0.0
+        )
+        st["thr"] = v3.where(cont, new_thr, (zero, zero, zero))
+        st["o"] = v3.where(cont, new_o, st["o"])
+        st["d"] = v3.where(cont, new_d, st["d"])
+        st["alive"] = cont
+        st["prev_did_nee"] = (
+            hit & (kind == DIFFUSE) & (scene.light_count > 0)
+            & jnp.bool_(cfg.use_nee)
+        )
+        st["prev_pdf"] = pdf_cos
+        return st
+
+    st = lax.fori_loop(0, cfg.max_bounces + 1, bounce, st)
+    img = jnp.stack([st["rad"][0], st["rad"][1], st["rad"][2]], axis=-1)
+    return img, st["nrays"]
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def render_pt_fast(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
+                   key=None, bvh=None, spp_offset=0):
+    """SoA render: average spp passes (same sample stream as render_pt)."""
+    if key is None:
+        key = random.PRNGKey(0)
+
+    def body(i, carry):
+        acc, nrays = carry
+        img, nr = trace_pass_soa(cfg, scene, cam_pos, cam_quat,
+                                 random.fold_in(key, spp_offset + i), bvh=bvh)
+        return acc + img, nrays + nr
+
+    acc, nrays = lax.fori_loop(
+        0, spp, body,
+        (jnp.zeros((cfg.height, cfg.width, 3), jnp.float32), jnp.float32(0.0)),
+    )
+    return acc / spp, nrays

@@ -49,6 +49,7 @@ class InputEvent:
     rot: tuple = (0.0, 0.0)
     cursor: tuple = (0.0, 0.0)
     dt: float = 1.0 / 60.0
+    resize: tuple | None = None  # (width, height) — swapchain-recreate analog
 
 
 class FrameLoop:
@@ -72,6 +73,17 @@ class FrameLoop:
     def step(self, event: InputEvent):
         """Integrate one input event and render. Returns the device image
         (async — not blocked on) like the reference's submit-without-wait."""
+        if event.resize is not None:
+            # resize = new RenderConfig; jit respecializes (the analog of the
+            # reference's swapchain/pipeline/pyramid rebuild, src/main.rs:778-
+            # 870, including its width >= height enforcement at :702-706)
+            w, h = event.resize
+            if h > w:
+                h = w
+            self.cfg = dataclasses.replace(self.cfg, width=w, height=h)
+            self._primary, self._secondary = conemarch_ray_count(
+                self.cfg, int(self.scene.light_count)
+            )
         self.camera = integrate_input(
             self.camera,
             jnp.asarray(event.move, jnp.float32),

@@ -35,7 +35,7 @@ def test_padded_to_capacity():
 def test_scene_is_pytree():
     s = default_scene()
     leaves = jax.tree_util.tree_leaves(s)
-    assert len(leaves) == 12
+    assert len(leaves) == 12  # parity Scene (path-tracer PTScene differs)
     s2 = jax.tree_util.tree_map(lambda x: x, s)
     np.testing.assert_array_equal(np.asarray(s2.obj_pos), np.asarray(s.obj_pos))
 
