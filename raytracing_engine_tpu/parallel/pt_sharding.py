@@ -25,8 +25,15 @@ from raytracing_engine_tpu.pathtracer.integrator import PTConfig, trace_pass
 
 
 def render_pt_sharded(cfg: PTConfig, scene, cam_pos, cam_quat, spp: int,
-                      key, mesh, bvh=None):
-    """SPMD progressive pass over `mesh`. Returns ((H, W, 3) image, nrays)."""
+                      key, mesh, bvh=None, soa: bool = False):
+    """SPMD progressive pass over `mesh`. Returns ((H, W, 3) image, nrays).
+    soa=True uses the plane-layout wavefront integrator (production speed);
+    the default uses the stacked reference integrator (bit-matched tests)."""
+    if soa:
+        from raytracing_engine_tpu.pathtracer.wavefront import trace_pass_soa
+        pass_fn = trace_pass_soa
+    else:
+        pass_fn = trace_pass
     n_t = mesh.shape[TILE_AXIS]
     n_s = mesh.shape[SAMPLE_AXIS]
     if cfg.height % n_t:
@@ -43,7 +50,7 @@ def render_pt_sharded(cfg: PTConfig, scene, cam_pos, cam_quat, spp: int,
         def pass_body(i, carry):
             acc, nrays = carry
             gpass = s * local_spp + i  # global pass index
-            rad, nr = trace_pass(
+            rad, nr = pass_fn(
                 cfg, scene, cam_pos, cam_quat, random.fold_in(key, gpass),
                 bvh=bvh, row0=t * band_h, band_h=band_h,
             )

@@ -19,3 +19,4 @@ from raytracing_engine_tpu.pathtracer.integrator import (  # noqa: F401
     render_pt,
     PTConfig,
 )
+from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast  # noqa: F401
