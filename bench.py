@@ -34,11 +34,15 @@ def bench_conemarch(width=1920, height=1088, frames=50):
     cfg = RenderConfig(width=width, height=height)
     scene = default_scene()
 
+    n_obj = int(scene.obj_count)
+    n_light = int(scene.light_count)
+
     @jax.jit
     def run(scene, pos, quats):
         def body(i, acc):
             q = quats[i] * (1.0 + 0.0 * acc)  # chain frames
-            img = pallas_renderer.render(cfg, scene, pos, q)
+            img = pallas_renderer.render(cfg, scene, pos, q,
+                                         n_obj=n_obj, n_light=n_light)
             return acc + img[0, 0, 0]
 
         return jax.lax.fori_loop(0, quats.shape[0], body, jnp.float32(0.0))

@@ -5,6 +5,11 @@ loops run in Pallas kernels with per-tile convergence (ops/pallas/). The
 pyramid driver mirrors the reference's per-level dispatch loop
 (src/main.rs:300-316); the 2x seed upsample between levels is a cheap XLA
 gather.
+
+``n_obj``/``n_light`` statically specialize the kernels to the scene's live
+slot counts (the host always knows them): dead-slot masking and dead shadow
+loops disappear. Results are identical to the generic masked kernels —
+enforced by tests.
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ from raytracing_engine_tpu.ops.pallas.shade import shade_pallas
 
 
 def render_depth_pyramid(cfg: RenderConfig, scene, cam_pos, cam_quat,
-                         interpret=None):
+                         interpret=None, n_obj=None):
     levels = []
     prev = None
     for i in range(cfg.level_count):
@@ -30,18 +35,30 @@ def render_depth_pyramid(cfg: RenderConfig, scene, cam_pos, cam_quat,
         else:
             seed = upsample_seed(prev, h, w)
         prev = depth_level_pallas(cfg, i, scene, cam_pos, cam_quat, seed,
-                                  interpret=interpret)
+                                  interpret=interpret, n_obj=n_obj)
         levels.append(prev)
     return tuple(levels)
 
 
-def render(cfg: RenderConfig, scene, cam_pos, cam_quat, interpret=None):
+def render(cfg: RenderConfig, scene, cam_pos, cam_quat, interpret=None,
+           n_obj=None, n_light=None):
     """Full frame via Pallas kernels → (H, W, 3) float32."""
-    depth = render_depth_pyramid(cfg, scene, cam_pos, cam_quat, interpret)[-1]
+    depth = render_depth_pyramid(cfg, scene, cam_pos, cam_quat, interpret,
+                                 n_obj)[-1]
     return shade_pallas(cfg, scene, cam_pos, cam_quat, depth,
-                        interpret=interpret)
+                        interpret=interpret, n_obj=n_obj, n_light=n_light)
 
 
-@partial(jax.jit, static_argnums=0, static_argnames="interpret")
-def render_jit(cfg: RenderConfig, scene, cam_pos, cam_quat, interpret=None):
-    return render(cfg, scene, cam_pos, cam_quat, interpret)
+@partial(jax.jit, static_argnums=0,
+         static_argnames=("interpret", "n_obj", "n_light"))
+def render_jit(cfg: RenderConfig, scene, cam_pos, cam_quat, interpret=None,
+               n_obj=None, n_light=None):
+    return render(cfg, scene, cam_pos, cam_quat, interpret, n_obj, n_light)
+
+
+def render_jit_for(cfg: RenderConfig, scene):
+    """Convenience: a jitted render specialized to `scene`'s live counts."""
+    n_obj = int(scene.obj_count)
+    n_light = int(scene.light_count)
+    return lambda s, pos, quat: render_jit(cfg, s, pos, quat,
+                                           n_obj=n_obj, n_light=n_light)

@@ -60,16 +60,18 @@ def sphere_sdf_plane(px, py, pz, cx, cy, cz, radius):
     return jnp.sqrt(dx * dx + dy * dy + dz * dz) - radius
 
 
-def unrolled_sdf_caches(px, py, pz, obj_ref, obj_count, big):
-    """SDFs of all MAX_OBJECTS slots at plane position p, dead slots = big.
+def unrolled_sdf_caches(px, py, pz, obj_ref, obj_count, big,
+                        n_obj: int = MAX_OBJECTS, masked: bool = True):
+    """SDFs of the first n_obj slots at plane position p, dead slots = big.
 
     obj_ref: SMEM (MAX_OBJECTS, 4) — [cx, cy, cz, radius] per row.
-    Returns a list of MAX_OBJECTS planes.
+    With a static object count (masked=False), dead-slot selects vanish.
+    Returns a list of n_obj planes.
     """
     out = []
-    for k in range(MAX_OBJECTS):
+    for k in range(n_obj):
         d = sphere_sdf_plane(
             px, py, pz, obj_ref[k, 0], obj_ref[k, 1], obj_ref[k, 2], obj_ref[k, 3]
         )
-        out.append(jnp.where(k < obj_count, d, big))
+        out.append(jnp.where(k < obj_count, d, big) if masked else d)
     return out

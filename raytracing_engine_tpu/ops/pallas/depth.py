@@ -36,11 +36,13 @@ from raytracing_engine_tpu.ops.pallas.common import (
 
 
 def _march_tile(ox, oy, oz, dx, dy, dz, threshold, obj_ref, obj_count,
-                render_dist, max_steps):
-    """Algorithm-3 cone march on one tile; returns the marched-length plane."""
+                render_dist, max_steps, n_obj=MAX_OBJECTS, masked=True):
+    """Algorithm-3 cone march on one tile; returns the marched-length plane.
+    n_obj/masked: static-object-count specialization (see depth_level_pallas)."""
     big = jnp.float32(render_dist)
 
-    cache0 = unrolled_sdf_caches(ox, oy, oz, obj_ref, obj_count, big)
+    cache0 = unrolled_sdf_caches(ox, oy, oz, obj_ref, obj_count, big,
+                                 n_obj, masked)
     zeros = jnp.zeros_like(ox)
     # `done` is carried as an f32 0/1 plane — Mosaic cannot legalize i1
     # vectors in while-loop carries
@@ -61,7 +63,7 @@ def _march_tile(ox, oy, oz, dx, dy, dz, threshold, obj_ref, obj_count,
 
         dist = big
         new_cache = []
-        for k in range(MAX_OBJECTS):
+        for k in range(n_obj):
             bound = cache[k] - last
             # re-evaluate the true SDF only where the 1-Lipschitz lower
             # bound dips to the cone radius — compute.glsl:51-57
@@ -71,7 +73,8 @@ def _march_tile(ox, oy, oz, dx, dy, dz, threshold, obj_ref, obj_count,
             ddz = pz - cz
             fresh = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz) - cr
             upd = jnp.where(bound <= radius, fresh, bound)
-            upd = jnp.where(k < obj_count, upd, big)
+            if masked:
+                upd = jnp.where(k < obj_count, upd, big)
             new_cache.append(upd)
             dist = jnp.minimum(dist, upd)
 
@@ -93,7 +96,8 @@ def _march_tile(ox, oy, oz, dx, dy, dz, threshold, obj_ref, obj_count,
 
 
 def _depth_kernel(params_ref, count_ref, obj_ref, seed_ref, out_ref,
-                  *, tile_h, tile_w, render_dist, max_steps):
+                  *, tile_h, tile_w, render_dist, max_steps,
+                  n_obj=MAX_OBJECTS, masked=True):
     px_cam = params_ref[0]
     py_cam = params_ref[1]
     pz_cam = params_ref[2]
@@ -122,7 +126,7 @@ def _depth_kernel(params_ref, count_ref, obj_ref, seed_ref, out_ref,
 
     length = _march_tile(
         ox, oy, oz, dx, dy, dz, threshold, obj_ref, obj_count,
-        render_dist, max_steps,
+        render_dist, max_steps, n_obj, masked,
     )
     out_ref[:] = jnp.maximum(seed + length, 0.0)  # compute.glsl:86
 
@@ -133,12 +137,17 @@ def _interpret_default() -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "level", "interpret"),
+    static_argnames=("cfg", "level", "interpret", "n_obj"),
 )
 def depth_level_pallas(cfg: RenderConfig, level: int, scene, cam_pos, cam_quat,
-                       seed, interpret=None):
+                       seed, interpret=None, n_obj=None):
     """One depth level. seed: (h, w) full-res seed depths (ones at level 0,
-    else the 2x-nearest upsample of the previous level). Returns (h, w)."""
+    else the 2x-nearest upsample of the previous level). Returns (h, w).
+
+    n_obj: STATIC object count — when the caller knows the live count
+    (host-side scenes always do), the kernel unrolls exactly that many
+    spheres with no dead-slot masking; None keeps the generic masked kernel.
+    """
     if interpret is None:
         interpret = _interpret_default()
     w, h = cfg.level_dims[level]
@@ -162,6 +171,8 @@ def depth_level_pallas(cfg: RenderConfig, level: int, scene, cam_pos, cam_quat,
         tile_w=tile_w,
         render_dist=cfg.render_dist,
         max_steps=cfg.max_march_steps,
+        n_obj=MAX_OBJECTS if n_obj is None else n_obj,
+        masked=n_obj is None,
     )
     grid = (h // tile_h, w // tile_w)
     return pl.pallas_call(

@@ -34,12 +34,13 @@ from raytracing_engine_tpu.ops.pallas.common import (
 
 
 def _shadow_march_tile(ox, oy, oz, dx, dy, dz, end, obj_ref, obj_count,
-                       render_dist, max_steps):
+                       render_dist, max_steps, n_obj=MAX_OBJECTS, masked=True):
     """fragment.glsl:89-121 on planes; returns the soft-shadow factor."""
     big = jnp.float32(render_dist)
     ray_r = jnp.float32(RAY_RADIUS)
 
-    cache0 = unrolled_sdf_caches(ox, oy, oz, obj_ref, obj_count, big)
+    cache0 = unrolled_sdf_caches(ox, oy, oz, obj_ref, obj_count, big,
+                                 n_obj, masked)
     zeros = jnp.zeros_like(ox)
     # `occluded` carried as f32 0/1 — Mosaic cannot carry i1 vectors
     state0 = (zeros, zeros, zeros + 1.0, zeros, jnp.int32(0), tuple(cache0))
@@ -58,7 +59,7 @@ def _shadow_march_tile(ox, oy, oz, dx, dy, dz, end, obj_ref, obj_count,
 
         dist = end
         new_cache = []
-        for k in range(MAX_OBJECTS):
+        for k in range(n_obj):
             bound = cache[k] - last
             cx, cy, cz, cr = obj_ref[k, 0], obj_ref[k, 1], obj_ref[k, 2], obj_ref[k, 3]
             ddx = px - cx
@@ -66,7 +67,8 @@ def _shadow_march_tile(ox, oy, oz, dx, dy, dz, end, obj_ref, obj_count,
             ddz = pz - cz
             fresh = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz) - cr
             upd = jnp.where(bound <= nearest, fresh, bound)
-            upd = jnp.where(k < obj_count, upd, big)
+            if masked:
+                upd = jnp.where(k < obj_count, upd, big)
             new_cache.append(upd)
             dist = jnp.minimum(dist, upd)
 
@@ -91,7 +93,8 @@ def _shadow_march_tile(ox, oy, oz, dx, dy, dz, end, obj_ref, obj_count,
 
 def _shade_kernel(params_ref, count_ref, obj_ref, mat_ref, light_ref,
                   depth_ref, out_ref, *, tile_h, tile_w, render_dist,
-                  max_steps):
+                  max_steps, n_obj=MAX_OBJECTS, n_light=MAX_LIGHTS,
+                  masked=True):
     cam_x, cam_y, cam_z = params_ref[0], params_ref[1], params_ref[2]
     qx, qy, qz, qw = (params_ref[3], params_ref[4], params_ref[5], params_ref[6])
     img_sx, img_sy = params_ref[7], params_ref[8]
@@ -129,13 +132,13 @@ def _shade_kernel(params_ref, count_ref, obj_ref, mat_ref, light_ref,
     m_b = jnp.zeros_like(depth)
     m_shine = jnp.zeros_like(depth)
     m_amb = jnp.zeros_like(depth)
-    for k in range(MAX_OBJECTS):
+    for k in range(n_obj):
         cx, cy, cz, cr = obj_ref[k, 0], obj_ref[k, 1], obj_ref[k, 2], obj_ref[k, 3]
         ddx = px - cx
         ddy = py - cy
         ddz = pz - cz
         d = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz) - cr
-        take = (d < best) & (k < obj_count)
+        take = (d < best) & (k < obj_count) if masked else (d < best)
         best = jnp.where(take, d, best)
         ox_b = jnp.where(take, cx, ox_b)
         oy_b = jnp.where(take, cy, oy_b)
@@ -164,10 +167,10 @@ def _shade_kernel(params_ref, count_ref, obj_ref, mat_ref, light_ref,
     col_r = jnp.zeros_like(depth)
     col_g = jnp.zeros_like(depth)
     col_b = jnp.zeros_like(depth)
-    for li in range(MAX_LIGHTS):
+    for li in range(n_light):
         lx, ly, lz = light_ref[li, 0], light_ref[li, 1], light_ref[li, 2]
         lr, lg, lb = light_ref[li, 4], light_ref[li, 5], light_ref[li, 6]
-        live = li < light_count
+        live = (li < light_count) if masked else True
 
         tlx = lx - px
         tly = ly - py
@@ -180,6 +183,7 @@ def _shade_kernel(params_ref, count_ref, obj_ref, mat_ref, light_ref,
         soft = _shadow_march_tile(
             px + ldx, py + ldy, pz + ldz,  # +1.0 offset — fragment.glsl:176
             ldx, ldy, ldz, end, obj_ref, obj_count, render_dist, max_steps,
+            n_obj, masked,
         )
         soft = jnp.minimum(soft, 1.0)
 
@@ -194,7 +198,8 @@ def _shade_kernel(params_ref, count_ref, obj_ref, mat_ref, light_ref,
         spec = jnp.maximum(diffuse * jnp.power(base, m_shine), 0.0)
 
         ds = jnp.maximum(diffuse + spec, 0.0) / light_fall * soft
-        scale = jnp.where(live, 1.0, 0.0) / cam_fall * normal_fall
+        live_f = jnp.where(live, 1.0, 0.0) if masked else 1.0
+        scale = live_f / cam_fall * normal_fall
         col_r += (m_amb + ds * lr) * scale * m_r
         col_g += (m_amb + ds * lg) * scale * m_g
         col_b += (m_amb + ds * lb) * scale * m_b
@@ -204,10 +209,15 @@ def _shade_kernel(params_ref, count_ref, obj_ref, mat_ref, light_ref,
     out_ref[2] = jnp.where(hit_mask, col_b, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "n_obj", "n_light"))
 def shade_pallas(cfg: RenderConfig, scene, cam_pos, cam_quat, depth,
-                 interpret=None):
-    """Shade the finest depth level. Returns (H, W, 3) float32."""
+                 interpret=None, n_obj=None, n_light=None):
+    """Shade the finest depth level. Returns (H, W, 3) float32.
+
+    n_obj/n_light: STATIC counts — specialize the kernel to exactly the
+    live slots (no dead-slot masking, no dead shadow loops); None = generic
+    masked kernel. Both must be given together for the unmasked path.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     h, w = cfg.height, cfg.width
@@ -241,12 +251,16 @@ def shade_pallas(cfg: RenderConfig, scene, cam_pos, cam_quat, depth,
         [scene.light_pos, zero, scene.light_color, zero], axis=1
     )
 
+    static = n_obj is not None and n_light is not None
     kernel = functools.partial(
         _shade_kernel,
         tile_h=tile_h,
         tile_w=tile_w,
         render_dist=cfg.render_dist,
         max_steps=cfg.max_shadow_steps,
+        n_obj=n_obj if static else MAX_OBJECTS,
+        n_light=n_light if static else MAX_LIGHTS,
+        masked=not static,
     )
     grid = (h // tile_h, w // tile_w)
     out = pl.pallas_call(

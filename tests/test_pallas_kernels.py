@@ -39,3 +39,16 @@ def test_pallas_matches_golden(small_cfg, scene, camera_pose, golden_image):
     pos, quat = _pose(camera_pose)
     got = np.asarray(pallas_renderer.render_jit(small_cfg, scene, pos, quat))
     np.testing.assert_allclose(got, golden_image, rtol=1e-3, atol=2e-3)
+
+
+def test_static_count_specialization_matches(small_cfg, scene, camera_pose):
+    """Kernels specialized to the live counts must match the masked kernels."""
+    pos, quat = _pose(camera_pose)
+    want = np.asarray(pallas_renderer.render_jit(small_cfg, scene, pos, quat))
+    got = np.asarray(
+        pallas_renderer.render_jit(
+            small_cfg, scene, pos, quat,
+            n_obj=int(scene.obj_count), n_light=int(scene.light_count),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
