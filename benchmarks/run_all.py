@@ -1,0 +1,214 @@
+"""Run the BASELINE.json benchmark configs on real TPU hardware.
+
+Writes benchmarks/results.json and prints a markdown table for BASELINE.md.
+Timing methodology: compile/warm with one camera input, time with others
+(the tunnel memoizes repeated identical dispatches), fetch a scalar to force
+completion (block_until_ready alone has been unreliable — see bench.py).
+
+Usage:  python benchmarks/run_all.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timed(fn, variants, fetch=lambda r: float(r[0].ravel()[0])):
+    """fn(variant) -> result; compiles on variants[0], times the rest."""
+    fetch(fn(variants[0]))
+    best = float("inf")
+    for v in variants[1:]:
+        t0 = time.perf_counter()
+        fetch(fn(v))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def config1_parity(results):
+    """512x512 cone-march frame (reference default scene) + parity stats."""
+    import jax
+    import jax.numpy as jnp
+
+    import raytracing_engine_tpu as rt
+    from raytracing_engine_tpu.models import pallas_renderer
+    from raytracing_engine_tpu.utils.timing import conemarch_ray_count
+
+    cfg = rt.RenderConfig(width=512, height=512)
+    scene = rt.default_scene()
+    n_obj, n_light = int(scene.obj_count), int(scene.light_count)
+
+    def run(z):
+        return (pallas_renderer.render_jit(
+            cfg, scene, jnp.array([0.0, 0.0, z]), jnp.array([0.0, 0.0, 0.0, 1.0]),
+            n_obj=n_obj, n_light=n_light),)
+
+    dt = _timed(run, [0.0, 1e-3, 2e-3])
+    p, s = conemarch_ray_count(cfg, n_light)
+    results["config1_512_conemarch"] = {
+        "frame_ms": round(dt * 1e3, 3),
+        "mrays": round((p + s) / dt / 1e6, 1),
+        "note": "pixel parity with the scalar golden reference is enforced by tests/",
+    }
+
+
+def config2_spheres(results, spp=4):
+    """800x608, 4-bounce path tracing, 4 spp (multi-material spheres)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scenes import material_spheres
+    from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
+
+    cfg = PTConfig(width=800, height=608, max_bounces=4, rng="pallas")
+    scene = material_spheres()
+    quat = jnp.array([0.0, 0.0, 0.0, 1.0])
+    key = jax.random.PRNGKey(1)
+    nrays = {}
+
+    def run(z):
+        img, nr = render_pt_fast(cfg, scene, jnp.array([0.0, 0.0, z]), quat, spp, key)
+        nrays["n"] = nr
+        return (img,)
+
+    dt = _timed(run, [0.0, 1e-3, 2e-3])
+    results["config2_800x608_4spp_pt"] = {
+        "frame_ms": round(dt * 1e3, 2),
+        "mrays": round(float(nrays["n"]) / dt / 1e6, 1),
+        "spp": spp,
+        "bounces": 4,
+    }
+
+
+def config3_bvh(results, size=512, segments=1100):
+    """~70k-triangle mesh with stackless BVH (packet traversal)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracing_engine_tpu.accel import build_bvh, torus_knot
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+    from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
+
+    mesh = torus_knot(segments=segments, sides=32, center=(0.0, 8.0, 0.0))
+    t0 = time.perf_counter()
+    bvh = build_bvh(mesh)
+    build_s = time.perf_counter() - t0
+    mats = [
+        {"albedo": (0.7, 0.6, 0.4), "kind": DIFFUSE},
+        {"albedo": (0, 0, 0), "emission": (10.0,) * 3, "kind": DIFFUSE},
+        {"albedo": (0.5, 0.5, 0.6), "kind": DIFFUSE},
+    ]
+    scene = build_pt_scene(
+        spheres=[((6.0, 4.0, 6.0), 1.5, 1), ((0.0, 8.0, -103.0), 100.0, 2)],
+        triangles=mesh,
+        tri_mats=np.zeros(mesh.shape[0], np.int32),
+        materials=mats,
+    )
+    cfg = PTConfig(width=size, height=size, max_bounces=2, rng="pallas")
+    quat = jnp.array([0.0, 0.0, 0.0, 1.0])
+    key = jax.random.PRNGKey(1)
+    nrays = {}
+
+    def run(z):
+        img, nr = render_pt_fast(cfg, scene, jnp.array([0.0, 0.0, z]), quat, 1,
+                                 key, bvh=bvh)
+        nrays["n"] = nr
+        return (img,)
+
+    dt = _timed(run, [0.0, 1e-3, 2e-3])
+    results["config3_70ktri_bvh"] = {
+        "triangles": int(mesh.shape[0]),
+        "resolution": size,
+        "frame_ms": round(dt * 1e3, 2),
+        "mrays": round(float(nrays["n"]) / dt / 1e6, 2),
+        "bvh_build_s": round(build_s, 2),
+    }
+
+
+def config4_progressive(results, spp=1024, size=256):
+    """Progressive accumulation with NEE on the area-lit interior (Cornell)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scenes import cornell_box
+    from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
+
+    cfg = PTConfig(width=size, height=size, max_bounces=4, rng="pallas")
+    scene = cornell_box()
+    pos = jnp.array([0.0, 0.2, 0.0])
+    quat = jnp.array([0.0, 0.0, 0.0, 1.0])
+    key = jax.random.PRNGKey(1)
+
+    # warm/compile with a small chunk
+    img, _ = render_pt_fast(cfg, scene, pos, quat, 16, key)
+    float(img.ravel()[0])
+    t0 = time.perf_counter()
+    total = 0
+    chunk = 128
+    nr_total = 0.0
+    while total < spp:
+        img, nr = render_pt_fast(cfg, scene, pos, quat, chunk, key,
+                                 spp_offset=total)
+        nr_total += float(nr)
+        total += chunk
+    float(img.ravel()[0])
+    dt = time.perf_counter() - t0
+    results["config4_cornell_1024spp_nee"] = {
+        "resolution": size,
+        "spp": spp,
+        "total_s": round(dt, 2),
+        "spp_per_s": round(spp / dt, 1),
+        "mrays": round(nr_total / dt / 1e6, 1),
+    }
+
+
+def headline(results):
+    import bench
+
+    mrays, dt = bench.bench_conemarch()
+    results["headline_1080p_conemarch"] = {
+        "frame_ms": round(dt * 1e3, 2),
+        "mrays": round(mrays, 1),
+        "vs_target_500": round(mrays / 500.0, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.json"))
+    args = ap.parse_args()
+
+    results = {}
+    config1_parity(results)
+    print(json.dumps(results, indent=2), flush=True)
+    config2_spheres(results)
+    print(json.dumps(results, indent=2), flush=True)
+    config3_bvh(results, size=256 if args.quick else 512)
+    print(json.dumps(results, indent=2), flush=True)
+    config4_progressive(results, spp=128 if args.quick else 1024)
+    print(json.dumps(results, indent=2), flush=True)
+    headline(results)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+    print("\n| config | result |")
+    print("|---|---|")
+    for k, v in results.items():
+        print(f"| {k} | {json.dumps(v)} |")
+
+
+if __name__ == "__main__":
+    main()

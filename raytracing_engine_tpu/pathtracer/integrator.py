@@ -41,6 +41,10 @@ class PTConfig:
     t_min: float = 1e-3
     eps: float = 1e-3          # shadow/scatter origin offset along the normal
     use_nee: bool = True
+    # RNG implementation for the SoA integrator: "threefry" (jax.random —
+    # portable, matches the reference integrator bit-for-bit) or "pallas"
+    # (TPU hardware PRNG — ~an order of magnitude cheaper; different stream).
+    rng: str = "threefry"
 
     @property
     def ratio(self):

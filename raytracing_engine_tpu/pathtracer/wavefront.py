@@ -114,15 +114,31 @@ def _tri_hits_unrolled(scene: PTScene, o, d, t_min):
     return best_t, best_i.astype(jnp.int32)
 
 
-def _tri_hits(scene: PTScene, o, d, t_min, bvh):
+def _use_packet(packet):
+    if packet is None:
+        return jax.default_backend() == "tpu"
+    return packet
+
+
+def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
     """(t, original tri index, e1 V3, e2 V3) of the nearest triangle."""
     T = scene.tri_v0.shape[0]
     if bvh is not None:
-        from raytracing_engine_tpu.accel.bvh import bvh_intersect
+        if _use_packet(packet):
+            from raytracing_engine_tpu.ops.pallas.bvh_traverse import (
+                bvh_intersect_packet,
+                pack_bvh_tables,
+            )
 
-        o3 = v3.stack(o)
-        d3 = v3.stack(d)
-        t, ridx, _, _ = bvh_intersect(bvh, o3, d3, t_min=t_min)
+            tables = pack_bvh_tables(bvh)
+            t, ridx = bvh_intersect_packet(
+                tables, o, d, jnp.full_like(o[0], BIG), t_min=t_min
+            )
+        else:
+            from raytracing_engine_tpu.accel.bvh import bvh_intersect
+
+            t, ridx, _, _ = bvh_intersect(bvh, v3.stack(o), v3.stack(d),
+                                          t_min=t_min)
         safe = jnp.maximum(ridx, 0)
         idx = bvh.perm[safe]
         e1 = v3.unstack(bvh.e1[safe])
@@ -153,9 +169,9 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh):
     return t, idx, e1, e2
 
 
-def _intersect(scene: PTScene, o, d, t_min, bvh):
+def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
     t_s, i_s = _sphere_hits(scene, o, d, t_min)
-    t_t, i_t, e1, e2 = _tri_hits(scene, o, d, t_min, bvh)
+    t_t, i_t, e1, e2 = _tri_hits(scene, o, d, t_min, bvh, packet)
 
     use_tri = t_t < t_s
     t = jnp.minimum(t_s, t_t)
@@ -191,7 +207,7 @@ def _intersect(scene: PTScene, o, d, t_min, bvh):
     return dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area)
 
 
-def _occluded(scene: PTScene, o, d, max_t, t_min, bvh):
+def _occluded(scene: PTScene, o, d, max_t, t_min, bvh, packet=None):
     S = scene.sph_pos.shape[0]
     blocked = jnp.zeros_like(o[0], dtype=bool)
     for k in range(S):
@@ -210,11 +226,24 @@ def _occluded(scene: PTScene, o, d, max_t, t_min, bvh):
 
     T = scene.tri_v0.shape[0]
     if bvh is not None:
-        from raytracing_engine_tpu.accel.bvh import bvh_intersect
+        if _use_packet(packet):
+            from raytracing_engine_tpu.ops.pallas.bvh_traverse import (
+                bvh_intersect_packet,
+                pack_bvh_tables,
+            )
 
-        _, idx, _, _ = bvh_intersect(
-            bvh, v3.stack(o), v3.stack(d), t_min=t_min, t_max=max_t, any_hit=True
-        )
+            tables = pack_bvh_tables(bvh)
+            _, idx = bvh_intersect_packet(
+                tables, o, d, jnp.broadcast_to(max_t, o[0].shape),
+                t_min=t_min, any_hit=True,
+            )
+        else:
+            from raytracing_engine_tpu.accel.bvh import bvh_intersect
+
+            _, idx, _, _ = bvh_intersect(
+                bvh, v3.stack(o), v3.stack(d), t_min=t_min, t_max=max_t,
+                any_hit=True,
+            )
         blocked = blocked | (idx >= 0)
     elif T <= TRI_UNROLL_MAX:
         t_t, i_t = _tri_hits_unrolled(scene, o, d, t_min)
@@ -292,17 +321,28 @@ def _mat_lookup(scene: PTScene, mat_id):
 
 
 def trace_pass_soa(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key,
-                   bvh=None, row0=0, band_h=None):
+                   bvh=None, row0=0, band_h=None, packet=None):
     """One sample per pixel, plane layout. Returns ((h,w,3) image, nrays)."""
     h, w = (band_h or cfg.height), cfg.width
 
-    def draw(k, n):
-        full = random.uniform(k, (n, cfg.height, cfg.width))
-        if band_h is None:
-            return full
-        return lax.dynamic_slice_in_dim(full, row0, band_h, axis=1)
+    if cfg.rng == "pallas":
+        from raytracing_engine_tpu.ops.pallas.rng import key_to_seed, uniform_planes
 
-    u = draw(random.fold_in(key, 0), 2)
+        seed0 = key_to_seed(key)
+
+        def draw_b(b, n):
+            full = uniform_planes(seed0 + b, n, cfg.height, cfg.width)
+            if band_h is None:
+                return full
+            return lax.dynamic_slice_in_dim(full, row0, band_h, axis=1)
+    else:
+        def draw_b(b, n):
+            full = random.uniform(random.fold_in(key, b), (n, cfg.height, cfg.width))
+            if band_h is None:
+                return full
+            return lax.dynamic_slice_in_dim(full, row0, band_h, axis=1)
+
+    u = draw_b(0, 2)
     o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0)
 
     zero = d[0] * 0.0
@@ -319,10 +359,10 @@ def trace_pass_soa(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key,
 
     def bounce(b, st):
         st = dict(st)
-        u = draw(random.fold_in(key, b + 1), 5)
+        u = draw_b(b + 1, 5)
         st["nrays"] = st["nrays"] + jnp.sum(st["alive"])
 
-        isect = _intersect(scene, st["o"], st["d"], cfg.t_min, bvh)
+        isect = _intersect(scene, st["o"], st["d"], cfg.t_min, bvh, packet)
         hit = isect["hit"] & st["alive"]
         albedo, emission, kind = _mat_lookup(scene, isect["mat_id"])
         n = isect["n"]
@@ -358,7 +398,7 @@ def trace_pass_soa(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key,
             )
             st["nrays"] = st["nrays"] + jnp.sum(cand)
             sh_o = v3.add(p, v3.scale(n, cfg.eps))
-            blocked = _occluded(scene, sh_o, wi, dist * (1.0 - 1e-3), cfg.t_min, bvh)
+            blocked = _occluded(scene, sh_o, wi, dist * (1.0 - 1e-3), cfg.t_min, bvh, packet)
             vis = cand & ~blocked
 
             pdf_w = pdf_area * dist**2 / jnp.maximum(cos_ll, 1e-6)
@@ -396,9 +436,9 @@ def trace_pass_soa(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key,
     return img, st["nrays"]
 
 
-@partial(jax.jit, static_argnums=(0, 4))
+@partial(jax.jit, static_argnums=(0, 4), static_argnames=("packet",))
 def render_pt_fast(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
-                   key=None, bvh=None, spp_offset=0):
+                   key=None, bvh=None, spp_offset=0, packet=None):
     """SoA render: average spp passes (same sample stream as render_pt)."""
     if key is None:
         key = random.PRNGKey(0)
@@ -406,7 +446,8 @@ def render_pt_fast(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
     def body(i, carry):
         acc, nrays = carry
         img, nr = trace_pass_soa(cfg, scene, cam_pos, cam_quat,
-                                 random.fold_in(key, spp_offset + i), bvh=bvh)
+                                 random.fold_in(key, spp_offset + i), bvh=bvh,
+                                 packet=packet)
         return acc + img, nrays + nr
 
     acc, nrays = lax.fori_loop(
