@@ -68,7 +68,7 @@ def config2_spheres(results, spp=4):
     from raytracing_engine_tpu.pathtracer.scenes import material_spheres
     from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
 
-    cfg = PTConfig(width=800, height=608, max_bounces=4, rng="pallas")
+    cfg = PTConfig(width=800, height=608, max_bounces=4, rng="pcg")
     scene = material_spheres()
     quat = jnp.array([0.0, 0.0, 0.0, 1.0])
     key = jax.random.PRNGKey(1)
@@ -113,7 +113,7 @@ def config3_bvh(results, size=512, segments=1100):
         tri_mats=np.zeros(mesh.shape[0], np.int32),
         materials=mats,
     )
-    cfg = PTConfig(width=size, height=size, max_bounces=2, rng="pallas")
+    cfg = PTConfig(width=size, height=size, max_bounces=2, rng="pcg")
     quat = jnp.array([0.0, 0.0, 0.0, 1.0])
     key = jax.random.PRNGKey(1)
     nrays = {}
@@ -143,7 +143,7 @@ def config4_progressive(results, spp=1024, size=256):
     from raytracing_engine_tpu.pathtracer.scenes import cornell_box
     from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
 
-    cfg = PTConfig(width=size, height=size, max_bounces=4, rng="pallas")
+    cfg = PTConfig(width=size, height=size, max_bounces=4, rng="pcg")
     scene = cornell_box()
     pos = jnp.array([0.0, 0.2, 0.0])
     quat = jnp.array([0.0, 0.0, 0.0, 1.0])

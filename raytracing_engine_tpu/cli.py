@@ -77,12 +77,12 @@ def cmd_pt(args):
     import numpy as np
     import jax.numpy as jnp
 
-    from raytracing_engine_tpu.pathtracer import PTConfig, render_pt
+    from raytracing_engine_tpu.pathtracer import PTConfig, render_pt_fast
     from raytracing_engine_tpu.pathtracer import scenes as pt_scenes
     from raytracing_engine_tpu.utils import write_png
 
     w, h = _parse_size(args.size)
-    cfg = PTConfig(width=w, height=h, max_bounces=args.bounces)
+    cfg = PTConfig(width=w, height=h, max_bounces=args.bounces, rng=args.rng)
     bvh = None
     if args.scene == "cornell":
         scene = pt_scenes.cornell_box()
@@ -137,7 +137,7 @@ def cmd_pt(args):
         img = state.image
         nrays = float("nan")
     else:
-        img, nrays = render_pt(cfg, scene, pos, quat, args.spp, key, bvh=bvh)
+        img, nrays = render_pt_fast(cfg, scene, pos, quat, args.spp, key, bvh=bvh)
         img = np.asarray(jax.block_until_ready(img))
     dt = time.perf_counter() - t0
     out = args.out or f"{args.scene}_{args.spp}spp.png"
@@ -166,6 +166,7 @@ def main(argv=None):
     p.add_argument("--size", default="256x256")
     p.add_argument("--spp", type=int, default=16)
     p.add_argument("--bounces", type=int, default=4)
+    p.add_argument("--rng", choices=["threefry", "pcg", "pallas"], default="pcg")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bvh", action="store_true")
     p.add_argument("--segments", type=int, default=1100)

@@ -1,0 +1,193 @@
+"""Path-tracing megakernel: the whole bounce loop per tile, in VMEM.
+
+The XLA wavefront integrator materializes ~dozens of (H, W) planes in HBM
+per bounce; at 800x608 that HBM churn — not arithmetic — dominates frame
+time. This kernel runs pathtracer.wavefront._trace_core (the SAME window-
+parametrized code: one implementation, three execution modes) per image
+tile entirely on-chip: ray state lives in registers/VMEM, scene tables load
+once per tile, the counter-based PCG RNG computes in-kernel from global
+pixel coords, and the only HBM traffic is the final radiance tile.
+
+Covers sphere scenes + up to TRI_UNROLL_MAX unrolled triangles (BASELINE
+configs 2 and 4); BVH meshes use the packet traversal kernel path instead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracing_engine_tpu.pathtracer.integrator import PTConfig
+from raytracing_engine_tpu.pathtracer.scene import PTScene
+from raytracing_engine_tpu.pathtracer.wavefront import (
+    TRI_UNROLL_MAX,
+    trace_window_planes,
+)
+
+import numpy as _np
+
+_PRIME = _np.int32(-1640531527)
+
+
+def pack_pt_scene(scene: PTScene):
+    """Flatten a PTScene into kernel tables (rows padded to lane-friendly 8/12/16)."""
+    S = scene.sph_pos.shape[0]
+    T = scene.tri_v0.shape[0]
+    M = scene.mat_albedo.shape[0]
+    L = scene.light_kind.shape[0]
+    f32 = jnp.float32
+
+    sph = jnp.concatenate(
+        [scene.sph_pos, scene.sph_radius[:, None],
+         scene.sph_mat[:, None].astype(f32), jnp.zeros((S, 3), f32)], axis=1)
+    tri = jnp.concatenate(
+        [scene.tri_v0, scene.tri_e1, scene.tri_e2,
+         scene.tri_mat[:, None].astype(f32), jnp.zeros((T, 2), f32)], axis=1)
+    mat = jnp.concatenate(
+        [scene.mat_albedo, scene.mat_emission,
+         scene.mat_kind[:, None].astype(f32), jnp.zeros((M, 1), f32)], axis=1)
+    light = jnp.concatenate(
+        [scene.light_kind[:, None].astype(f32),
+         scene.light_prim[:, None].astype(f32),
+         scene.light_area[:, None], scene.light_le,
+         jnp.zeros((L, 2), f32)], axis=1)
+    counts = jnp.stack(
+        [scene.sph_count, scene.tri_count, jnp.int32(M), scene.light_count]
+    )
+    return sph, tri, mat, light, counts
+
+
+def _unpack_scene(sph, tri, mat, light, counts) -> PTScene:
+    """Rebuild a PTScene view (of in-kernel arrays) from the packed tables."""
+    i32 = jnp.int32
+    return PTScene(
+        sph_pos=sph[:, 0:3],
+        sph_radius=sph[:, 3],
+        sph_mat=sph[:, 4].astype(i32),
+        sph_count=counts[0],
+        tri_v0=tri[:, 0:3],
+        tri_e1=tri[:, 3:6],
+        tri_e2=tri[:, 6:9],
+        tri_mat=tri[:, 9].astype(i32),
+        tri_count=counts[1],
+        mat_albedo=mat[:, 0:3],
+        mat_emission=mat[:, 3:6],
+        mat_kind=mat[:, 6].astype(i32),
+        light_kind=light[:, 0].astype(i32),
+        light_prim=light[:, 1].astype(i32),
+        light_area=light[:, 2],
+        light_le=light[:, 3:6],
+        light_count=counts[3],
+    )
+
+
+def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
+               light_ref, out_ref, nrays_ref, *, cfg: PTConfig, spp: int,
+               tile_h: int, tile_w: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    row0 = i * tile_h
+    col0 = j * tile_w
+
+    cam = (params_ref[0], params_ref[1], params_ref[2])
+    quat = (params_ref[3], params_ref[4], params_ref[5], params_ref[6])
+    base = seeds_ref[0]
+    offset = seeds_ref[1]
+
+    scene = _unpack_scene(sph_ref[:], tri_ref[:], mat_ref[:], light_ref[:],
+                          (counts_ref[0], counts_ref[1], counts_ref[2],
+                           counts_ref[3]))
+
+    zero = jnp.zeros((tile_h, tile_w), jnp.float32)
+
+    def body(s, carry):
+        ar, ag, ab, nr = carry
+        seed_pass = base + (offset + s) * _PRIME
+        rad, n = trace_window_planes(
+            cfg, scene, cam, quat, None, bvh=None,
+            row0=row0, band_h=tile_h, packet=False,
+            col0=col0, band_w=tile_w, seed0=seed_pass,
+        )
+        return (ar + rad[0], ag + rad[1], ab + rad[2], nr + n)
+
+    ar, ag, ab, nr = lax.fori_loop(
+        0, spp, body, (zero, zero, zero, jnp.float32(0.0))
+    )
+    inv = jnp.float32(1.0 / spp)
+    out_ref[0] = ar * inv
+    out_ref[1] = ag * inv
+    out_ref[2] = ab * inv
+    # whole (grid_h, grid_w) counter table in SMEM; each grid step (they run
+    # sequentially on TPU) writes its own cell
+    nrays_ref[i, j] = nr
+
+
+@functools.partial(
+    jax.jit, static_argnums=(0, 4), static_argnames=("interpret", "tile")
+)
+def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
+                   key=None, spp_offset=0, interpret=None, tile=(16, 256)):
+    """Megakernel render: ((H, W, 3) image, nrays). rng is always pcg.
+
+    Constraints: no BVH (triangle slots <= TRI_UNROLL_MAX) — use
+    render_pt_fast with a BVH for big meshes.
+    """
+    if scene.tri_v0.shape[0] > TRI_UNROLL_MAX:
+        raise ValueError(
+            f"megakernel unrolls triangles; {scene.tri_v0.shape[0]} slots > "
+            f"{TRI_UNROLL_MAX} — pass a BVH to render_pt_fast instead"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if cfg.rng != "pcg":
+        cfg = __import__("dataclasses").replace(cfg, rng="pcg")
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    from raytracing_engine_tpu.ops.pallas.rng import key_to_seed
+
+    base = key_to_seed(key)
+
+    h, w = cfg.height, cfg.width
+    from raytracing_engine_tpu.ops.pallas.common import pick_tile
+
+    tile_h, tile_w = pick_tile(h, w, *tile)
+    grid = (h // tile_h, w // tile_w)
+
+    params = jnp.concatenate([
+        jnp.asarray(cam_pos, jnp.float32),
+        jnp.asarray(cam_quat, jnp.float32),
+    ])
+    seeds = jnp.stack([base, jnp.asarray(spp_offset, jnp.int32)])
+    sph, tri, mat, light, counts = pack_pt_scene(scene)
+
+    kernel = functools.partial(
+        _pt_kernel, cfg=cfg, spp=spp, tile_h=tile_h, tile_w=tile_w
+    )
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out, nrays = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((3, h, w), jnp.float32),
+            jax.ShapeDtypeStruct(grid, jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
+            full(), full(), full(), full(),          # scene tables
+        ],
+        out_specs=(
+            pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole counter table
+        ),
+        interpret=interpret,
+    )(params, seeds, counts, sph, tri, mat, light)
+    return jnp.moveaxis(out, 0, -1), jnp.sum(nrays)

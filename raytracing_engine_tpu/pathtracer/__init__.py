@@ -20,3 +20,10 @@ from raytracing_engine_tpu.pathtracer.integrator import (  # noqa: F401
     PTConfig,
 )
 from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast  # noqa: F401
+
+
+def render_pt_mega(*args, **kwargs):
+    """Megakernel path tracer (lazy import — see ops/pallas/pt_kernel.py)."""
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega as f
+
+    return f(*args, **kwargs)

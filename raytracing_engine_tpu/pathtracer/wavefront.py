@@ -28,7 +28,9 @@ from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, MIRROR, PTScene
 
 _PI = float(jnp.pi)
 TRI_UNROLL_MAX = 32
-BIG = jnp.float32(3.4e38)
+import numpy as _np
+
+BIG = _np.float32(3.4e38)  # numpy scalar: traces as a literal inside Pallas
 
 
 def _sel(idx, table_col, n):
@@ -39,10 +41,11 @@ def _sel(idx, table_col, n):
     return out
 
 
-def _camera_rays(cfg: PTConfig, cam_pos, cam_quat, u1, u2, row0=0):
-    bh, w = u1.shape
-    ix = jnp.arange(w, dtype=jnp.float32)[None, :]
-    iy = jnp.arange(bh, dtype=jnp.float32)[:, None] + row0
+def _camera_rays(cfg: PTConfig, cam_pos, cam_quat, u1, u2, row0=0, col0=0):
+    bh, bw = u1.shape
+    # 2D int32 iota then cast — Mosaic needs >=2D integer iota
+    ix = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32) + col0
+    iy = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32) + row0
     ncx = ((ix + u1) * 2.0 / cfg.width - 1.0) * cfg.ratio[0]
     ncy = ((iy + u2) * 2.0 / cfg.height - 1.0) * cfg.ratio[1]
     qx, qy, qz, qw = cam_quat[0], cam_quat[1], cam_quat[2], cam_quat[3]
@@ -320,39 +323,65 @@ def _mat_lookup(scene: PTScene, mat_id):
     return albedo, emission, kind
 
 
-def trace_pass_soa(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key,
-                   bvh=None, row0=0, band_h=None, packet=None):
-    """One sample per pixel, plane layout. Returns ((h,w,3) image, nrays)."""
-    h, w = (band_h or cfg.height), cfg.width
+def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
+                bvh=None, row0=0, band_h=None, packet=None,
+                col0=0, band_w=None, seed0=None):
+    """One sample per pixel, plane layout. Returns (rad V3 planes, nrays).
 
-    if cfg.rng == "pallas":
+    row0/band_h (and col0/band_w) restrict to a window of the image —
+    tile-sharded rendering, and the Pallas megakernel runs this same core
+    per tile. The threefry RNG draws image-wide and slices (bit-identical
+    sharding); the pcg RNG is counter-based on GLOBAL pixel coords, so a
+    window natively draws its own identical numbers. With rng=pcg, `seed0`
+    (int32 scalar) may replace `key` — required in-kernel, where jax.random
+    keys don't exist.
+    """
+    h, w = (band_h or cfg.height), (band_w or cfg.width)
+
+    if cfg.rng == "pcg":
+        from raytracing_engine_tpu.ops.rng_pcg import uniform_pcg
+
+        if seed0 is None:
+            from raytracing_engine_tpu.ops.pallas.rng import key_to_seed
+
+            seed0 = key_to_seed(key)
+
+        def draw_b(b, n):
+            return uniform_pcg(seed0, b, n, h, w, row0=row0, col0=col0)
+    elif cfg.rng == "pallas":
         from raytracing_engine_tpu.ops.pallas.rng import key_to_seed, uniform_planes
 
         seed0 = key_to_seed(key)
 
         def draw_b(b, n):
             full = uniform_planes(seed0 + b, n, cfg.height, cfg.width)
-            if band_h is None:
-                return full
-            return lax.dynamic_slice_in_dim(full, row0, band_h, axis=1)
+            if band_h is not None:
+                full = lax.dynamic_slice_in_dim(full, row0, band_h, axis=1)
+            if band_w is not None:
+                full = lax.dynamic_slice_in_dim(full, col0, band_w, axis=2)
+            return full
     else:
         def draw_b(b, n):
             full = random.uniform(random.fold_in(key, b), (n, cfg.height, cfg.width))
-            if band_h is None:
-                return full
-            return lax.dynamic_slice_in_dim(full, row0, band_h, axis=1)
+            if band_h is not None:
+                full = lax.dynamic_slice_in_dim(full, row0, band_h, axis=1)
+            if band_w is not None:
+                full = lax.dynamic_slice_in_dim(full, col0, band_w, axis=2)
+            return full
 
     u = draw_b(0, 2)
-    o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0)
+    o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0, col0=col0)
 
     zero = d[0] * 0.0
     o = v3.add(o, v3.scale(d, 0.0))  # make o device-varying like d
+    # masks carried as f32 0/1 planes (Mosaic cannot carry i1 vectors in
+    # loop state; harmless for the XLA path)
     st = dict(
         o=o, d=d,
         thr=(zero + 1.0, zero + 1.0, zero + 1.0),
         rad=(zero, zero, zero),
-        alive=zero == 0.0,
-        prev_did_nee=zero > 0.0,
+        alive=zero + 1.0,
+        prev_did_nee=zero,
         prev_pdf=zero,
         nrays=jnp.sum(zero),
     )
@@ -363,7 +392,8 @@ def trace_pass_soa(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key,
         st["nrays"] = st["nrays"] + jnp.sum(st["alive"])
 
         isect = _intersect(scene, st["o"], st["d"], cfg.t_min, bvh, packet)
-        hit = isect["hit"] & st["alive"]
+        alive_b = st["alive"] != 0.0
+        hit = isect["hit"] & alive_b
         albedo, emission, kind = _mat_lookup(scene, isect["mat_id"])
         n = isect["n"]
         p = isect["p"]
@@ -376,7 +406,7 @@ def trace_pass_soa(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key,
             * isect["t"] ** 2 / jnp.maximum(cos_l, 1e-6)
         )
         w_b = jnp.where(
-            st["prev_did_nee"],
+            st["prev_did_nee"] != 0.0,
             sampler.power_heuristic(st["prev_pdf"], pdf_light_w),
             1.0,
         )
@@ -423,17 +453,32 @@ def trace_pass_soa(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key,
         st["thr"] = v3.where(cont, new_thr, (zero, zero, zero))
         st["o"] = v3.where(cont, new_o, st["o"])
         st["d"] = v3.where(cont, new_d, st["d"])
-        st["alive"] = cont
-        st["prev_did_nee"] = (
+        st["alive"] = jnp.where(cont, 1.0, 0.0)
+        did_nee = (
             hit & (kind == DIFFUSE) & (scene.light_count > 0)
             & jnp.bool_(cfg.use_nee)
         )
+        st["prev_did_nee"] = jnp.where(did_nee, 1.0, 0.0)
         st["prev_pdf"] = pdf_cos
         return st
 
     st = lax.fori_loop(0, cfg.max_bounces + 1, bounce, st)
-    img = jnp.stack([st["rad"][0], st["rad"][1], st["rad"][2]], axis=-1)
-    return img, st["nrays"]
+    return st["rad"], st["nrays"]
+
+
+def trace_window_planes(*args, **kwargs):
+    """Plane-returning core (the Pallas megakernel calls this per tile)."""
+    return _trace_core(*args, **kwargs)
+
+
+def trace_pass_soa(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
+                   bvh=None, row0=0, band_h=None, packet=None,
+                   col0=0, band_w=None, seed0=None):
+    """One sample per pixel. Returns ((h, w, 3) image, nrays) — see
+    _trace_core for the window semantics."""
+    rad, nrays = _trace_core(cfg, scene, cam_pos, cam_quat, key, bvh, row0,
+                             band_h, packet, col0, band_w, seed0)
+    return jnp.stack([rad[0], rad[1], rad[2]], axis=-1), nrays
 
 
 @partial(jax.jit, static_argnums=(0, 4), static_argnames=("packet",))
@@ -443,12 +488,26 @@ def render_pt_fast(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
     if key is None:
         key = random.PRNGKey(0)
 
-    def body(i, carry):
-        acc, nrays = carry
-        img, nr = trace_pass_soa(cfg, scene, cam_pos, cam_quat,
-                                 random.fold_in(key, spp_offset + i), bvh=bvh,
-                                 packet=packet)
-        return acc + img, nrays + nr
+    if cfg.rng == "pcg":
+        # derive one base seed; pass i's stream = base + global_pass * prime
+        # (identical construction in the Pallas megakernel)
+        from raytracing_engine_tpu.ops.pallas.rng import key_to_seed
+
+        base = key_to_seed(key)
+
+        def body(i, carry):
+            acc, nrays = carry
+            seed_pass = base + (spp_offset + i) * jnp.int32(-1640531527)
+            img, nr = trace_pass_soa(cfg, scene, cam_pos, cam_quat, None,
+                                     bvh=bvh, packet=packet, seed0=seed_pass)
+            return acc + img, nrays + nr
+    else:
+        def body(i, carry):
+            acc, nrays = carry
+            img, nr = trace_pass_soa(cfg, scene, cam_pos, cam_quat,
+                                     random.fold_in(key, spp_offset + i),
+                                     bvh=bvh, packet=packet)
+            return acc + img, nrays + nr
 
     acc, nrays = lax.fori_loop(
         0, spp, body,

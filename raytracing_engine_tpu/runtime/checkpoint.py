@@ -62,6 +62,7 @@ def progressive_render(
     passes_per_chunk: int = 16,
     bvh=None,
     checkpoint_path: str | None = None,
+    fast: bool = True,
 ):
     """Advance a progressive render to target_spp in resumable chunks.
 
@@ -69,13 +70,16 @@ def progressive_render(
     given), so a killed job resumes exactly — pass i always uses
     fold_in(key, i), making the result independent of chunking.
     """
-    from raytracing_engine_tpu.pathtracer.integrator import render_pt
+    if fast:
+        from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast as render_fn
+    else:
+        from raytracing_engine_tpu.pathtracer.integrator import render_pt as render_fn
 
     while state.spp_done < target_spp:
         n = min(passes_per_chunk, target_spp - state.spp_done)
         # pass i (globally) always uses fold_in(key, i) via spp_offset, so
         # the accumulated result is independent of chunk boundaries
-        img, _ = render_pt(
+        img, _ = render_fn(
             cfg, scene, state.cam_pos, state.cam_quat, n, state.key,
             bvh=bvh, spp_offset=jnp.int32(state.spp_done),
         )

@@ -1,0 +1,61 @@
+"""PT megakernel (interpret mode) vs the XLA wavefront core.
+
+Both run _trace_core with the counter-based PCG stream keyed by global pixel
+coordinates, so tile decomposition must not change the result beyond float
+reassociation.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+from raytracing_engine_tpu.pathtracer import PTConfig
+from raytracing_engine_tpu.pathtracer.scenes import (
+    cornell_box,
+    furnace_scene,
+    material_spheres,
+)
+from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
+
+KEY = jax.random.PRNGKey(13)
+QUAT = jnp.array([0.0, 0.0, 0.0, 1.0])
+
+
+@pytest.mark.parametrize("scene_fn,pos", [
+    (material_spheres, jnp.zeros(3)),
+    (cornell_box, jnp.array([0.0, 0.2, 0.0])),
+])
+def test_mega_matches_xla_pcg(scene_fn, pos):
+    cfg = PTConfig(width=32, height=16, max_bounces=3, rng="pcg")
+    scene = scene_fn()
+    want, n_want = render_pt_fast(cfg, scene, pos, QUAT, 2, KEY)
+    got, n_got = render_pt_mega(cfg, scene, pos, QUAT, 2, KEY)
+    d = np.abs(np.asarray(got) - np.asarray(want)).max(-1)
+    assert (d > 1e-3).mean() < 0.01, f"{(d > 1e-3).mean():.3%} diverged"
+    assert d.mean() < 1e-4
+    assert abs(float(n_want) - float(n_got)) <= max(8.0, 1e-3 * float(n_want))
+
+
+def test_mega_furnace_physics():
+    cfg = PTConfig(width=32, height=16, max_bounces=3, rng="pcg")
+    img, _ = render_pt_mega(cfg, furnace_scene(albedo=0.5, le=1.0),
+                            jnp.zeros(3), QUAT, 32, KEY)
+    img = np.asarray(img)
+    corners = np.stack([img[0, 0], img[0, -1], img[-1, 0], img[-1, -1]])
+    np.testing.assert_allclose(corners, 1.0, atol=1e-4)
+
+
+def test_mega_rejects_big_meshes():
+    from raytracing_engine_tpu.accel import icosphere
+    from raytracing_engine_tpu.pathtracer.scene import build_pt_scene
+
+    tris = icosphere(subdivisions=2)
+    scene = build_pt_scene(
+        spheres=[], triangles=tris, tri_mats=np.zeros(len(tris), np.int32),
+        materials=[{"albedo": (0.5,) * 3}],
+    )
+    cfg = PTConfig(width=16, height=16)
+    with pytest.raises(ValueError):
+        render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 1, KEY)
