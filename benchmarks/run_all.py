@@ -59,14 +59,14 @@ def config1_parity(results):
     }
 
 
-def config2_spheres(results, spp=4):
+def config2_spheres(results, spp=4):  # megakernel
     """800x608, 4-bounce path tracing, 4 spp (multi-material spheres)."""
     import jax
     import jax.numpy as jnp
 
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
     from raytracing_engine_tpu.pathtracer import PTConfig
     from raytracing_engine_tpu.pathtracer.scenes import material_spheres
-    from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
 
     cfg = PTConfig(width=800, height=608, max_bounces=4, rng="pcg")
     scene = material_spheres()
@@ -75,7 +75,7 @@ def config2_spheres(results, spp=4):
     nrays = {}
 
     def run(z):
-        img, nr = render_pt_fast(cfg, scene, jnp.array([0.0, 0.0, z]), quat, spp, key)
+        img, nr = render_pt_mega(cfg, scene, jnp.array([0.0, 0.0, z]), quat, spp, key)
         nrays["n"] = nr
         return (img,)
 
@@ -94,13 +94,14 @@ def config3_bvh(results, size=512, segments=1100):
     import jax.numpy as jnp
 
     from raytracing_engine_tpu.accel import build_bvh, torus_knot
+    from raytracing_engine_tpu.accel.clusters import build_clusters
     from raytracing_engine_tpu.pathtracer import PTConfig
     from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
     from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
 
     mesh = torus_knot(segments=segments, sides=32, center=(0.0, 8.0, 0.0))
     t0 = time.perf_counter()
-    bvh = build_bvh(mesh)
+    bvh = build_clusters(mesh)  # BVH-ordered cluster set (TPU intersector)
     build_s = time.perf_counter() - t0
     mats = [
         {"albedo": (0.7, 0.6, 0.4), "kind": DIFFUSE},
@@ -130,7 +131,8 @@ def config3_bvh(results, size=512, segments=1100):
         "resolution": size,
         "frame_ms": round(dt * 1e3, 2),
         "mrays": round(float(nrays["n"]) / dt / 1e6, 2),
-        "bvh_build_s": round(build_s, 2),
+        "accel_build_s": round(build_s, 2),
+        "clusters": int(bvh.num_clusters),
     }
 
 
@@ -139,9 +141,9 @@ def config4_progressive(results, spp=1024, size=256):
     import jax
     import jax.numpy as jnp
 
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
     from raytracing_engine_tpu.pathtracer import PTConfig
     from raytracing_engine_tpu.pathtracer.scenes import cornell_box
-    from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
 
     cfg = PTConfig(width=size, height=size, max_bounces=4, rng="pcg")
     scene = cornell_box()
@@ -150,14 +152,14 @@ def config4_progressive(results, spp=1024, size=256):
     key = jax.random.PRNGKey(1)
 
     # warm/compile with a small chunk
-    img, _ = render_pt_fast(cfg, scene, pos, quat, 16, key)
+    img, _ = render_pt_mega(cfg, scene, pos, quat, 16, key)
     float(img.ravel()[0])
     t0 = time.perf_counter()
     total = 0
     chunk = 128
     nr_total = 0.0
     while total < spp:
-        img, nr = render_pt_fast(cfg, scene, pos, quat, chunk, key,
+        img, nr = render_pt_mega(cfg, scene, pos, quat, chunk, key,
                                  spp_offset=total)
         nr_total += float(nr)
         total += chunk
@@ -169,6 +171,44 @@ def config4_progressive(results, spp=1024, size=256):
         "total_s": round(dt, 2),
         "spp_per_s": round(spp / dt, 1),
         "mrays": round(nr_total / dt / 1e6, 1),
+    }
+
+
+def config5_instanced(results, size=512):
+    """Instanced two-level BVH scene (stretch — gather-traversal baseline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracing_engine_tpu.accel import build_bvh, torus_knot
+    from raytracing_engine_tpu.accel.instancing import grid_instances, instanced_intersect
+
+    mesh = torus_knot(segments=550, sides=32)  # 35200 tris per instance
+    bvh = build_bvh(mesh)
+    inst = grid_instances(bvh, nx=6, ny=5, spacing=4.0, base=(0.0, 14.0, 0.0))
+
+    h = w = size
+    ix = jnp.linspace(-0.8, 0.8, w)
+    iy = jnp.linspace(-0.6, 0.6, h)
+    dx, dz = jnp.meshgrid(ix, iy)
+    d3 = jnp.stack([dx, jnp.ones_like(dx), dz], -1)
+    d3 = d3 / jnp.linalg.norm(d3, axis=-1, keepdims=True)
+
+    @jax.jit
+    def run(o3):
+        t, ii, ti, n = instanced_intersect(inst, o3, d3)
+        return t
+
+    def go(z):
+        return (run(jnp.broadcast_to(jnp.array([0.0, 0.0, z]), d3.shape)),)
+
+    dt = _timed(go, [0.0, 1e-3])
+    results["config5_instanced_1M"] = {
+        "triangles": int(inst.total_triangles),
+        "instances": int(inst.num_instances),
+        "resolution": size,
+        "primary_ms": round(dt * 1e3, 1),
+        "mrays": round(h * w / dt / 1e6, 2),
+        "note": "two-level gather traversal (stretch config; packet TLAS kernel is future work)",
     }
 
 
@@ -198,6 +238,12 @@ def main():
     print(json.dumps(results, indent=2), flush=True)
     config4_progressive(results, spp=128 if args.quick else 1024)
     print(json.dumps(results, indent=2), flush=True)
+    if not args.quick:
+        try:
+            config5_instanced(results)
+        except Exception as e:  # stretch config — report, don't abort
+            results["config5_instanced_1M"] = {"error": str(e)}
+        print(json.dumps(results, indent=2), flush=True)
     headline(results)
 
     with open(args.out, "w") as f:

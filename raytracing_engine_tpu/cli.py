@@ -94,6 +94,7 @@ def cmd_pt(args):
         import numpy as onp
 
         from raytracing_engine_tpu.accel import build_bvh, torus_knot
+        from raytracing_engine_tpu.accel.clusters import build_clusters
         from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
 
         mesh = torus_knot(segments=args.segments, sides=32, center=(0.0, 8.0, 0.0))
@@ -109,7 +110,11 @@ def cmd_pt(args):
             materials=mats,
         )
         if args.bvh:
-            bvh = build_bvh(mesh)
+            # cluster set on TPU (dense culling kernel), skip-link elsewhere
+            import jax as _jax
+
+            bvh = (build_clusters(mesh) if _jax.default_backend() == "tpu"
+                   else build_bvh(mesh))
         pos, quat = jnp.zeros(3), jnp.array([0.0, 0.0, 0.0, 1.0])
     else:
         raise SystemExit(f"unknown scene {args.scene}")

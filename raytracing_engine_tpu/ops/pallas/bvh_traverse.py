@@ -34,22 +34,25 @@ from raytracing_engine_tpu.accel.bvh import BVH, LEAF_SIZE
 
 
 def pack_bvh_tables(bvh: BVH):
-    """Flatten a BVH into kernel tables:
-    node_bb (N, 8) f32: [minx,miny,minz,maxx,maxy,maxz,pad,pad]
-    node_meta (N, 4) i32: [first_tri, tri_count, skip, pad]
-    tri (T, 12) f32: [v0, e1, e2, pad]
+    """Flatten a BVH into kernel tables, TRANSPOSED so the big axis rides
+    the 128 lanes (an (N, 8) table in VMEM would be lane-padded to (N, 128)
+    — a 10x memory blowup that OOMs VMEM for 70k-tri meshes):
+
+    node_bb (8, N) f32: rows [minx,miny,minz,maxx,maxy,maxz,pad,pad]
+    node_meta (8, N) i32: rows [first_tri, tri_count, skip, pads...]
+    tri (16, T) f32: rows [v0.xyz, e1.xyz, e2.xyz, pads...]
     """
-    n = bvh.bb_min.shape[0]
-    t = bvh.v0.shape[0]
     node_bb = jnp.concatenate(
-        [bvh.bb_min, bvh.bb_max, jnp.zeros((n, 2), jnp.float32)], axis=1
+        [bvh.bb_min.T, bvh.bb_max.T,
+         jnp.zeros((2, bvh.bb_min.shape[0]), jnp.float32)], axis=0
     )
-    node_meta = jnp.stack(
-        [bvh.first_tri, bvh.tri_count, bvh.skip, jnp.zeros((n,), jnp.int32)],
-        axis=1,
+    node_meta = jnp.concatenate(
+        [jnp.stack([bvh.first_tri, bvh.tri_count, bvh.skip]),
+         jnp.zeros((5, bvh.first_tri.shape[0]), jnp.int32)], axis=0
     )
     tri = jnp.concatenate(
-        [bvh.v0, bvh.e1, bvh.e2, jnp.zeros((t, 3), jnp.float32)], axis=1
+        [bvh.v0.T, bvh.e1.T, bvh.e2.T,
+         jnp.zeros((7, bvh.v0.shape[0]), jnp.float32)], axis=0
     )
     return node_bb, node_meta, tri
 
@@ -75,12 +78,12 @@ def _traverse_kernel(node_bb_ref, node_meta_ref, tri_ref,
     def body(state):
         cursor, t, idx, steps = state
 
-        bminx = node_bb_ref[cursor, 0]
-        bminy = node_bb_ref[cursor, 1]
-        bminz = node_bb_ref[cursor, 2]
-        bmaxx = node_bb_ref[cursor, 3]
-        bmaxy = node_bb_ref[cursor, 4]
-        bmaxz = node_bb_ref[cursor, 5]
+        bminx = node_bb_ref[0, cursor]
+        bminy = node_bb_ref[1, cursor]
+        bminz = node_bb_ref[2, cursor]
+        bmaxx = node_bb_ref[3, cursor]
+        bmaxy = node_bb_ref[4, cursor]
+        bmaxz = node_bb_ref[5, cursor]
 
         tx0 = (bminx - ox) * inv_dx
         tx1 = (bmaxx - ox) * inv_dx
@@ -101,25 +104,25 @@ def _traverse_kernel(node_bb_ref, node_meta_ref, tri_ref,
             ray_hit = ray_hit & (idx < 0.0)  # finished lanes stop testing
         node_hit = jnp.any(ray_hit)
 
-        first = node_meta_ref[cursor, 0]
-        count = node_meta_ref[cursor, 1]
-        skip = node_meta_ref[cursor, 2]
+        first = node_meta_ref[0, cursor]
+        count = node_meta_ref[1, cursor]
+        skip = node_meta_ref[2, cursor]
         is_leaf = first >= 0
 
         def leaf_fn(args):
             t, idx = args
             for k in range(LEAF_SIZE):
                 ti = first + k
-                tis = jnp.minimum(ti, tri_ref.shape[0] - 1)
-                v0x = tri_ref[tis, 0]
-                v0y = tri_ref[tis, 1]
-                v0z = tri_ref[tis, 2]
-                e1x = tri_ref[tis, 3]
-                e1y = tri_ref[tis, 4]
-                e1z = tri_ref[tis, 5]
-                e2x = tri_ref[tis, 6]
-                e2y = tri_ref[tis, 7]
-                e2z = tri_ref[tis, 8]
+                tis = jnp.minimum(ti, tri_ref.shape[1] - 1)
+                v0x = tri_ref[0, tis]
+                v0y = tri_ref[1, tis]
+                v0z = tri_ref[2, tis]
+                e1x = tri_ref[3, tis]
+                e1y = tri_ref[4, tis]
+                e1z = tri_ref[5, tis]
+                e2x = tri_ref[6, tis]
+                e2y = tri_ref[7, tis]
+                e2z = tri_ref[8, tis]
 
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
@@ -188,7 +191,7 @@ def bvh_intersect_packet(tables, o_planes, d_planes, t_max,
 
     kernel = functools.partial(
         _traverse_kernel,
-        n_nodes=node_bb.shape[0],
+        n_nodes=node_bb.shape[1],
         t_min=t_min,
         any_hit=any_hit,
         max_steps=max_steps,

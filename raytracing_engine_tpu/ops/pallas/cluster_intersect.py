@@ -1,0 +1,172 @@
+"""Pallas cluster intersector — dense triangle intersection for TPU.
+
+Per ray tile: a while-loop over clusters reads the cluster AABB from SMEM
+(dynamic sublane index — supported), slab-tests it vectorized against the
+tile, and only when some ray touches the box does a `lax.cond` run 128
+vector Möller-Trumbore tests against the cluster's lane-aligned (16, 128)
+VMEM slice. No gathers, no dynamic lane indexing anywhere.
+
+Closest-hit and any-hit (shadow) variants; any-hit exits as soon as the
+whole tile is occluded.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracing_engine_tpu.accel.clusters import CLUSTER, ClusterSet
+
+_INF = np.float32(np.inf)
+
+
+def _cluster_kernel(boxes_ref, tri_ref,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    tmax_ref, out_t_ref, out_idx_ref,
+                    *, n_clusters, t_min, any_hit):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    inv_dz = 1.0 / dz
+
+    t0 = tmax_ref[:]
+    idx0 = jnp.zeros_like(t0) - 1.0  # f32 idx carry; cast at store
+
+    def cond(state):
+        c, t, idx, live = state
+        return (c < n_clusters) & (live != 0.0)
+
+    def body(state):
+        c, t, idx, live = state
+
+        bminx = boxes_ref[c, 0]
+        bminy = boxes_ref[c, 1]
+        bminz = boxes_ref[c, 2]
+        bmaxx = boxes_ref[c, 3]
+        bmaxy = boxes_ref[c, 4]
+        bmaxz = boxes_ref[c, 5]
+
+        tx0 = (bminx - ox) * inv_dx
+        tx1 = (bmaxx - ox) * inv_dx
+        ty0 = (bminy - oy) * inv_dy
+        ty1 = (bmaxy - oy) * inv_dy
+        tz0 = (bminz - oz) * inv_dz
+        tz1 = (bmaxz - oz) * inv_dz
+        t_near = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        t_far = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        ray_hit = (t_near <= t_far) & (t_far > t_min) & (t_near < t)
+        if any_hit:
+            ray_hit = ray_hit & (idx < 0.0)
+        cluster_hit = jnp.any(ray_hit)
+
+        def hit_fn(args):
+            t, idx = args
+            base = pl.multiple_of(c * CLUSTER, CLUSTER)
+            blk = tri_ref[:, pl.ds(base, CLUSTER)]  # (16, 128), lane-aligned
+            for k in range(CLUSTER):
+                v0x = blk[0, k]
+                v0y = blk[1, k]
+                v0z = blk[2, k]
+                e1x = blk[3, k]
+                e1y = blk[4, k]
+                e1z = blk[5, k]
+                e2x = blk[6, k]
+                e2y = blk[7, k]
+                e2z = blk[8, k]
+
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv = 1.0 / jnp.where(jnp.abs(det) < 1e-9, 1.0, det)
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                u = (tvx * px + tvy * py + tvz * pz) * inv
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+                ok = (
+                    ray_hit
+                    & (jnp.abs(det) >= 1e-9)
+                    & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (tt > t_min) & (tt < t)
+                )
+                t = jnp.where(ok, tt, t)
+                idx = jnp.where(ok, jnp.float32(1.0) * (c * CLUSTER + k), idx)
+            return t, idx
+
+        t, idx = lax.cond(cluster_hit, hit_fn, lambda a: a, (t, idx))
+
+        if any_hit:
+            live = jnp.where(jnp.any(idx < 0.0), 1.0, 0.0)
+        return (c + 1, t, idx, live)
+
+    _, t, idx, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), t0, idx0, jnp.float32(1.0))
+    )
+    out_t_ref[:] = jnp.where(idx >= 0.0, t, _INF)
+    out_idx_ref[:] = idx.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_min", "any_hit", "tile", "interpret")
+)
+def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
+                      t_min=1e-3, any_hit=False, tile=(16, 256),
+                      interpret=None):
+    """Intersect an (H, W) ray-plane grid against a ClusterSet.
+
+    Returns (t (H,W) — inf on miss, tri_idx (H,W) int32 — PADDED-REORDERED
+    slot, -1 on miss; map back with cs.perm).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h, w = o_planes[0].shape
+    from raytracing_engine_tpu.ops.pallas.common import pick_tile
+
+    tile_h, tile_w = pick_tile(h, w, *tile)
+    grid = (h // tile_h, w // tile_w)
+
+    kernel = functools.partial(
+        _cluster_kernel,
+        n_clusters=cs.num_clusters,
+        t_min=t_min,
+        any_hit=any_hit,
+    )
+    blk = lambda: pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)
+    t, idx = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster boxes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri rows (16, T_pad)
+            blk(), blk(), blk(), blk(), blk(), blk(), blk(),
+        ],
+        out_specs=(blk(), blk()),
+        interpret=interpret,
+    )(cs.boxes, cs.tri,
+      o_planes[0], o_planes[1], o_planes[2],
+      d_planes[0], d_planes[1], d_planes[2],
+      jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (h, w)))
+    return t, idx

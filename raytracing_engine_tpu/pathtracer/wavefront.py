@@ -124,8 +124,27 @@ def _use_packet(packet):
 
 
 def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
-    """(t, original tri index, e1 V3, e2 V3) of the nearest triangle."""
+    """(t, original tri index, e1 V3, e2 V3) of the nearest triangle.
+
+    `bvh` may be an accel.bvh.BVH (skip-link traversal: packet kernel in
+    interpret mode / gather fallback) or an accel.clusters.ClusterSet (the
+    production TPU path — dense cluster culling, no dynamic lane indexing).
+    """
+    from raytracing_engine_tpu.accel.clusters import ClusterSet
+
     T = scene.tri_v0.shape[0]
+    if isinstance(bvh, ClusterSet):
+        from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
+            cluster_intersect,
+        )
+
+        cs = bvh
+        t, sidx = cluster_intersect(cs, o, d, BIG, t_min=t_min)
+        safe = jnp.maximum(sidx, 0)
+        idx = jnp.maximum(cs.perm[safe], 0)
+        e1 = (cs.tri[3, safe], cs.tri[4, safe], cs.tri[5, safe])
+        e2 = (cs.tri[6, safe], cs.tri[7, safe], cs.tri[8, safe])
+        return jnp.where(sidx >= 0, t, BIG), idx, e1, e2
     if bvh is not None:
         if _use_packet(packet):
             from raytracing_engine_tpu.ops.pallas.bvh_traverse import (
@@ -227,8 +246,17 @@ def _occluded(scene: PTScene, o, d, max_t, t_min, bvh, packet=None):
         ok = (disc > 0.0) & (t > t_min) & (t < max_t) & (k < scene.sph_count)
         blocked = blocked | ok
 
+    from raytracing_engine_tpu.accel.clusters import ClusterSet
+
     T = scene.tri_v0.shape[0]
-    if bvh is not None:
+    if isinstance(bvh, ClusterSet):
+        from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
+            cluster_intersect,
+        )
+
+        _, idx = cluster_intersect(bvh, o, d, max_t, t_min=t_min, any_hit=True)
+        blocked = blocked | (idx >= 0)
+    elif bvh is not None:
         if _use_packet(packet):
             from raytracing_engine_tpu.ops.pallas.bvh_traverse import (
                 bvh_intersect_packet,

@@ -1,0 +1,103 @@
+"""Cluster intersector (interpret mode) vs brute force, and in the integrator."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracing_engine_tpu.accel import build_bvh, icosphere
+from raytracing_engine_tpu.accel.clusters import CLUSTER, ClusterSet, build_clusters
+from raytracing_engine_tpu.ops.pallas.cluster_intersect import cluster_intersect
+from raytracing_engine_tpu.pathtracer.intersect import ray_triangle
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = icosphere(subdivisions=2, radius=1.2, center=(0.0, 5.0, 0.0))  # 320
+    return mesh, build_clusters(mesh)
+
+
+def _ray_grid(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    o = tuple(jnp.zeros((h, w)) for _ in range(3))
+    tx = rng.normal(0.0, 1.6, size=(h, w)).astype(np.float32)
+    ty = np.full((h, w), 5.0, np.float32)
+    tz = rng.normal(0.0, 1.6, size=(h, w)).astype(np.float32)
+    n = np.sqrt(tx * tx + ty * ty + tz * tz)
+    return o, (jnp.asarray(tx / n), jnp.asarray(ty / n), jnp.asarray(tz / n))
+
+
+def test_cluster_layout(setup):
+    mesh, cs = setup
+    assert cs.padded_tris % CLUSTER == 0
+    assert cs.num_clusters == cs.padded_tris // CLUSTER
+    perm = np.asarray(cs.perm)
+    live = perm[perm >= 0]
+    assert sorted(live.tolist()) == list(range(mesh.shape[0]))
+    boxes = np.asarray(cs.boxes)
+    assert (boxes[:, :3][np.isfinite(boxes[:, 0])]
+            <= boxes[:, 3:6][np.isfinite(boxes[:, 0])] + 1e-6).all()
+
+
+def test_cluster_matches_bruteforce(setup):
+    mesh, cs = setup
+    o, d = _ray_grid(16, 128)
+    t_c, idx_c = cluster_intersect(cs, o, d, jnp.inf, interpret=True)
+
+    o3 = jnp.stack(o, -1).reshape(-1, 3)
+    d3 = jnp.stack(d, -1).reshape(-1, 3)
+    v0 = jnp.asarray(mesh[:, 0])
+    e1 = jnp.asarray(mesh[:, 1] - mesh[:, 0])
+    e2 = jnp.asarray(mesh[:, 2] - mesh[:, 0])
+    tt, _, _ = ray_triangle(o3, d3, v0, e1, e2)
+    t_b = jnp.min(tt, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(t_c).ravel(), np.asarray(t_b), rtol=1e-5, atol=1e-6
+    )
+    hit = np.isfinite(np.asarray(t_b))
+    assert hit.mean() > 0.2
+    # hit slots map back to real triangles
+    perm = np.asarray(cs.perm)
+    slots = np.asarray(idx_c).ravel()[hit]
+    assert (perm[slots] >= 0).all()
+
+
+def test_cluster_any_hit_and_tmax(setup):
+    mesh, cs = setup
+    o, d = _ray_grid(16, 128, seed=3)
+    t_c, idx_c = cluster_intersect(cs, o, d, jnp.inf, interpret=True)
+    _, idx_a = cluster_intersect(cs, o, d, jnp.inf, any_hit=True, interpret=True)
+    np.testing.assert_array_equal(
+        np.isfinite(np.asarray(t_c)), np.asarray(idx_a) >= 0
+    )
+    _, idx_cut = cluster_intersect(cs, o, d, 2.0, any_hit=True, interpret=True)
+    assert (np.asarray(idx_cut) == -1).all()
+
+
+def test_integrator_with_clusters_matches_bvh_mode():
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+    from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
+
+    tris = icosphere(subdivisions=2, radius=1.2, center=(0.0, 5.0, 0.0))
+    mats = [
+        {"albedo": (0.7, 0.5, 0.3), "kind": DIFFUSE},
+        {"albedo": (0.0, 0.0, 0.0), "emission": (6.0, 6.0, 6.0), "kind": DIFFUSE},
+    ]
+    scene = build_pt_scene(
+        spheres=[((3.0, 3.0, 3.0), 1.0, 1)],
+        triangles=tris,
+        tri_mats=np.zeros((tris.shape[0],), np.int32),
+        materials=mats,
+    )
+    bvh = build_bvh(tris)
+    cs = build_clusters(tris, bvh)
+    cfg = PTConfig(width=24, height=16, max_bounces=2, rng="pcg")
+    key = jax.random.PRNGKey(11)
+    pos = jnp.zeros(3)
+    quat = jnp.array([0.0, 0.0, 0.0, 1.0])
+    a, _ = render_pt_fast(cfg, scene, pos, quat, 4, key, bvh=bvh)
+    b, _ = render_pt_fast(cfg, scene, pos, quat, 4, key, bvh=cs)
+    d = np.abs(np.asarray(b) - np.asarray(a)).max(-1)
+    assert (d > 1e-3).mean() < 0.02
+    assert d.mean() < 2e-4
