@@ -1,0 +1,104 @@
+"""Property tests (SURVEY.md §4.5): invariants the renderer must keep
+regardless of scene or camera."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytracing_engine_tpu.camera import Camera, integrate_input
+from raytracing_engine_tpu.config import RenderConfig
+from raytracing_engine_tpu.models import conemarch
+from raytracing_engine_tpu.ops.march import shadow_march
+from raytracing_engine_tpu.ops.sdf import scene_sdf_all
+
+
+def _random_pose(seed):
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.normal(size=3).astype(np.float32) * 3)
+    q = rng.normal(size=4).astype(np.float32)
+    q /= np.linalg.norm(q)
+    return pos, jnp.asarray(q)
+
+
+def test_shadow_factor_in_unit_interval(scene):
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.normal(size=(128, 3)).astype(np.float32) * 5)
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    end = jnp.asarray(rng.uniform(0.1, 30, size=128).astype(np.float32))
+    obj_mask = jnp.arange(scene.obj_pos.shape[0]) < scene.obj_count
+    s = shadow_march(o, jnp.asarray(d), end, scene.obj_pos, scene.obj_radius,
+                     obj_mask, 256)
+    s = np.asarray(jnp.minimum(s, 1.0))
+    assert (s >= 0).all() and (s <= 1).all()
+
+
+def test_depth_nonnegative_all_levels(small_cfg, scene):
+    for seed in (1, 2):
+        pos, quat = _random_pose(seed)
+        levels = conemarch.render_depth_pyramid(small_cfg, scene, pos, quat)
+        for lvl in levels:
+            assert (np.asarray(lvl) >= 0).all()
+
+
+def test_hit_surface_consistency(small_cfg, scene):
+    """Where the finest level reports a hit, the scene SDF at the hit point
+    must be within the cone-termination slack (radius back-off + one step)."""
+    pos, quat = _random_pose(3)
+    depth = np.asarray(
+        conemarch.render_depth_pyramid(small_cfg, scene, pos, quat)[-1]
+    )
+    from raytracing_engine_tpu.ops.raygen import pixel_norm_coords, ray_directions
+
+    n = small_cfg.level_count - 1
+    nc = pixel_norm_coords(
+        small_cfg.width, small_cfg.height,
+        jnp.array(small_cfg.level_image_size(n)), jnp.array(small_cfg.ratio),
+    )
+    d = np.asarray(ray_directions(nc, quat))
+    hit = depth < small_cfg.render_dist * 0.9
+    pts = np.asarray(pos)[None, None] + d * depth[..., None]
+    sdf = np.asarray(
+        scene_sdf_all(jnp.asarray(pts), scene.obj_pos, scene.obj_radius)
+    )
+    sdf = np.where(
+        np.arange(scene.obj_pos.shape[0]) < int(scene.obj_count), sdf, np.inf
+    ).min(-1)
+    # termination: dist <= radius = (len+1)*threshold, then len -= radius,
+    # so |sdf| at the stored point is bounded by ~2*radius of that distance
+    slack = 2.0 * (depth + 1.0) * small_cfg.level_threshold(n) + 1e-2
+    assert (np.abs(sdf[hit]) <= slack[hit]).mean() > 0.99
+
+
+def test_image_nonnegative_finite(small_cfg, scene):
+    pos, quat = _random_pose(4)
+    img = np.asarray(conemarch.render_jit(small_cfg, scene, pos, quat))
+    assert np.isfinite(img).all()
+    assert (img >= 0).all()
+
+
+def test_pitch_always_clamped():
+    cam = Camera.initial()
+    for _ in range(50):
+        cam = integrate_input(
+            cam,
+            jnp.zeros(3),
+            jnp.array([0.0, 1.0]),          # pitch key held hard
+            jnp.array([0.0, 500.0]),        # plus violent mouse
+            jnp.float32(0.1),
+            jnp.float32(512.0),
+        )
+    assert abs(float(cam.rotation[1])) <= np.pi / 2 + 1e-6
+
+
+def test_resize_respecializes(scene):
+    """Rendering works across a resize (jit respecializes per config)."""
+    from raytracing_engine_tpu.runtime import FrameLoop, InputEvent
+
+    loop = FrameLoop(RenderConfig(width=64, height=64), scene)
+    a = loop.step(InputEvent())
+    assert a.shape == (64, 64, 3)
+    b = loop.step(InputEvent(resize=(128, 64)))
+    assert b.shape == (64, 128, 3)
+    c = loop.step(InputEvent(resize=(64, 128)))  # width>=height enforced
+    assert c.shape == (64, 64, 3)
