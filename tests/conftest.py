@@ -54,8 +54,27 @@ def camera_pose():
     return np.asarray(cam.position), np.asarray(cam.quat())
 
 
+_GOLDEN_NPZ = os.path.join(os.path.dirname(__file__), "golden", "golden_64.npz")
+
+
+def _stored_golden(camera_pose):
+    """Load the committed golden artifact if it matches the fixture pose.
+    Regenerate with GOLDEN_REGEN=1 (runs the slow scalar renderer)."""
+    if os.environ.get("GOLDEN_REGEN") or not os.path.exists(_GOLDEN_NPZ):
+        return None
+    z = np.load(_GOLDEN_NPZ)
+    pos, quat = camera_pose
+    if not (np.allclose(z["pos"], pos) and np.allclose(z["quat"], quat)):
+        return None
+    return z
+
+
 @pytest.fixture(scope="session")
 def golden_levels(small_cfg, scene, camera_pose):
+    z = _stored_golden(camera_pose)
+    if z is not None:
+        n = small_cfg.level_count
+        return [z[f"level_{i}"] for i in range(n)]
     from raytracing_engine_tpu.models import golden
 
     pos, quat = camera_pose
@@ -64,6 +83,9 @@ def golden_levels(small_cfg, scene, camera_pose):
 
 @pytest.fixture(scope="session")
 def golden_image(small_cfg, scene, camera_pose, golden_levels):
+    z = _stored_golden(camera_pose)
+    if z is not None:
+        return z["image"]
     from raytracing_engine_tpu.models import golden
 
     pos, quat = camera_pose

@@ -1,0 +1,30 @@
+"""CLI frame-server smoke tests (CPU, tiny sizes)."""
+
+import os
+
+import numpy as np
+
+from raytracing_engine_tpu.cli import main
+from raytracing_engine_tpu.utils.image import read_png
+
+
+def test_cli_render(tmp_path):
+    out = str(tmp_path / "frames")
+    main(["render", "--size", "64x64", "--out", out, "--engine", "jnp"])
+    img = read_png(os.path.join(out, "frame_0000.png"))
+    assert img.shape == (64, 64, 3)
+    assert img.sum() > 0
+
+
+def test_cli_pt_with_checkpoint(tmp_path):
+    out = str(tmp_path / "cornell.png")
+    ck = str(tmp_path / "state.npz")
+    main(["pt", "--scene", "cornell", "--size", "32x32", "--spp", "4",
+          "--bounces", "2", "--checkpoint", ck, "--out", out])
+    assert os.path.exists(out) and os.path.exists(ck)
+    # resume adds more spp deterministically
+    main(["pt", "--scene", "cornell", "--size", "32x32", "--spp", "8",
+          "--bounces", "2", "--checkpoint", ck, "--out", out])
+    from raytracing_engine_tpu.runtime.checkpoint import load_checkpoint
+
+    assert load_checkpoint(ck).spp_done == 8
