@@ -47,14 +47,33 @@ def render_pt_sharded(cfg: PTConfig, scene, cam_pos, cam_quat, spp: int,
         t = lax.axis_index(TILE_AXIS)
         s = lax.axis_index(SAMPLE_AXIS)
 
-        def pass_body(i, carry):
-            acc, nrays = carry
-            gpass = s * local_spp + i  # global pass index
-            rad, nr = pass_fn(
-                cfg, scene, cam_pos, cam_quat, random.fold_in(key, gpass),
-                bvh=bvh, row0=t * band_h, band_h=band_h,
-            )
-            return acc + rad, nrays + nr
+        if soa and cfg.rng == "pcg":
+            # must match render_pt_fast's scheme (base + pass * prime) so
+            # sharded == unsharded bit-for-bit on the counter-based stream
+            import numpy as _np
+
+            from raytracing_engine_tpu.ops.pallas.rng import key_to_seed
+
+            base = key_to_seed(key)
+
+            def pass_body(i, carry):
+                acc, nrays = carry
+                gpass = s * local_spp + i
+                rad, nr = pass_fn(
+                    cfg, scene, cam_pos, cam_quat, None, bvh=bvh,
+                    row0=t * band_h, band_h=band_h,
+                    seed0=base + gpass * _np.int32(-1640531527),
+                )
+                return acc + rad, nrays + nr
+        else:
+            def pass_body(i, carry):
+                acc, nrays = carry
+                gpass = s * local_spp + i  # global pass index
+                rad, nr = pass_fn(
+                    cfg, scene, cam_pos, cam_quat, random.fold_in(key, gpass),
+                    bvh=bvh, row0=t * band_h, band_h=band_h,
+                )
+                return acc + rad, nrays + nr
 
         # initial carries must be marked device-varying to match the body
         acc0 = lax.pvary(jnp.zeros((band_h, cfg.width, 3), jnp.float32),

@@ -44,3 +44,18 @@ def test_spp_divisibility_error(setup):
     cfg, scene, pos, quat, _, _ = setup
     with pytest.raises(ValueError):
         render_pt_sharded(cfg, scene, pos, quat, 7, KEY, make_mesh(1, 8))
+
+
+def test_sharded_soa_pcg_matches_unsharded(setup):
+    """Counter-based RNG: sharded soa render equals render_pt_fast exactly
+    (up to psum reassociation)."""
+    from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
+    import dataclasses
+
+    cfg, scene, pos, quat, _, _ = setup
+    cfg = dataclasses.replace(cfg, rng="pcg")
+    want, _ = render_pt_fast(cfg, scene, pos, quat, 8, KEY)
+    got, _ = render_pt_sharded(cfg, scene, pos, quat, 8, KEY,
+                               make_mesh(4, 2), soa=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
