@@ -16,7 +16,6 @@ reused verbatim inside Pallas kernels.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

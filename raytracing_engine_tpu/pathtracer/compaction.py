@@ -57,7 +57,7 @@ def compacted_trace(cfg, scene, cam_pos, cam_quat, key, spp=1):
     image, nrays). Spheres + unrolled-triangle scenes (no BVH arg here —
     this is the mechanism demo, not the production path).
     """
-    from jax import lax, random
+    from jax import lax
 
     from raytracing_engine_tpu.ops.pallas.rng import key_to_seed
     from raytracing_engine_tpu.ops.rng_pcg import uniform_pcg

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax, random
 
-from raytracing_engine_tpu.ops import vec3 as v3
 from raytracing_engine_tpu.pathtracer import sampler
 from raytracing_engine_tpu.pathtracer.intersect import ray_sphere, ray_triangle
 from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, MIRROR, PTScene
@@ -41,9 +40,13 @@ class PTConfig:
     t_min: float = 1e-3
     eps: float = 1e-3          # shadow/scatter origin offset along the normal
     use_nee: bool = True
-    # RNG implementation for the SoA integrator: "threefry" (jax.random —
-    # portable, matches the reference integrator bit-for-bit) or "pallas"
-    # (TPU hardware PRNG — ~an order of magnitude cheaper; different stream).
+    # RNG implementation for the SoA integrator:
+    #   "threefry" — jax.random; portable, matches the reference integrator
+    #                bit-for-bit (the default for reproducible tests)
+    #   "pcg"      — counter-based PCG4D hash keyed by global pixel coords;
+    #                fuses into consumers, works inside Pallas kernels,
+    #                sharding/tiling-invariant (the production choice)
+    #   "pallas"   — TPU hardware PRNG planes (kept for comparison)
     rng: str = "threefry"
 
     @property
