@@ -60,12 +60,11 @@ def cmd_orbit(args):
     positions, rotations = orbit_path(args.frames)
     os.makedirs(args.out, exist_ok=True)
     primary, secondary = conemarch_ray_count(cfg, int(scene.light_count))
+    render = pallas_renderer.render_jit_for(cfg, scene)  # static live counts
     for i in range(args.frames):
         cam = Camera(position=positions[i], rotation=rotations[i])
         t0 = time.perf_counter()
-        img = jax.block_until_ready(
-            pallas_renderer.render_jit(cfg, scene, cam.position, cam.quat())
-        )
+        img = jax.block_until_ready(render(scene, cam.position, cam.quat()))
         st = FrameStats(primary, secondary, time.perf_counter() - t0)
         write_png(os.path.join(args.out, f"frame_{i:04d}.png"), np.asarray(img))
         print(f"frame {i:3d}: {st.seconds*1e3:7.2f} ms  {st.mrays_per_sec:8.1f} Mrays/s")
