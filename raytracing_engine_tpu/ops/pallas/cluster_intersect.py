@@ -29,7 +29,7 @@ _INF = np.float32(np.inf)
 def _cluster_kernel(boxes_ref, tri_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     tmax_ref, out_t_ref, out_idx_ref,
-                    *, n_clusters, t_min, any_hit):
+                    *, n_clusters, t_min, any_hit, strips):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     inv_dx = 1.0 / dx
@@ -76,40 +76,66 @@ def _cluster_kernel(boxes_ref, tri_ref,
             t, idx = args
             base = pl.multiple_of(c * CLUSTER, CLUSTER)
             blk = tri_ref[:, pl.ds(base, CLUSTER)]  # (16, 128), lane-aligned
-            for k in range(CLUSTER):
-                v0x = blk[0, k]
-                v0y = blk[1, k]
-                v0z = blk[2, k]
-                e1x = blk[3, k]
-                e1y = blk[4, k]
-                e1z = blk[5, k]
-                e2x = blk[6, k]
-                e2y = blk[7, k]
-                e2z = blk[8, k]
 
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv = 1.0 / jnp.where(jnp.abs(det) < 1e-9, 1.0, det)
-                tvx = ox - v0x
-                tvy = oy - v0y
-                tvz = oz - v0z
-                u = (tvx * px + tvy * py + tvz * pz) * inv
-                qx = tvy * e1z - tvz * e1y
-                qy = tvz * e1x - tvx * e1z
-                qz = tvx * e1y - tvy * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv
-                tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-                ok = (
-                    ray_hit
-                    & (jnp.abs(det) >= 1e-9)
-                    & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                    & (tt > t_min) & (tt < t)
+            def mt_strip(rh, sox, soy, soz, sdx, sdy, sdz, st_, sidx):
+                for k in range(CLUSTER):
+                    v0x = blk[0, k]
+                    v0y = blk[1, k]
+                    v0z = blk[2, k]
+                    e1x = blk[3, k]
+                    e1y = blk[4, k]
+                    e1z = blk[5, k]
+                    e2x = blk[6, k]
+                    e2y = blk[7, k]
+                    e2z = blk[8, k]
+
+                    px = sdy * e2z - sdz * e2y
+                    py = sdz * e2x - sdx * e2z
+                    pz = sdx * e2y - sdy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv = 1.0 / jnp.where(jnp.abs(det) < 1e-9, 1.0, det)
+                    tvx = sox - v0x
+                    tvy = soy - v0y
+                    tvz = soz - v0z
+                    u = (tvx * px + tvy * py + tvz * pz) * inv
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    v = (sdx * qx + sdy * qy + sdz * qz) * inv
+                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+                    ok = (
+                        rh
+                        & (jnp.abs(det) >= 1e-9)
+                        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (tt > t_min) & (tt < st_)
+                    )
+                    st_ = jnp.where(ok, tt, st_)
+                    sidx = jnp.where(ok, jnp.float32(1.0) * (c * CLUSTER + k), sidx)
+                return st_, sidx
+
+            # row-strip gating: only strips whose rays touch the box pay for
+            # the 128 triangle tests (cluster boxes usually clip a tile edge)
+            th = t.shape[0]
+            n_strips = strips if (th % strips == 0 and th >= 2 * strips) else 1
+            sh = th // n_strips
+            if n_strips == 1:
+                return mt_strip(ray_hit, ox, oy, oz, dx, dy, dz, t, idx)
+            t_out = []
+            idx_out = []
+            for q in range(n_strips):
+                sl = slice(q * sh, (q + 1) * sh)
+                rh = ray_hit[sl]
+                st_, sidx = lax.cond(
+                    jnp.any(rh),
+                    lambda a, _sl=sl, _rh=rh: mt_strip(
+                        _rh, ox[_sl], oy[_sl], oz[_sl],
+                        dx[_sl], dy[_sl], dz[_sl], a[0], a[1]),
+                    lambda a: a,
+                    (t[sl], idx[sl]),
                 )
-                t = jnp.where(ok, tt, t)
-                idx = jnp.where(ok, jnp.float32(1.0) * (c * CLUSTER + k), idx)
-            return t, idx
+                t_out.append(st_)
+                idx_out.append(sidx)
+            return jnp.concatenate(t_out, 0), jnp.concatenate(idx_out, 0)
 
         t, idx = lax.cond(cluster_hit, hit_fn, lambda a: a, (t, idx))
 
@@ -148,6 +174,9 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
         n_clusters=cs.num_clusters,
         t_min=t_min,
         any_hit=any_hit,
+        # row-strip gating pays on hardware; in the (slow, per-op python)
+        # interpreter the extra conds only cost time
+        strips=1 if interpret else 4,
     )
     blk = lambda: pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)
