@@ -151,11 +151,11 @@ def _cluster_kernel(boxes_ref, tri_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_min", "any_hit", "tile", "interpret")
+    jax.jit, static_argnames=("t_min", "any_hit", "tile", "interpret", "strips")
 )
 def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
                       t_min=1e-3, any_hit=False, tile=(16, 256),
-                      interpret=None):
+                      interpret=None, strips=1):
     """Intersect an (H, W) ray-plane grid against a ClusterSet.
 
     Returns (t (H,W) — inf on miss, tri_idx (H,W) int32 — PADDED-REORDERED
@@ -174,9 +174,11 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
         n_clusters=cs.num_clusters,
         t_min=t_min,
         any_hit=any_hit,
-        # row-strip gating pays on hardware; in the (slow, per-op python)
-        # interpreter the extra conds only cost time
-        strips=1 if interpret else 4,
+        # row-strip gating MEASURED SLOWER on v5e for the bench scenes
+        # (533 vs 457 ms at 512^2: per-strip scalar conds cost more than the
+        # skipped vector MT work) — default off, kept selectable for scenes
+        # with tighter cluster/tile overlap
+        strips=1 if interpret else strips,
     )
     blk = lambda: pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)

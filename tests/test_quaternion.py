@@ -69,3 +69,17 @@ def test_rotation_preserves_length():
         np.linalg.norm(np.asarray(v), axis=-1),
         rtol=1e-5,
     )
+
+
+def test_orbit_path_faces_target():
+    """orbit_path yaw/pitch must aim the camera forward axis at the target."""
+    from raytracing_engine_tpu.camera import Camera, orbit_path
+
+    target = np.array([2.0, 3.0, 1.0])
+    positions, rotations = orbit_path(8, radius=15.0, height=2.0, target=tuple(target))
+    for i in range(8):
+        cam = Camera(position=positions[i], rotation=rotations[i])
+        fwd = np.asarray(quat_rotate(cam.quat(), jnp.array([0.0, 1.0, 0.0])))
+        to_target = target - np.asarray(positions[i])
+        to_target /= np.linalg.norm(to_target)
+        assert np.dot(fwd, to_target) > 0.999, (i, fwd, to_target)
