@@ -41,8 +41,27 @@ def render_depth_pyramid(cfg: RenderConfig, scene, cam_pos, cam_quat,
 
 
 def render(cfg: RenderConfig, scene, cam_pos, cam_quat, interpret=None,
-           n_obj=None, n_light=None):
-    """Full frame via Pallas kernels → (H, W, 3) float32."""
+           n_obj=None, n_light=None, fused=True):
+    """Full frame via Pallas kernels → (H, W, 3) float32.
+
+    fused=True (default) marches the finest level and shades in ONE kernel
+    (ops/pallas/fused.py) — bitwise-identical to the two-kernel pipeline.
+    """
+    if fused:
+        from raytracing_engine_tpu.ops.pallas.fused import depth_shade_fused
+
+        prev = None
+        for i in range(cfg.level_count - 1):
+            w, h = cfg.level_dims[i]
+            seed = (jnp.ones((h, w), jnp.float32) if prev is None
+                    else upsample_seed(prev, h, w))
+            prev = depth_level_pallas(cfg, i, scene, cam_pos, cam_quat, seed,
+                                      interpret=interpret, n_obj=n_obj)
+        seed = upsample_seed(prev, cfg.height, cfg.width) if prev is not None \
+            else jnp.ones((cfg.height, cfg.width), jnp.float32)
+        return depth_shade_fused(cfg, scene, cam_pos, cam_quat, seed,
+                                 interpret=interpret, n_obj=n_obj,
+                                 n_light=n_light)
     depth = render_depth_pyramid(cfg, scene, cam_pos, cam_quat, interpret,
                                  n_obj)[-1]
     return shade_pallas(cfg, scene, cam_pos, cam_quat, depth,
@@ -50,10 +69,11 @@ def render(cfg: RenderConfig, scene, cam_pos, cam_quat, interpret=None,
 
 
 @partial(jax.jit, static_argnums=0,
-         static_argnames=("interpret", "n_obj", "n_light"))
+         static_argnames=("interpret", "n_obj", "n_light", "fused"))
 def render_jit(cfg: RenderConfig, scene, cam_pos, cam_quat, interpret=None,
-               n_obj=None, n_light=None):
-    return render(cfg, scene, cam_pos, cam_quat, interpret, n_obj, n_light)
+               n_obj=None, n_light=None, fused=True):
+    return render(cfg, scene, cam_pos, cam_quat, interpret, n_obj, n_light,
+                  fused)
 
 
 def render_jit_for(cfg: RenderConfig, scene):

@@ -91,31 +91,13 @@ def _shadow_march_tile(ox, oy, oz, dx, dy, dz, end, obj_ref, obj_count,
     return jnp.where(occluded != 0.0, 0.0, nearest)
 
 
-def _shade_kernel(params_ref, count_ref, obj_ref, mat_ref, light_ref,
-                  depth_ref, out_ref, *, tile_h, tile_w, render_dist,
-                  max_steps, n_obj=MAX_OBJECTS, n_light=MAX_LIGHTS,
-                  masked=True):
-    cam_x, cam_y, cam_z = params_ref[0], params_ref[1], params_ref[2]
-    qx, qy, qz, qw = (params_ref[3], params_ref[4], params_ref[5], params_ref[6])
-    img_sx, img_sy = params_ref[7], params_ref[8]
-    ratio_x, ratio_y = params_ref[9], params_ref[10]
-    obj_count = count_ref[0]
-    light_count = count_ref[1]
+def shade_tile_planes(dx, dy, dz, depth, cam_x, cam_y, cam_z,
+                      obj_ref, mat_ref, light_ref, obj_count, light_count,
+                      render_dist, max_steps, n_obj, n_light, masked):
+    """Phong + soft-shadow shading of one tile given ray dirs and depth.
+    Returns (r, g, b) planes. Shared by the standalone shade kernel and the
+    fused finest-depth+shade kernel (ops/pallas/fused.py)."""
     big = jnp.float32(render_dist)
-
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    rows, cols = tile_pixel_planes(
-        (i * tile_h).astype(jnp.float32), (j * tile_w).astype(jnp.float32),
-        tile_h, tile_w,
-    )
-
-    # fragCoord*2/view - 1 == ((2*id+1)*imageSize - 1) at the finest level
-    ncx = ((cols * 2.0 + 1.0) * img_sx - 1.0) * ratio_x
-    ncy = ((rows * 2.0 + 1.0) * img_sy - 1.0) * ratio_y
-    dx, dy, dz = ray_dir_planes(ncx, ncy, qx, qy, qz, qw)
-
-    depth = depth_ref[:]
     hit_mask = depth < big  # fragment.glsl:137-140
 
     px = cam_x + dx * depth
@@ -204,9 +186,39 @@ def _shade_kernel(params_ref, count_ref, obj_ref, mat_ref, light_ref,
         col_g += (m_amb + ds * lg) * scale * m_g
         col_b += (m_amb + ds * lb) * scale * m_b
 
-    out_ref[0] = jnp.where(hit_mask, col_r, 0.0)
-    out_ref[1] = jnp.where(hit_mask, col_g, 0.0)
-    out_ref[2] = jnp.where(hit_mask, col_b, 0.0)
+    return (jnp.where(hit_mask, col_r, 0.0),
+            jnp.where(hit_mask, col_g, 0.0),
+            jnp.where(hit_mask, col_b, 0.0))
+
+
+def _shade_kernel(params_ref, count_ref, obj_ref, mat_ref, light_ref,
+                  depth_ref, out_ref, *, tile_h, tile_w, render_dist,
+                  max_steps, n_obj=MAX_OBJECTS, n_light=MAX_LIGHTS,
+                  masked=True):
+    cam_x, cam_y, cam_z = params_ref[0], params_ref[1], params_ref[2]
+    qx, qy, qz, qw = (params_ref[3], params_ref[4], params_ref[5], params_ref[6])
+    img_sx, img_sy = params_ref[7], params_ref[8]
+    ratio_x, ratio_y = params_ref[9], params_ref[10]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    rows, cols = tile_pixel_planes(
+        (i * tile_h).astype(jnp.float32), (j * tile_w).astype(jnp.float32),
+        tile_h, tile_w,
+    )
+    # fragCoord*2/view - 1 == ((2*id+1)*imageSize - 1) at the finest level
+    ncx = ((cols * 2.0 + 1.0) * img_sx - 1.0) * ratio_x
+    ncy = ((rows * 2.0 + 1.0) * img_sy - 1.0) * ratio_y
+    dx, dy, dz = ray_dir_planes(ncx, ncy, qx, qy, qz, qw)
+
+    r, g, b = shade_tile_planes(
+        dx, dy, dz, depth_ref[:], cam_x, cam_y, cam_z,
+        obj_ref, mat_ref, light_ref, count_ref[0], count_ref[1],
+        render_dist, max_steps, n_obj, n_light, masked,
+    )
+    out_ref[0] = r
+    out_ref[1] = g
+    out_ref[2] = b
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret", "n_obj", "n_light"))

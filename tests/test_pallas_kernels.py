@@ -52,3 +52,15 @@ def test_static_count_specialization_matches(small_cfg, scene, camera_pose):
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_fused_matches_two_kernel(small_cfg, scene, camera_pose):
+    """Fused finest-depth+shade must equal the separate kernels bitwise."""
+    pos, quat = _pose(camera_pose)
+    want = np.asarray(
+        pallas_renderer.render_jit(small_cfg, scene, pos, quat, fused=False)
+    )
+    got = np.asarray(
+        pallas_renderer.render_jit(small_cfg, scene, pos, quat, fused=True)
+    )
+    np.testing.assert_array_equal(got, want)
