@@ -256,8 +256,7 @@ def headline(results):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--config5", action="store_true",
-                    help="run the stretch instanced config (crashed the TPU worker on the tunneled runtime)")
+
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results.json"))
     args = ap.parse_args()
 
@@ -270,15 +269,13 @@ def main():
     print(json.dumps(results, indent=2), flush=True)
     config4_progressive(results, spp=128 if args.quick else 1024)
     print(json.dumps(results, indent=2), flush=True)
-    if args.config5:
-        # WARNING: the gather-based two-level traversal has crashed the TPU
-        # worker on the tunneled runtime (huge gather program). Off by
-        # default; validated on CPU in tests/test_instancing.py. See
-        # ROADMAP.md for the instanced-cluster kernel plan.
+    if not args.quick:
+        # (the old gather-based two-level traversal crashed the TPU worker;
+        # this now runs the Pallas instanced cluster kernel, which is safe)
         try:
             config5_instanced(results)
         except Exception as e:  # stretch config — report, don't abort
-            results["config5_instanced_1M"] = {"error": str(e)}
+            results["config5_instanced_1M_orbit"] = {"error": str(e)}
         print(json.dumps(results, indent=2), flush=True)
     headline(results)
 

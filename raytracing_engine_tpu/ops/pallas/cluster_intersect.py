@@ -28,8 +28,13 @@ _INF = np.float32(np.inf)
 
 def _cluster_kernel(boxes_ref, tri_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                    tmax_ref, out_t_ref, out_idx_ref,
-                    *, n_clusters, t_min, any_hit, strips):
+                    tmax_ref, *out_refs,
+                    n_clusters, t_min, any_hit, strips, attrs):
+    if attrs:
+        (out_t_ref, out_idx_ref, out_nx_ref, out_ny_ref, out_nz_ref,
+         out_mat_ref, out_area_ref) = out_refs
+    else:
+        out_t_ref, out_idx_ref = out_refs
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     inv_dx = 1.0 / dx
@@ -38,13 +43,17 @@ def _cluster_kernel(boxes_ref, tri_ref,
 
     t0 = tmax_ref[:]
     idx0 = jnp.zeros_like(t0) - 1.0  # f32 idx carry; cast at store
+    zero = jnp.zeros_like(t0)
+    # hit-attribute planes (normal, material, 2*area) carried through the
+    # sweep so callers need NO post-kernel gathers
+    attr0 = (zero, zero, zero, zero, zero)
 
     def cond(state):
-        c, t, idx, live = state
+        c, t, idx, live, attr = state
         return (c < n_clusters) & (live != 0.0)
 
     def body(state):
-        c, t, idx, live = state
+        c, t, idx, live, attr = state
 
         bminx = boxes_ref[c, 0]
         bminy = boxes_ref[c, 1]
@@ -73,11 +82,12 @@ def _cluster_kernel(boxes_ref, tri_ref,
         cluster_hit = jnp.any(ray_hit)
 
         def hit_fn(args):
-            t, idx = args
+            t, idx, attr = args
             base = pl.multiple_of(c * CLUSTER, CLUSTER)
             blk = tri_ref[:, pl.ds(base, CLUSTER)]  # (16, 128), lane-aligned
 
-            def mt_strip(rh, sox, soy, soz, sdx, sdy, sdz, st_, sidx):
+            def mt_strip(rh, sox, soy, soz, sdx, sdy, sdz, st_, sidx, sattr):
+                anx, any_, anz, amat, aarea = sattr
                 for k in range(CLUSTER):
                     v0x = blk[0, k]
                     v0y = blk[1, k]
@@ -111,55 +121,82 @@ def _cluster_kernel(boxes_ref, tri_ref,
                     )
                     st_ = jnp.where(ok, tt, st_)
                     sidx = jnp.where(ok, jnp.float32(1.0) * (c * CLUSTER + k), sidx)
-                return st_, sidx
+                    if attrs:
+                        cnx = e1y * e2z - e1z * e2y
+                        cny = e1z * e2x - e1x * e2z
+                        cnz = e1x * e2y - e1y * e2x
+                        anx = jnp.where(ok, cnx, anx)
+                        any_ = jnp.where(ok, cny, any_)
+                        anz = jnp.where(ok, cnz, anz)
+                        amat = jnp.where(ok, blk[9, k], amat)
+                        aarea = jnp.where(
+                            ok, jnp.sqrt(cnx * cnx + cny * cny + cnz * cnz),
+                            aarea)
+                return st_, sidx, (anx, any_, anz, amat, aarea)
 
             # row-strip gating: only strips whose rays touch the box pay for
             # the 128 triangle tests (cluster boxes usually clip a tile edge)
             th = t.shape[0]
             n_strips = strips if (th % strips == 0 and th >= 2 * strips) else 1
+            if n_strips != 1 and attrs:
+                n_strips = 1  # attr carries not threaded through strips
             sh = th // n_strips
             if n_strips == 1:
-                return mt_strip(ray_hit, ox, oy, oz, dx, dy, dz, t, idx)
+                return mt_strip(ray_hit, ox, oy, oz, dx, dy, dz, t, idx, attr)
             t_out = []
             idx_out = []
             for q in range(n_strips):
                 sl = slice(q * sh, (q + 1) * sh)
                 rh = ray_hit[sl]
-                st_, sidx = lax.cond(
+                st_, sidx, _ = lax.cond(
                     jnp.any(rh),
                     lambda a, _sl=sl, _rh=rh: mt_strip(
                         _rh, ox[_sl], oy[_sl], oz[_sl],
-                        dx[_sl], dy[_sl], dz[_sl], a[0], a[1]),
+                        dx[_sl], dy[_sl], dz[_sl], a[0], a[1], attr0),
                     lambda a: a,
-                    (t[sl], idx[sl]),
+                    (t[sl], idx[sl], attr0),
                 )
                 t_out.append(st_)
                 idx_out.append(sidx)
-            return jnp.concatenate(t_out, 0), jnp.concatenate(idx_out, 0)
+            return (jnp.concatenate(t_out, 0), jnp.concatenate(idx_out, 0),
+                    attr)
 
-        t, idx = lax.cond(cluster_hit, hit_fn, lambda a: a, (t, idx))
+        t, idx, attr = lax.cond(cluster_hit, hit_fn, lambda a: a,
+                                (t, idx, attr))
 
         if any_hit:
             live = jnp.where(jnp.any(idx < 0.0), 1.0, 0.0)
-        return (c + 1, t, idx, live)
+        return (c + 1, t, idx, live, attr)
 
-    _, t, idx, _ = lax.while_loop(
-        cond, body, (jnp.int32(0), t0, idx0, jnp.float32(1.0))
+    _, t, idx, _, attr = lax.while_loop(
+        cond, body, (jnp.int32(0), t0, idx0, jnp.float32(1.0), attr0)
     )
     out_t_ref[:] = jnp.where(idx >= 0.0, t, _INF)
     out_idx_ref[:] = idx.astype(jnp.int32)
+    if attrs:
+        out_nx_ref[:] = attr[0]
+        out_ny_ref[:] = attr[1]
+        out_nz_ref[:] = attr[2]
+        out_mat_ref[:] = attr[3]
+        out_area_ref[:] = attr[4] * 0.5  # |cross|/2 = triangle area
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_min", "any_hit", "tile", "interpret", "strips")
+    jax.jit,
+    static_argnames=("t_min", "any_hit", "tile", "interpret", "strips", "attrs"),
 )
 def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
                       t_min=1e-3, any_hit=False, tile=(16, 256),
-                      interpret=None, strips=1):
+                      interpret=None, strips=1, attrs=False):
     """Intersect an (H, W) ray-plane grid against a ClusterSet.
 
     Returns (t (H,W) — inf on miss, tri_idx (H,W) int32 — PADDED-REORDERED
     slot, -1 on miss; map back with cs.perm).
+
+    attrs=True additionally returns (nx, ny, nz, mat, area): unnormalized
+    geometric normal (e1 x e2), material id (f32, from tri row 9) and
+    triangle area of the hit — selected in-kernel, so callers need no
+    post-kernel gathers. Incompatible with strips gating (falls back to 1).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -179,25 +216,27 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
         # skipped vector MT work) — default off, kept selectable for scenes
         # with tighter cluster/tile overlap
         strips=1 if interpret else strips,
+        attrs=attrs,
     )
     blk = lambda: pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)
-    t, idx = pl.pallas_call(
+    f32 = lambda: jax.ShapeDtypeStruct((h, w), jnp.float32)
+    out_shape = [f32(), jax.ShapeDtypeStruct((h, w), jnp.int32)]
+    if attrs:
+        out_shape += [f32(), f32(), f32(), f32(), f32()]
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((h, w), jnp.float32),
-            jax.ShapeDtypeStruct((h, w), jnp.int32),
-        ),
+        out_shape=tuple(out_shape),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster boxes
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tri rows (16, T_pad)
             blk(), blk(), blk(), blk(), blk(), blk(), blk(),
         ],
-        out_specs=(blk(), blk()),
+        out_specs=tuple(blk() for _ in out_shape),
         interpret=interpret,
     )(cs.boxes, cs.tri,
       o_planes[0], o_planes[1], o_planes[2],
       d_planes[0], d_planes[1], d_planes[2],
       jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (h, w)))
-    return t, idx
+    return outs if attrs else (outs[0], outs[1])

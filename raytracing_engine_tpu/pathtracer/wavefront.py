@@ -123,28 +123,56 @@ def _use_packet(packet):
     return packet
 
 
+def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
+    """Cluster-path intersection: the kernel emits hit attributes
+    (normal/material/area) in-register, so there are NO post-kernel
+    gathers. Material ids come from the ClusterSet's tri row 9
+    (build_clusters(..., tri_mats=...)); a set built without mats yields
+    material 0 for every triangle."""
+    from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
+        cluster_intersect,
+    )
+
+    t_s, i_s = _sphere_hits(scene, o, d, t_min)
+    t_t, sidx, cnx, cny, cnz, cmat, carea = cluster_intersect(
+        cs, o, d, BIG, t_min=t_min, attrs=True
+    )
+    t_t = jnp.where(sidx >= 0, t_t, BIG)
+
+    use_tri = t_t < t_s
+    t = jnp.minimum(t_s, t_t)
+    hit = t < BIG
+    p = v3.add(o, v3.scale(d, t))
+
+    S = scene.sph_pos.shape[0]
+    si = jnp.maximum(i_s, 0)
+    scx = _sel(si, scene.sph_pos[:, 0], S)
+    scy = _sel(si, scene.sph_pos[:, 1], S)
+    scz = _sel(si, scene.sph_pos[:, 2], S)
+    n_sph = (p[0] - scx, p[1] - scy, p[2] - scz)
+    n = v3.where(use_tri, (cnx, cny, cnz), n_sph)
+    nlen = jnp.maximum(v3.length(n), 1e-20)
+    n = v3.scale(n, 1.0 / nlen)
+    n = v3.where(v3.dot(n, d) > 0.0, v3.neg(n), n)  # two-sided
+
+    sph_mat = _sel(si, scene.sph_mat, S)
+    mat_id = jnp.where(use_tri, cmat.astype(jnp.int32), sph_mat)
+
+    sr = _sel(si, scene.sph_radius, S)
+    sph_area = 4.0 * _PI * sr * sr
+    light_area = jnp.where(use_tri, carea, sph_area)
+
+    return dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area)
+
+
 def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
     """(t, original tri index, e1 V3, e2 V3) of the nearest triangle.
 
     `bvh` may be an accel.bvh.BVH (skip-link traversal: packet kernel in
-    interpret mode / gather fallback) or an accel.clusters.ClusterSet (the
-    production TPU path — dense cluster culling, no dynamic lane indexing).
+    interpret mode / gather fallback); ClusterSets are handled by
+    _intersect_clusters (attribute-emitting kernel, no gathers).
     """
-    from raytracing_engine_tpu.accel.clusters import ClusterSet
-
     T = scene.tri_v0.shape[0]
-    if isinstance(bvh, ClusterSet):
-        from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
-            cluster_intersect,
-        )
-
-        cs = bvh
-        t, sidx = cluster_intersect(cs, o, d, BIG, t_min=t_min)
-        safe = jnp.maximum(sidx, 0)
-        idx = jnp.maximum(cs.perm[safe], 0)
-        e1 = (cs.tri[3, safe], cs.tri[4, safe], cs.tri[5, safe])
-        e2 = (cs.tri[6, safe], cs.tri[7, safe], cs.tri[8, safe])
-        return jnp.where(sidx >= 0, t, BIG), idx, e1, e2
     if bvh is not None:
         if _use_packet(packet):
             from raytracing_engine_tpu.ops.pallas.bvh_traverse import (
@@ -192,6 +220,11 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
 
 
 def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
+    from raytracing_engine_tpu.accel.clusters import ClusterSet
+
+    if isinstance(bvh, ClusterSet):
+        return _intersect_clusters(scene, o, d, t_min, bvh)
+
     t_s, i_s = _sphere_hits(scene, o, d, t_min)
     t_t, i_t, e1, e2 = _tri_hits(scene, o, d, t_min, bvh, packet)
 
