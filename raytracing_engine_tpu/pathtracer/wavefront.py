@@ -124,9 +124,13 @@ def _use_packet(packet):
 
 
 def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
-    """Cluster-path intersection: the kernel emits hit attributes
-    (normal/material/area) in-register, so there are NO post-kernel
-    gathers. Material ids come from the ClusterSet's tri row 9
+    """Gather-free cluster intersection (attrs-emitting kernel).
+
+    MEASURED SLOWER than the gather path on v5e for the bench scenes
+    (558 vs 457 ms at 512^2: +5 selects per triangle test outweigh the 8
+    removed per-bounce gathers), so _intersect does NOT route here; kept
+    because in-kernel consumers (a future cluster megakernel) cannot gather
+    at all. Material ids come from the ClusterSet's tri row 9
     (build_clusters(..., tri_mats=...)); a set built without mats yields
     material 0 for every triangle."""
     from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
@@ -169,10 +173,24 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
     """(t, original tri index, e1 V3, e2 V3) of the nearest triangle.
 
     `bvh` may be an accel.bvh.BVH (skip-link traversal: packet kernel in
-    interpret mode / gather fallback); ClusterSets are handled by
-    _intersect_clusters (attribute-emitting kernel, no gathers).
+    interpret mode / gather fallback) or an accel.clusters.ClusterSet (the
+    production TPU path — dense cluster culling).
     """
+    from raytracing_engine_tpu.accel.clusters import ClusterSet
+
     T = scene.tri_v0.shape[0]
+    if isinstance(bvh, ClusterSet):
+        from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
+            cluster_intersect,
+        )
+
+        cs = bvh
+        t, sidx = cluster_intersect(cs, o, d, BIG, t_min=t_min)
+        safe = jnp.maximum(sidx, 0)
+        idx = jnp.maximum(cs.perm[safe], 0)
+        e1 = (cs.tri[3, safe], cs.tri[4, safe], cs.tri[5, safe])
+        e2 = (cs.tri[6, safe], cs.tri[7, safe], cs.tri[8, safe])
+        return jnp.where(sidx >= 0, t, BIG), idx, e1, e2
     if bvh is not None:
         if _use_packet(packet):
             from raytracing_engine_tpu.ops.pallas.bvh_traverse import (
@@ -220,11 +238,6 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
 
 
 def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
-    from raytracing_engine_tpu.accel.clusters import ClusterSet
-
-    if isinstance(bvh, ClusterSet):
-        return _intersect_clusters(scene, o, d, t_min, bvh)
-
     t_s, i_s = _sphere_hits(scene, o, d, t_min)
     t_t, i_t, e1, e2 = _tri_hits(scene, o, d, t_min, bvh, packet)
 
