@@ -131,7 +131,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
     jax.jit, static_argnums=(0, 4), static_argnames=("interpret", "tile")
 )
 def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
-                   key=None, spp_offset=0, interpret=None, tile=(16, 256)):
+                   key=None, spp_offset=0, interpret=None, tile=(64, 256)):
     """Megakernel render: ((H, W, 3) image, nrays). rng is always pcg.
 
     Constraints: no BVH (triangle slots <= TRI_UNROLL_MAX) — use
