@@ -151,8 +151,11 @@ def config4_progressive(results, spp=1024, size=256):
     quat = jnp.array([0.0, 0.0, 0.0, 1.0])
     key = jax.random.PRNGKey(1)
 
+    # small images want small tiles (a 256^2 frame is only 4 (64,256)
+    # tiles — poor convergence balance; measured 6.6 s vs 3.5 s at 1024 spp)
+    tile = (16, 256)
     # warm/compile with a small chunk
-    img, _ = render_pt_mega(cfg, scene, pos, quat, 16, key)
+    img, _ = render_pt_mega(cfg, scene, pos, quat, 16, key, tile=tile)
     float(img.ravel()[0])
     t0 = time.perf_counter()
     total = 0
@@ -160,7 +163,7 @@ def config4_progressive(results, spp=1024, size=256):
     nr_total = 0.0
     while total < spp:
         img, nr = render_pt_mega(cfg, scene, pos, quat, chunk, key,
-                                 spp_offset=total)
+                                 spp_offset=total, tile=tile)
         nr_total += float(nr)
         total += chunk
     float(img.ravel()[0])
