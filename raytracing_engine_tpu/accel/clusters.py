@@ -31,9 +31,10 @@ CLUSTER = 128  # one full lane row per cluster
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ClusterSet:
-    tri: jax.Array      # (16, T_pad) f32 — rows [v0.xyz, e1.xyz, e2.xyz, mat, pad]
-    boxes: jax.Array    # (C, 8) f32 — [minx,miny,minz,maxx,maxy,maxz,pad,pad]
-    perm: jax.Array     # (T_pad,) int32 — padded-slot -> original tri (-1 pad)
+    tri: jax.Array       # (16, T_pad) f32 — rows [v0.xyz, e1.xyz, e2.xyz, mat, pad]
+    boxes: jax.Array     # (C, 8) f32 — [minx,miny,minz,maxx,maxy,maxz,pad,pad]
+    perm: jax.Array      # (T_pad,) int32 — padded-slot -> original tri (-1 pad)
+    centroid: jax.Array  # (C, 3) f32 — box centers (for per-frame visit order)
 
     @property
     def num_clusters(self) -> int:
@@ -85,6 +86,9 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
         boxes[c, :3] = chunk.min(0)
         boxes[c, 3:6] = chunk.max(0)
 
+    centroid = (boxes[:, :3] + boxes[:, 3:6]) * 0.5
+    centroid[~np.isfinite(centroid)] = 1e30  # padded never-hit clusters last
+
     tri_rows = np.zeros((16, T_pad), np.float32)
     tri_rows[0:3] = v0.T
     tri_rows[3:6] = e1.T
@@ -96,4 +100,16 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
         tri=jnp.asarray(tri_rows),
         boxes=jnp.asarray(boxes),
         perm=jnp.asarray(perm_pad),
+        centroid=jnp.asarray(centroid),
     )
+
+
+def visit_order(cs: ClusterSet, origin):
+    """Near-to-far cluster visit order from a representative origin (3,).
+
+    Ordering is a pure performance hint for the sweep: nearer clusters hit
+    first shrink the running t, so farther boxes fail the (t_near < t) test
+    and skip their triangle work entirely. Results are order-independent.
+    """
+    d = cs.centroid - jnp.asarray(origin, jnp.float32)
+    return jnp.argsort(jnp.sum(d * d, axis=-1)).astype(jnp.int32)

@@ -26,7 +26,7 @@ from raytracing_engine_tpu.accel.clusters import CLUSTER, ClusterSet
 _INF = np.float32(np.inf)
 
 
-def _cluster_kernel(boxes_ref, tri_ref,
+def _cluster_kernel(order_ref, boxes_ref, tri_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     tmax_ref, *out_refs,
                     n_clusters, t_min, any_hit, strips, attrs):
@@ -49,11 +49,12 @@ def _cluster_kernel(boxes_ref, tri_ref,
     attr0 = (zero, zero, zero, zero, zero)
 
     def cond(state):
-        c, t, idx, live, attr = state
-        return (c < n_clusters) & (live != 0.0)
+        ci, t, idx, live, attr = state
+        return (ci < n_clusters) & (live != 0.0)
 
     def body(state):
-        c, t, idx, live, attr = state
+        ci, t, idx, live, attr = state
+        c = order_ref[ci]  # near-to-far visit order (perf hint only)
 
         bminx = boxes_ref[c, 0]
         bminy = boxes_ref[c, 1]
@@ -166,7 +167,7 @@ def _cluster_kernel(boxes_ref, tri_ref,
 
         if any_hit:
             live = jnp.where(jnp.any(idx < 0.0), 1.0, 0.0)
-        return (c + 1, t, idx, live, attr)
+        return (ci + 1, t, idx, live, attr)
 
     _, t, idx, _, attr = lax.while_loop(
         cond, body, (jnp.int32(0), t0, idx0, jnp.float32(1.0), attr0)
@@ -187,7 +188,7 @@ def _cluster_kernel(boxes_ref, tri_ref,
 )
 def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
                       t_min=1e-3, any_hit=False, tile=(16, 256),
-                      interpret=None, strips=1, attrs=False):
+                      interpret=None, strips=1, attrs=False, order=None):
     """Intersect an (H, W) ray-plane grid against a ClusterSet.
 
     Returns (t (H,W) — inf on miss, tri_idx (H,W) int32 — PADDED-REORDERED
@@ -197,6 +198,9 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
     geometric normal (e1 x e2), material id (f32, from tri row 9) and
     triangle area of the hit — selected in-kernel, so callers need no
     post-kernel gathers. Incompatible with strips gating (falls back to 1).
+
+    order: optional (C,) int32 visit order (accel.clusters.visit_order) —
+    near-to-far ordering lets the running t cull far boxes; pure perf hint.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -220,6 +224,8 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
     )
     blk = lambda: pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)
+    if order is None:
+        order = jnp.arange(cs.num_clusters, dtype=jnp.int32)
     f32 = lambda: jax.ShapeDtypeStruct((h, w), jnp.float32)
     out_shape = [f32(), jax.ShapeDtypeStruct((h, w), jnp.int32)]
     if attrs:
@@ -229,13 +235,14 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
         out_shape=tuple(out_shape),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # visit order
             pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster boxes
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tri rows (16, T_pad)
             blk(), blk(), blk(), blk(), blk(), blk(), blk(),
         ],
         out_specs=tuple(blk() for _ in out_shape),
         interpret=interpret,
-    )(cs.boxes, cs.tri,
+    )(order, cs.boxes, cs.tri,
       o_planes[0], o_planes[1], o_planes[2],
       d_planes[0], d_planes[1], d_planes[2],
       jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (h, w)))

@@ -184,8 +184,13 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
             cluster_intersect,
         )
 
+        from raytracing_engine_tpu.accel.clusters import visit_order
+
         cs = bvh
-        t, sidx = cluster_intersect(cs, o, d, BIG, t_min=t_min)
+        # near-to-far visit order from the mean ray origin (perf hint)
+        mean_o = jnp.stack([jnp.mean(o[0]), jnp.mean(o[1]), jnp.mean(o[2])])
+        t, sidx = cluster_intersect(cs, o, d, BIG, t_min=t_min,
+                                    order=visit_order(cs, mean_o))
         safe = jnp.maximum(sidx, 0)
         idx = jnp.maximum(cs.perm[safe], 0)
         e1 = (cs.tri[3, safe], cs.tri[4, safe], cs.tri[5, safe])
@@ -296,11 +301,14 @@ def _occluded(scene: PTScene, o, d, max_t, t_min, bvh, packet=None):
 
     T = scene.tri_v0.shape[0]
     if isinstance(bvh, ClusterSet):
+        from raytracing_engine_tpu.accel.clusters import visit_order
         from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
             cluster_intersect,
         )
 
-        _, idx = cluster_intersect(bvh, o, d, max_t, t_min=t_min, any_hit=True)
+        mean_o = jnp.stack([jnp.mean(o[0]), jnp.mean(o[1]), jnp.mean(o[2])])
+        _, idx = cluster_intersect(bvh, o, d, max_t, t_min=t_min,
+                                   any_hit=True, order=visit_order(bvh, mean_o))
         blocked = blocked | (idx >= 0)
     elif bvh is not None:
         if _use_packet(packet):
