@@ -101,3 +101,17 @@ def test_integrator_with_clusters_matches_bvh_mode():
     d = np.abs(np.asarray(b) - np.asarray(a)).max(-1)
     assert (d > 1e-3).mean() < 0.02
     assert d.mean() < 2e-4
+
+
+def test_visit_order_is_permutation_and_order_independent(setup):
+    from raytracing_engine_tpu.accel.clusters import visit_order
+
+    mesh, cs = setup
+    order = visit_order(cs, jnp.array([0.0, 0.0, 0.0]))
+    assert sorted(np.asarray(order).tolist()) == list(range(cs.num_clusters))
+
+    o, d = _ray_grid(16, 128, seed=7)
+    t_a, idx_a = cluster_intersect(cs, o, d, jnp.inf, interpret=True)
+    t_b, idx_b = cluster_intersect(cs, o, d, jnp.inf, interpret=True,
+                                   order=order)
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_a), rtol=1e-6)
