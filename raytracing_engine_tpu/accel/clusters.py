@@ -26,19 +26,28 @@ import jax.numpy as jnp
 from raytracing_engine_tpu.accel.bvh import BVH, build_bvh
 
 CLUSTER = 128  # one full lane row per cluster
+SUPER = 16     # clusters per super-cluster (hierarchical cull level)
+SUBS = 4       # sub-boxes per cluster (32-triangle Möller-Trumbore gates)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ClusterSet:
     tri: jax.Array       # (16, T_pad) f32 — rows [v0.xyz, e1.xyz, e2.xyz, mat, pad]
-    boxes: jax.Array     # (C, 8) f32 — [minx,miny,minz,maxx,maxy,maxz,pad,pad]
+    boxes: jax.Array     # (C, 8) f32 — [minx,miny,minz,maxx,maxy,maxz,pad,pad];
+                         #   C is a SUPER multiple (tail = inverted never-hit)
     perm: jax.Array      # (T_pad,) int32 — padded-slot -> original tri (-1 pad)
-    centroid: jax.Array  # (C, 3) f32 — box centers (for per-frame visit order)
+    centroid: jax.Array  # (C, 3) f32 — box centers
+    super_boxes: jax.Array     # (C/SUPER, 8) f32 — union AABB of SUPER children
+    super_centroid: jax.Array  # (C/SUPER, 3) f32 — for per-frame visit order
 
     @property
     def num_clusters(self) -> int:
         return self.boxes.shape[0]
+
+    @property
+    def num_super(self) -> int:
+        return self.super_boxes.shape[0]
 
     @property
     def padded_tris(self) -> int:
@@ -63,7 +72,9 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     perm = np.asarray(bvh.perm)
     ordered = tris[perm]
 
-    T_pad = -(-T // CLUSTER) * CLUSTER
+    # pad the cluster count to a SUPER multiple (tail clusters are inverted
+    # never-hit boxes) so the hierarchical sweep's inner loop is rectangular
+    T_pad = -(-T // (CLUSTER * SUPER)) * (CLUSTER * SUPER)
     v0 = np.zeros((T_pad, 3), np.float32)
     e1 = np.zeros((T_pad, 3), np.float32)
     e2 = np.zeros((T_pad, 3), np.float32)
@@ -86,8 +97,40 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
         boxes[c, :3] = chunk.min(0)
         boxes[c, 3:6] = chunk.max(0)
 
-    centroid = (boxes[:, :3] + boxes[:, 3:6]) * 0.5
+    # sub-boxes (32-tri MT gates) — packed into tri rows 10-15 at lanes
+    # 0..SUBS-1 of each cluster's slice, NOT into SMEM: SMEM scalars cost
+    # 64 B each on v5e (a (C*SUBS, 8) table would blow the 1 MB budget),
+    # while rows 10-15 of the (16, T_pad) VMEM table are free padding and
+    # the kernel reads them as static-lane scalars from the block it
+    # already loaded.
+    sub = CLUSTER // SUBS
+    sub_boxes = np.zeros((C * SUBS, 6), np.float32)
+    for s in range(C * SUBS):
+        lo = s * sub
+        hi = min((s + 1) * sub, T)
+        if lo >= T:
+            sub_boxes[s, :3] = np.inf
+            sub_boxes[s, 3:6] = -np.inf
+            continue
+        chunk = ordered[lo:hi].reshape(-1, 3)
+        sub_boxes[s, :3] = chunk.min(0)
+        sub_boxes[s, 3:6] = chunk.max(0)
+
+    with np.errstate(invalid="ignore"):  # inf + -inf on padded boxes
+        centroid = (boxes[:, :3] + boxes[:, 3:6]) * 0.5
     centroid[~np.isfinite(centroid)] = 1e30  # padded never-hit clusters last
+
+    # super-cluster union boxes: plain min/max works — a padded child's
+    # (+inf mins, -inf maxes) never wins against any real child, and an
+    # all-padded super stays inverted (never hit)
+    S = T_pad // (CLUSTER * SUPER)
+    sb = boxes.reshape(S, SUPER, 8)
+    super_boxes = np.zeros((S, 8), np.float32)
+    super_boxes[:, :3] = sb[:, :, :3].min(1)
+    super_boxes[:, 3:6] = sb[:, :, 3:6].max(1)
+    with np.errstate(invalid="ignore"):
+        super_centroid = (super_boxes[:, :3] + super_boxes[:, 3:6]) * 0.5
+    super_centroid[~np.isfinite(super_centroid)] = 1e30
 
     tri_rows = np.zeros((16, T_pad), np.float32)
     tri_rows[0:3] = v0.T
@@ -96,20 +139,27 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     if tri_mats is not None:
         mats = np.asarray(tri_mats, np.float32)[perm]
         tri_rows[9, :T] = mats
+    # rows 10-15 = sub-box [minx,miny,minz,maxx,maxy,maxz]; lane s of each
+    # cluster's slice holds sub-block s's box
+    for c in range(C):
+        for s in range(SUBS):
+            tri_rows[10:16, c * CLUSTER + s] = sub_boxes[c * SUBS + s]
     return ClusterSet(
         tri=jnp.asarray(tri_rows),
         boxes=jnp.asarray(boxes),
         perm=jnp.asarray(perm_pad),
         centroid=jnp.asarray(centroid),
+        super_boxes=jnp.asarray(super_boxes),
+        super_centroid=jnp.asarray(super_centroid),
     )
 
 
 def visit_order(cs: ClusterSet, origin):
-    """Near-to-far cluster visit order from a representative origin (3,).
+    """Near-to-far SUPER-cluster visit order from a representative origin (3,).
 
     Ordering is a pure performance hint for the sweep: nearer clusters hit
     first shrink the running t, so farther boxes fail the (t_near < t) test
     and skip their triangle work entirely. Results are order-independent.
     """
-    d = cs.centroid - jnp.asarray(origin, jnp.float32)
+    d = cs.super_centroid - jnp.asarray(origin, jnp.float32)
     return jnp.argsort(jnp.sum(d * d, axis=-1)).astype(jnp.int32)

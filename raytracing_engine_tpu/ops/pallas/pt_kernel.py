@@ -87,8 +87,20 @@ def _unpack_scene(sph, tri, mat, light, counts) -> PTScene:
 
 
 def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
-               light_ref, out_ref, nrays_ref, *, cfg: PTConfig, spp: int,
-               tile_h: int, tile_w: int):
+               light_ref, *rest, cfg: PTConfig, spp: int,
+               tile_h: int, tile_w: int, n_super: int = 0):
+    if n_super:
+        from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
+            KernelClusters,
+        )
+
+        (order_ref, sboxes_ref, cboxes_ref, ctri_ref,
+         out_ref, nrays_ref) = rest
+        bvh = KernelClusters(order_ref, sboxes_ref, cboxes_ref, ctri_ref,
+                             n_super)
+    else:
+        out_ref, nrays_ref = rest
+        bvh = None
     i = pl.program_id(0)
     j = pl.program_id(1)
     row0 = i * tile_h
@@ -109,7 +121,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
         ar, ag, ab, nr = carry
         seed_pass = base + (offset + s) * _PRIME
         rad, n = trace_window_planes(
-            cfg, scene, cam, quat, None, bvh=None,
+            cfg, scene, cam, quat, None, bvh=bvh,
             row0=row0, band_h=tile_h, packet=False,
             col0=col0, band_w=tile_w, seed0=seed_pass,
         )
@@ -131,16 +143,28 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
     jax.jit, static_argnums=(0, 4), static_argnames=("interpret", "tile")
 )
 def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
-                   key=None, spp_offset=0, interpret=None, tile=(64, 256)):
+                   key=None, spp_offset=0, interpret=None, tile=(64, 256),
+                   bvh=None):
     """Megakernel render: ((H, W, 3) image, nrays). rng is always pcg.
 
-    Constraints: no BVH (triangle slots <= TRI_UNROLL_MAX) — use
-    render_pt_fast with a BVH for big meshes.
+    bvh: optional accel.clusters.ClusterSet — the whole bounce loop
+    (intersection + NEE shadow sweeps included) then runs in-kernel via the
+    hierarchical cluster sweep; scene.tri_* beyond TRI_UNROLL_MAX slots is
+    not shipped to the kernel (mesh *area lights* must sit in the first
+    TRI_UNROLL_MAX slots — same constraint as the wavefront path).
+    Without a ClusterSet, triangle slots must be <= TRI_UNROLL_MAX.
     """
-    if scene.tri_v0.shape[0] > TRI_UNROLL_MAX:
+    from raytracing_engine_tpu.accel.clusters import ClusterSet
+
+    if bvh is not None and not isinstance(bvh, ClusterSet):
+        raise TypeError(
+            "render_pt_mega accepts a ClusterSet (build_clusters); for a "
+            "skip-link BVH use render_pt_fast"
+        )
+    if bvh is None and scene.tri_v0.shape[0] > TRI_UNROLL_MAX:
         raise ValueError(
             f"megakernel unrolls triangles; {scene.tri_v0.shape[0]} slots > "
-            f"{TRI_UNROLL_MAX} — pass a BVH to render_pt_fast instead"
+            f"{TRI_UNROLL_MAX} — pass bvh=build_clusters(mesh) instead"
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -164,12 +188,43 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         jnp.asarray(cam_quat, jnp.float32),
     ])
     seeds = jnp.stack([base, jnp.asarray(spp_offset, jnp.int32)])
+    if bvh is not None:
+        # the cluster tables carry the mesh; keep only the unrolled slots
+        # (NEE area-light geometry) of the scene's triangle arrays in VMEM
+        import dataclasses as _dc
+
+        n = min(scene.tri_v0.shape[0], TRI_UNROLL_MAX)
+        scene = _dc.replace(
+            scene,
+            tri_v0=scene.tri_v0[:n], tri_e1=scene.tri_e1[:n],
+            tri_e2=scene.tri_e2[:n], tri_mat=scene.tri_mat[:n],
+            tri_count=jnp.minimum(scene.tri_count, n),
+        )
     sph, tri, mat, light, counts = pack_pt_scene(scene)
 
     kernel = functools.partial(
-        _pt_kernel, cfg=cfg, spp=spp, tile_h=tile_h, tile_w=tile_w
+        _pt_kernel, cfg=cfg, spp=spp, tile_h=tile_h, tile_w=tile_w,
+        n_super=bvh.num_super if bvh is not None else 0,
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
+        full(), full(), full(), full(),          # scene tables
+    ]
+    args = [params, seeds, counts, sph, tri, mat, light]
+    if bvh is not None:
+        from raytracing_engine_tpu.accel.clusters import visit_order
+
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # super visit order
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # super boxes
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster boxes
+            full(),                                  # cluster tri rows
+        ]
+        args += [visit_order(bvh, jnp.asarray(cam_pos, jnp.float32)),
+                 bvh.super_boxes, bvh.boxes, bvh.tri]
     out, nrays = pl.pallas_call(
         kernel,
         out_shape=(
@@ -177,17 +232,12 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
             jax.ShapeDtypeStruct(grid, jnp.float32),
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seeds
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
-            full(), full(), full(), full(),          # scene tables
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # whole counter table
         ),
         interpret=interpret,
-    )(params, seeds, counts, sph, tri, mat, light)
+    )(*args)
     return jnp.moveaxis(out, 0, -1), jnp.sum(nrays)

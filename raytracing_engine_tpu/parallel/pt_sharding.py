@@ -76,9 +76,10 @@ def render_pt_sharded(cfg: PTConfig, scene, cam_pos, cam_quat, spp: int,
                 return acc + rad, nrays + nr
 
         # initial carries must be marked device-varying to match the body
-        acc0 = lax.pvary(jnp.zeros((band_h, cfg.width, 3), jnp.float32),
-                         (TILE_AXIS, SAMPLE_AXIS))
-        nr0 = lax.pvary(jnp.float32(0.0), (TILE_AXIS, SAMPLE_AXIS))
+        axes = (TILE_AXIS, SAMPLE_AXIS)
+        acc0 = lax.pcast(jnp.zeros((band_h, cfg.width, 3), jnp.float32),
+                         axes, to="varying")
+        nr0 = lax.pcast(jnp.float32(0.0), axes, to="varying")
         acc, nrays = lax.fori_loop(0, local_spp, pass_body, (acc0, nr0))
         acc = lax.psum(acc, SAMPLE_AXIS) / spp
         nrays = lax.psum(nrays, SAMPLE_AXIS)

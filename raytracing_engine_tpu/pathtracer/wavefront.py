@@ -31,6 +31,8 @@ TRI_UNROLL_MAX = 32
 import numpy as _np
 
 BIG = _np.float32(3.4e38)  # numpy scalar: traces as a literal inside Pallas
+_DEAD_O = _np.float32(1e18)       # parked-dead-ray origin (squares finitely)
+_INV_SQRT3 = _np.float32(0.5773502691896258)
 
 
 def _sel(idx, table_col, n):
@@ -118,29 +120,45 @@ def _tri_hits_unrolled(scene: PTScene, o, d, t_min):
 
 
 def _use_packet(packet):
+    """Skip-link packet traversal is opt-in ONLY: its leaf loads index the
+    lane axis dynamically, which Mosaic cannot lower — on a real TPU the
+    kernel fails to compile (it runs in interpret mode on CPU). The safe
+    default for a raw BVH is the XLA gather traversal; the production TPU
+    path is a ClusterSet (convert with accel.clusters.build_clusters)."""
     if packet is None:
-        return jax.default_backend() == "tpu"
+        return False
     return packet
 
 
 def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
-    """Gather-free cluster intersection (attrs-emitting kernel).
+    """Gather-free cluster intersection (attrs-emitting sweep).
 
-    MEASURED SLOWER than the gather path on v5e for the bench scenes
+    For an in-kernel `KernelClusters` view (the megakernel) this is THE
+    path — gathers don't exist inside a Pallas kernel. For a host-side
+    ClusterSet it was MEASURED SLOWER than the gather path on v5e
     (558 vs 457 ms at 512^2: +5 selects per triangle test outweigh the 8
-    removed per-bounce gathers), so _intersect does NOT route here; kept
-    because in-kernel consumers (a future cluster megakernel) cannot gather
-    at all. Material ids come from the ClusterSet's tri row 9
+    removed per-bounce gathers), so _intersect does NOT route ClusterSets
+    here. Material ids come from the ClusterSet's tri row 9
     (build_clusters(..., tri_mats=...)); a set built without mats yields
     material 0 for every triangle."""
     from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
+        KernelClusters,
         cluster_intersect,
+        cluster_sweep,
     )
 
     t_s, i_s = _sphere_hits(scene, o, d, t_min)
-    t_t, sidx, cnx, cny, cnz, cmat, carea = cluster_intersect(
-        cs, o, d, BIG, t_min=t_min, attrs=True
-    )
+    if isinstance(cs, KernelClusters):
+        big = jnp.full_like(o[0], BIG)
+        t_t, sidx_f, attr = cluster_sweep(cs, o, d, big, t_min=t_min,
+                                          attrs=True)
+        cnx, cny, cnz, cmat, carea = attr
+        carea = carea * 0.5
+        sidx = sidx_f.astype(jnp.int32)
+    else:
+        t_t, sidx, cnx, cny, cnz, cmat, carea = cluster_intersect(
+            cs, o, d, BIG, t_min=t_min, attrs=True
+        )
     t_t = jnp.where(sidx >= 0, t_t, BIG)
 
     use_tri = t_t < t_s
@@ -243,6 +261,12 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
 
 
 def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
+    from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
+        KernelClusters,
+    )
+
+    if isinstance(bvh, KernelClusters):  # in-kernel: gathers impossible
+        return _intersect_clusters(scene, o, d, t_min, bvh)
     t_s, i_s = _sphere_hits(scene, o, d, t_min)
     t_t, i_t, e1, e2 = _tri_hits(scene, o, d, t_min, bvh, packet)
 
@@ -298,9 +322,17 @@ def _occluded(scene: PTScene, o, d, max_t, t_min, bvh, packet=None):
         blocked = blocked | ok
 
     from raytracing_engine_tpu.accel.clusters import ClusterSet
+    from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
+        KernelClusters,
+        cluster_sweep,
+    )
 
     T = scene.tri_v0.shape[0]
-    if isinstance(bvh, ClusterSet):
+    if isinstance(bvh, KernelClusters):  # in-kernel any-hit sweep
+        t0 = jnp.broadcast_to(max_t, o[0].shape)
+        _, idx_f, _ = cluster_sweep(bvh, o, d, t0, t_min=t_min, any_hit=True)
+        blocked = blocked | (idx_f >= 0.0)
+    elif isinstance(bvh, ClusterSet):
         from raytracing_engine_tpu.accel.clusters import visit_order
         from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
             cluster_intersect,
@@ -533,8 +565,14 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             jnp.maximum(new_thr[0], jnp.maximum(new_thr[1], new_thr[2])) > 0.0
         )
         st["thr"] = v3.where(cont, new_thr, (zero, zero, zero))
-        st["o"] = v3.where(cont, new_o, st["o"])
-        st["d"] = v3.where(cont, new_d, st["d"])
+        # park dead rays far away with an all-positive direction: every slab
+        # test then fails (all t < 0), so dead lanes stop dragging cluster /
+        # triangle work into their tile's sweep. Their results are already
+        # gated by `alive`; only the wasted work disappears.
+        dead_o = (zero + _DEAD_O, zero + _DEAD_O, zero + _DEAD_O)
+        dead_d = (zero + _INV_SQRT3, zero + _INV_SQRT3, zero + _INV_SQRT3)
+        st["o"] = v3.where(cont, new_o, dead_o)
+        st["d"] = v3.where(cont, new_d, dead_d)
         st["alive"] = jnp.where(cont, 1.0, 0.0)
         did_nee = (
             hit & (kind == DIFFUSE) & (scene.light_count > 0)

@@ -108,7 +108,7 @@ def test_visit_order_is_permutation_and_order_independent(setup):
 
     mesh, cs = setup
     order = visit_order(cs, jnp.array([0.0, 0.0, 0.0]))
-    assert sorted(np.asarray(order).tolist()) == list(range(cs.num_clusters))
+    assert sorted(np.asarray(order).tolist()) == list(range(cs.num_super))
 
     o, d = _ray_grid(16, 128, seed=7)
     t_a, idx_a = cluster_intersect(cs, o, d, jnp.inf, interpret=True)

@@ -59,3 +59,39 @@ def test_mega_rejects_big_meshes():
     cfg = PTConfig(width=16, height=16)
     with pytest.raises(ValueError):
         render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 1, KEY)
+
+
+def _mesh_scene():
+    from raytracing_engine_tpu.accel import icosphere
+    from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+
+    tris = icosphere(subdivisions=2, radius=1.2, center=(0.0, 5.0, 0.0))
+    tri_mats = np.zeros(len(tris), np.int32)
+    mats = [
+        {"albedo": (0.6, 0.5, 0.4), "kind": DIFFUSE},
+        {"albedo": (0, 0, 0), "emission": (8.0,) * 3, "kind": DIFFUSE},
+        {"albedo": (0.5, 0.5, 0.6), "kind": DIFFUSE},
+    ]
+    scene = build_pt_scene(
+        spheres=[((3.0, 3.0, 3.0), 1.0, 1), ((0.0, 5.0, -52.0), 50.0, 2)],
+        triangles=tris, tri_mats=tri_mats, materials=mats,
+    )
+    return scene, tris, tri_mats
+
+
+def test_mega_cluster_mode_matches_wavefront():
+    """bvh=ClusterSet runs the whole bounce loop in-kernel via the
+    hierarchical cluster sweep; must match the XLA wavefront with the same
+    ClusterSet (same pcg stream; only hit-attr provenance differs)."""
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+
+    scene, tris, tri_mats = _mesh_scene()
+    cs = build_clusters(tris, tri_mats=tri_mats)
+    cfg = PTConfig(width=32, height=16, max_bounces=2, rng="pcg")
+    pos = jnp.zeros(3)
+    want, n_want = render_pt_fast(cfg, scene, pos, QUAT, 2, KEY, bvh=cs)
+    got, n_got = render_pt_mega(cfg, scene, pos, QUAT, 2, KEY, bvh=cs)
+    d = np.abs(np.asarray(got) - np.asarray(want)).max(-1)
+    assert (d > 1e-3).mean() < 0.02, f"{(d > 1e-3).mean():.3%} diverged"
+    assert d.mean() < 2e-4
+    assert abs(float(n_want) - float(n_got)) <= max(8.0, 1e-3 * float(n_want))
