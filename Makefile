@@ -1,6 +1,6 @@
 # Convenience targets (see README.md / BASELINE.md for details)
 
-.PHONY: test test-fast bench benchmarks golden native clean
+.PHONY: test test-fast test-tpu bench benchmarks golden native clean
 
 test:            ## full suite (CPU, 8 virtual devices via tests/conftest.py)
 	python -m pytest tests/ -q
@@ -9,6 +9,9 @@ test-fast:       ## skip the slow interpret-mode kernel suites
 	python -m pytest tests/ -q --ignore=tests/test_megakernel.py \
 	  --ignore=tests/test_clusters.py --ignore=tests/test_packet_bvh.py \
 	  --ignore=tests/test_instanced_kernel.py
+
+test-tpu:        ## compiled-kernel parity tier (needs a real TPU; run before benchmarks)
+	python -m pytest tests_tpu/ -q
 
 bench:           ## headline benchmark (run on TPU hardware)
 	python bench.py

@@ -180,9 +180,10 @@ def config4_progressive(results, spp=1024, size=256):
 def config5_instanced(results, width=1920, height=1088, frames=8):
     """1M+ instanced triangles, interactive 1080p camera orbit (stretch).
 
-    Uses the Pallas instanced cluster kernel (the gather-based two-level
-    traversal crashed the tunneled TPU worker and stays CPU-test-only).
-    Primary visibility + normal shading over chained orbit frames.
+    Fully SHADED frames (the reference shades everything it draws,
+    fragment.glsl:127-187): the attrs-emitting Pallas instanced cluster
+    kernel returns world normals, Blinn/Phong lighting with the reference
+    falloffs, plus hard shadows from a second any-hit launch.
     """
     import numpy as np
     import jax
@@ -192,39 +193,31 @@ def config5_instanced(results, width=1920, height=1088, frames=8):
     from raytracing_engine_tpu.accel import build_bvh, torus_knot
     from raytracing_engine_tpu.accel.clusters import build_clusters
     from raytracing_engine_tpu.accel.instancing import grid_instances
+    from raytracing_engine_tpu.models.instanced import render_instanced_phong
     from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
-        instanced_cluster_intersect,
         pack_instances,
     )
 
     mesh = torus_knot(segments=550, sides=32)  # 35200 tris per instance
     bvh = build_bvh(mesh)
     cs = build_clusters(mesh)  # in-process numpy build (no device round trip)
-    inst = grid_instances(bvh, nx=6, ny=5, spacing=4.0, base=(0.0, 14.0, 0.0))
+    inst = grid_instances(
+        bvh, nx=6, ny=5, spacing=4.0, base=(0.0, 14.0, 0.0),
+        mats=np.arange(30, dtype=np.int32) % 3,
+    )
     tab = pack_instances(inst)
-
-    iy, ix = np.mgrid[0:height, 0:width].astype(np.float32)
-    ncx0 = (ix + 0.5) * 2 / width - 1
-    ncy0 = (iy + 0.5) * 2 / height - 1
+    mat_albedo = jnp.asarray(np.array(
+        [[0.8, 0.5, 0.3], [0.4, 0.7, 0.5], [0.5, 0.5, 0.8]], np.float32))
+    light = jnp.asarray([6.0, 2.0, 8.0])
+    cam = jnp.zeros(3)
 
     @jax.jit
     def orbit(yaws):
-        ncx = jnp.asarray(ncx0)
-        ncy = jnp.asarray(ncy0 * height / width)
-
         def frame(i, acc):
-            yaw = yaws[i] * (1.0 + 0.0 * acc)
-            cy, sy = jnp.cos(yaw), jnp.sin(yaw)
-            # rotate camera about Z, looking +Y
-            dx = ncx * cy - sy
-            dy = ncx * sy + cy
-            dz = ncy
-            n = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-            o = (jnp.zeros_like(dx), jnp.zeros_like(dx), jnp.zeros_like(dx))
-            t, code = instanced_cluster_intersect(
-                tab, cs, o, (dx / n, dy / n, dz / n))
-            shade = jnp.where(jnp.isfinite(t), 1.0 / (1.0 + 0.05 * t), 0.0)
-            return acc + shade[0, 0]
+            img = render_instanced_phong(
+                tab, cs, inst.mat, mat_albedo, cam, yaws[i] + 0.0 * acc,
+                light, width=width, height=height, shadows=True)
+            return acc + img[0, 0, 0]
 
         return lax.fori_loop(0, yaws.shape[0], frame, jnp.float32(0.0))
 
@@ -241,7 +234,7 @@ def config5_instanced(results, width=1920, height=1088, frames=8):
         "resolution": f"{width}x{height}",
         "frame_ms": round(dt * 1e3, 1),
         "fps": round(1.0 / dt, 1),
-        "note": "primary visibility + depth shading, chained orbit frames (Pallas instanced cluster kernel)",
+        "note": "Blinn/Phong shaded + hard shadows, chained orbit frames (attrs-emitting Pallas instanced cluster kernel)",
     }
 
 

@@ -1,0 +1,123 @@
+"""Shaded rendering of instanced scenes (BASELINE config 5).
+
+The reference shades everything it draws (/root/reference/shaders/
+fragment.glsl:127-187: per-light diffuse + specular + ambient with
+sphere-traced shadows); this module gives the instanced cluster path the
+same treatment: the attrs-emitting instanced kernel returns (t, code,
+world normal), instance materials resolve with a small select chain
+(code // padded_tris -> instance -> material), lighting is reference-style
+Blinn/Phong planes math, and shadows come from a second any-hit launch of
+the same instanced kernel toward the light.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
+    instanced_cluster_intersect,
+)
+
+_BIG = np.float32(3.4e38)
+
+
+def _sel(idx, table, n):
+    out = jnp.zeros_like(idx, dtype=table.dtype) * table[0]
+    for k in range(n):
+        out = jnp.where(idx == k, table[k], out)
+    return out
+
+
+@partial(jax.jit, static_argnames=("width", "height", "shadows", "interpret",
+                                   "fov"))
+def render_instanced_phong(inst_tab, cs, inst_mat, mat_albedo,
+                           cam_pos, yaw, light_pos,
+                           width=1920, height=1088, fov=1.0,
+                           light_color=(300.0, 300.0, 290.0),
+                           ambient=0.08, shininess=32.0, eps=1e-2,
+                           shadows=True, interpret=None):
+    """Phong-shaded frame of an instanced scene: (H, W, 3) f32.
+
+    inst_tab: pack_instances(...); cs: the base-mesh ClusterSet;
+    inst_mat: (N,) int32 per-instance material id; mat_albedo: (M, 3).
+    Camera: position + yaw about +Z looking +Y (reference convention,
+    src/main.rs:402-414). Lighting follows fragment.glsl:162-185 semantics:
+    diffuse = max(dot(n,l),0), Blinn specular, 0.01*d^2 light falloff,
+    camera-distance falloff, ambient — shadows are hard (one any-hit
+    instanced launch) rather than sphere-traced soft (no SDF here).
+    """
+    iy = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    ncx = ((ix.astype(jnp.float32) + 0.5) * 2.0 / width - 1.0) * fov
+    ncy = ((iy.astype(jnp.float32) + 0.5) * 2.0 / height - 1.0) * (
+        fov * height / width)
+
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    dx = ncx * cy - sy
+    dy = ncx * sy + cy
+    dz = ncy
+    inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    d = (dx * inv, dy * inv, dz * inv)
+    o = tuple(jnp.broadcast_to(cam_pos[i], d[0].shape) + 0.0 * d[0]
+              for i in range(3))
+
+    t, code, nx, ny, nz = instanced_cluster_intersect(
+        inst_tab, cs, o, d, attrs=True, interpret=interpret)
+    hit = code >= 0
+
+    nl = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-20)
+    nx, ny, nz = nx / nl, ny / nl, nz / nl
+    flip = jnp.where(nx * d[0] + ny * d[1] + nz * d[2] > 0.0, -1.0, 1.0)
+    nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+    px = o[0] + d[0] * jnp.where(hit, t, 0.0)
+    py = o[1] + d[1] * jnp.where(hit, t, 0.0)
+    pz = o[2] + d[2] * jnp.where(hit, t, 0.0)
+
+    n_inst = inst_tab.shape[0]
+    inst_id = jnp.where(hit, code // cs.padded_tris, 0)
+    mat_id = _sel(inst_id, inst_mat, n_inst)
+    M = mat_albedo.shape[0]
+    alb = (_sel(mat_id, mat_albedo[:, 0], M),
+           _sel(mat_id, mat_albedo[:, 1], M),
+           _sel(mat_id, mat_albedo[:, 2], M))
+
+    lx = light_pos[0] - px
+    ly = light_pos[1] - py
+    lz = light_pos[2] - pz
+    ldist = jnp.sqrt(lx * lx + ly * ly + lz * lz)
+    linv = 1.0 / jnp.maximum(ldist, 1e-20)
+    lx, ly, lz = lx * linv, ly * linv, lz * linv
+
+    ndotl = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+    # Blinn half-vector spec (view dir = -d)
+    hx, hy, hz = lx - d[0], ly - d[1], lz - d[2]
+    hn = jnp.maximum(jnp.sqrt(hx * hx + hy * hy + hz * hz), 1e-20)
+    spec = jnp.maximum((nx * hx + ny * hy + nz * hz) / hn, 0.0) ** shininess
+    spec = jnp.where(ndotl > 0.0, spec, 0.0)
+
+    if shadows:
+        so = (px + nx * eps, py + ny * eps, pz + nz * eps)
+        _, scode = instanced_cluster_intersect(
+            inst_tab, cs, so, (lx, ly, lz), any_hit=True,
+            t_max=ldist * (1.0 - 1e-3), interpret=interpret)
+        lit = jnp.where(scode >= 0, 0.0, 1.0)
+    else:
+        lit = 1.0
+
+    # fragment.glsl:162-185 falloffs
+    light_fall = jnp.maximum(0.01 * ldist * ldist, 1.0)
+    cam_fall = jnp.maximum(0.01 * (t * t + 1.0), 1.0)
+    cam_fall = jnp.where(hit, cam_fall, 1.0)
+    norm_fall = jnp.maximum(-(nx * d[0] + ny * d[1] + nz * d[2]), 0.0)
+
+    out = []
+    for ch, lc in zip(alb, light_color):
+        c = (ambient + (ndotl + spec) * lc / light_fall * lit) \
+            / cam_fall * norm_fall * ch
+        out.append(jnp.where(hit, c, 0.0))
+    return jnp.stack(out, axis=-1)

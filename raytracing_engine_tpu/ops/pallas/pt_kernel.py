@@ -9,7 +9,10 @@ once per tile, the counter-based PCG RNG computes in-kernel from global
 pixel coords, and the only HBM traffic is the final radiance tile.
 
 Covers sphere scenes + up to TRI_UNROLL_MAX unrolled triangles (BASELINE
-configs 2 and 4); BVH meshes use the packet traversal kernel path instead.
+configs 2 and 4), and — given a ClusterSet (bvh=build_clusters(mesh)) —
+arbitrary triangle meshes (config 3): the hierarchical cluster sweep
+(ops/pallas/cluster_intersect.cluster_sweep) runs inside the kernel via a
+KernelClusters ref view, including the NEE shadow sweeps.
 """
 
 from __future__ import annotations
@@ -103,7 +106,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
         bvh = None
     i = pl.program_id(0)
     j = pl.program_id(1)
-    row0 = i * tile_h
+    row0 = i * tile_h + seeds_ref[2]  # band offset: GLOBAL pixel rows
     col0 = j * tile_w
 
     cam = (params_ref[0], params_ref[1], params_ref[2])
@@ -140,12 +143,19 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnums=(0, 4), static_argnames=("interpret", "tile")
+    jax.jit, static_argnums=(0, 4),
+    static_argnames=("interpret", "tile", "band_h"),
 )
 def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
                    key=None, spp_offset=0, interpret=None, tile=(64, 256),
-                   bvh=None):
-    """Megakernel render: ((H, W, 3) image, nrays). rng is always pcg.
+                   bvh=None, row0=0, band_h=None):
+    """Megakernel render: ((band_h or H, W, 3) image, nrays). rng: pcg.
+
+    row0/band_h: render only a horizontal band of the image (a device band
+    in the sharded render). cfg keeps the FULL image height — the camera
+    projection and the counter-based pcg stream are defined on global
+    pixel coordinates, so a band render is bit-identical to the same rows
+    of the full-image render.
 
     bvh: optional accel.clusters.ClusterSet — the whole bounce loop
     (intersection + NEE shadow sweeps included) then runs in-kernel via the
@@ -177,7 +187,7 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
 
     base = key_to_seed(key)
 
-    h, w = cfg.height, cfg.width
+    h, w = (band_h or cfg.height), cfg.width
     from raytracing_engine_tpu.ops.pallas.common import pick_tile
 
     tile_h, tile_w = pick_tile(h, w, *tile)
@@ -187,7 +197,8 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         jnp.asarray(cam_pos, jnp.float32),
         jnp.asarray(cam_quat, jnp.float32),
     ])
-    seeds = jnp.stack([base, jnp.asarray(spp_offset, jnp.int32)])
+    seeds = jnp.stack([base, jnp.asarray(spp_offset, jnp.int32),
+                       jnp.asarray(row0, jnp.int32)])
     if bvh is not None:
         # the cluster tables carry the mesh; keep only the unrolled slots
         # (NEE area-light geometry) of the scene's triangle arrays in VMEM

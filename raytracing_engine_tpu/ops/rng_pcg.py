@@ -79,3 +79,27 @@ def uniform_pcg(seed, ctr: jax.Array | int, n: int, h: int, w: int,
         o1, o2, o3, o4 = pcg4d(px, py, zz, ww)
         planes.extend([_to_unit(o1), _to_unit(o2), _to_unit(o3), _to_unit(o4)])
     return tuple(planes[:n])
+
+
+def uniform_pcg_coords(seed, ctr, n: int, px, py):
+    """Like uniform_pcg, but keyed by EXPLICIT int32 coordinate planes.
+
+    The sorted wavefront permutes ray state between bounces; carrying each
+    ray's original pixel coordinates through the permutation and hashing on
+    them keeps the sample stream identical to the unsorted render, so
+    sorting is a pure execution-order optimization (bit-identical images).
+    """
+    shape = px.shape
+    px = px.astype(jnp.uint32)
+    py = py.astype(jnp.uint32)
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    ctr = jnp.asarray(ctr).astype(jnp.uint32)
+
+    planes = []
+    blocks = -(-n // 4)
+    for b in range(blocks):
+        zz = jnp.broadcast_to(ctr * jnp.uint32(blocks) + jnp.uint32(b), shape)
+        ww = jnp.broadcast_to(seed, shape)
+        o1, o2, o3, o4 = pcg4d(px, py, zz, ww)
+        planes.extend([_to_unit(o1), _to_unit(o2), _to_unit(o3), _to_unit(o4)])
+    return tuple(planes[:n])

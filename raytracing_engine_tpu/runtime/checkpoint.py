@@ -10,10 +10,30 @@ framework lock-in, loadable anywhere.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _accumulate_donated(accum, img, n):
+    return accum + img * n
+
+
+def _accumulate(accum, img, n):
+    """Add a chunk into the running sum, DONATING the old accumulator: XLA
+    reuses its buffer in place instead of allocating a new (H, W, 3) every
+    chunk — the frames-in-flight buffer-reuse analog (SURVEY.md §2.5,
+    src/main.rs:882-927 per-image fences). The donated array is consumed:
+    callers must not reuse a ProgressiveState after advancing past it.
+    (CPU backends don't implement donation — plain add, avoids the warning.)
+    """
+    if jax.default_backend() == "cpu":
+        return accum + img * n
+    return _accumulate_donated(accum, img, n)
 
 
 @dataclasses.dataclass
@@ -84,7 +104,7 @@ def progressive_render(
             bvh=bvh, spp_offset=jnp.int32(state.spp_done),
         )
         state = ProgressiveState(
-            accum=state.accum + img * n,
+            accum=_accumulate(state.accum, img, jnp.float32(n)),
             spp_done=state.spp_done + n,
             key=state.key,
             cam_pos=state.cam_pos,

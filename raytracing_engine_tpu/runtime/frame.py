@@ -50,6 +50,11 @@ class InputEvent:
     cursor: tuple = (0.0, 0.0)
     dt: float = 1.0 / 60.0
     resize: tuple | None = None  # (width, height) — swapchain-recreate analog
+    # window-system events (src/main.rs:682-717):
+    quit: bool = False                 # Escape / close-requested (:684-694)
+    fullscreen_toggle: bool = False    # F11 borderless toggle (:689-696)
+    focus: bool | None = None          # focus gained/lost -> unfreeze/freeze
+    #                                    + cursor grab toggle (:711-717)
 
 
 class FrameLoop:
@@ -69,21 +74,52 @@ class FrameLoop:
         self._primary, self._secondary = conemarch_ray_count(
             cfg, int(scene.light_count)
         )
+        # window-system state (src/main.rs:366-383 Data flags)
+        self.quit = False
+        self.frozen = False          # focus lost -> skip frames (:726)
+        self.cursor_grabbed = True   # grabbed while focused (:711-717)
+        self.fullscreen = False
+        self.monitor = (1920, 1080)  # borderless-fullscreen resolution
+        self._windowed = (cfg.width, cfg.height)
+        self._last = None
+
+    def _set_size(self, w: int, h: int):
+        # reference enforces width >= height on resize (src/main.rs:702-706)
+        if h > w:
+            h = w
+        self.cfg = dataclasses.replace(self.cfg, width=w, height=h)
+        self._primary, self._secondary = conemarch_ray_count(
+            self.cfg, int(self.scene.light_count)
+        )
 
     def step(self, event: InputEvent):
         """Integrate one input event and render. Returns the device image
         (async — not blocked on) like the reference's submit-without-wait."""
+        if event.quit:
+            # Escape / close (src/main.rs:684-694): stop rendering
+            self.quit = True
+            return self._last
+        if event.focus is not None:
+            # focus change: freeze when unfocused + cursor grab toggle
+            # (src/main.rs:711-717; frozen loop skips at :726)
+            self.frozen = not event.focus
+            self.cursor_grabbed = event.focus
+        if self.frozen:
+            return self._last
+        if event.fullscreen_toggle:
+            # F11 borderless fullscreen (src/main.rs:689-696): headless
+            # analog = switch to the monitor resolution and back
+            self.fullscreen = not self.fullscreen
+            if self.fullscreen:
+                self._windowed = (self.cfg.width, self.cfg.height)
+                self._set_size(*self.monitor)
+            else:
+                self._set_size(*self._windowed)
         if event.resize is not None:
             # resize = new RenderConfig; jit respecializes (the analog of the
-            # reference's swapchain/pipeline/pyramid rebuild, src/main.rs:778-
-            # 870, including its width >= height enforcement at :702-706)
-            w, h = event.resize
-            if h > w:
-                h = w
-            self.cfg = dataclasses.replace(self.cfg, width=w, height=h)
-            self._primary, self._secondary = conemarch_ray_count(
-                self.cfg, int(self.scene.light_count)
-            )
+            # reference's swapchain/pipeline/pyramid rebuild,
+            # src/main.rs:778-870)
+            self._set_size(*event.resize)
         self.camera = integrate_input(
             self.camera,
             jnp.asarray(event.move, jnp.float32),
@@ -92,9 +128,10 @@ class FrameLoop:
             jnp.float32(event.dt),
             jnp.float32(self.cfg.width),
         )
-        return self._render(
+        self._last = self._render(
             self.cfg, self.scene, self.camera.position, self.camera.quat()
         )
+        return self._last
 
     def run(
         self,
@@ -110,6 +147,10 @@ class FrameLoop:
         for i, ev in enumerate(events):
             t0 = time.perf_counter()
             img = self.step(ev)
+            if self.quit:
+                break
+            if img is None:  # frozen frame: nothing rendered
+                continue
             if sink is not None or stats:
                 img = jax.block_until_ready(img)
             dt = time.perf_counter() - t0

@@ -57,3 +57,64 @@ def test_instanced_kernel_miss_is_clean(setup):
     t, code = instanced_cluster_intersect(tab, cs, o, d, interpret=True)
     assert np.isinf(np.asarray(t)).all()
     assert (np.asarray(code) == -1).all()
+
+
+def test_instanced_attrs_normals_match_gather(setup):
+    """attrs=True world normals agree with the gather two-level path."""
+    mesh, inst, cs, tab = setup
+    o, d = _ray_grid(16, 128, seed=3)
+    t_k, code, nx, ny, nz = instanced_cluster_intersect(
+        tab, cs, o, d, attrs=True, interpret=True)
+
+    o3 = jnp.stack(o, -1)
+    d3 = jnp.stack(d, -1)
+    t_g, gi, gt, n_g = instanced_intersect(inst, o3, d3)
+    hit = np.isfinite(np.asarray(t_g))
+    assert hit.any()
+    n_k = np.stack([np.asarray(nx), np.asarray(ny), np.asarray(nz)], -1)
+    n_k = n_k / np.maximum(np.linalg.norm(n_k, axis=-1, keepdims=True), 1e-20)
+    # same triangle -> same unoriented geometric normal
+    dots = np.abs((n_k[hit] * np.asarray(n_g)[hit]).sum(-1))
+    assert (dots > 1.0 - 1e-4).mean() > 0.995  # edge/tie hits may differ
+
+
+def test_instanced_any_hit_tmax(setup):
+    """any_hit with a t_max cutoff: occluded only when a hit lies closer."""
+    mesh, inst, cs, tab = setup
+    o, d = _ray_grid(8, 128, seed=5)
+    t_k, _ = instanced_cluster_intersect(tab, cs, o, d, interpret=True)
+    t_np = np.asarray(t_k)
+    hit = np.isfinite(t_np)
+
+    _, code_far = instanced_cluster_intersect(
+        tab, cs, o, d, any_hit=True, t_max=1e9, interpret=True)
+    np.testing.assert_array_equal(np.asarray(code_far) >= 0, hit)
+
+    # cutoff below every hit distance -> nothing occludes
+    tmin_cut = np.where(hit, t_np, np.inf).min() * 0.5
+    _, code_near = instanced_cluster_intersect(
+        tab, cs, o, d, any_hit=True, t_max=tmin_cut, interpret=True)
+    assert (np.asarray(code_near) == -1).all()
+
+
+def test_render_instanced_phong(setup):
+    """Shaded instanced frame: hits lit, misses black, shadows darken."""
+    from raytracing_engine_tpu.models.instanced import render_instanced_phong
+
+    mesh, inst, cs, tab = setup
+    mat_albedo = jnp.asarray(np.array([[0.8, 0.6, 0.4]], np.float32))
+    kw = dict(width=128, height=64, interpret=True,
+              light_color=(120.0, 120.0, 110.0))
+    cam = jnp.zeros(3)
+    img = render_instanced_phong(
+        tab, cs, inst.mat, mat_albedo, cam, jnp.float32(0.0),
+        jnp.asarray([0.0, 4.0, 6.0]), shadows=True, **kw)
+    img_ns = render_instanced_phong(
+        tab, cs, inst.mat, mat_albedo, cam, jnp.float32(0.0),
+        jnp.asarray([0.0, 4.0, 6.0]), shadows=False, **kw)
+    a = np.asarray(img)
+    b = np.asarray(img_ns)
+    assert np.isfinite(a).all()
+    assert (a > 0).any(), "some pixels lit"
+    assert (a <= b + 1e-6).all(), "shadows only remove light"
+    assert (a < b - 1e-4).any(), "instances shadow each other somewhere"

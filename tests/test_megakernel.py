@@ -95,3 +95,20 @@ def test_mega_cluster_mode_matches_wavefront():
     assert (d > 1e-3).mean() < 0.02, f"{(d > 1e-3).mean():.3%} diverged"
     assert d.mean() < 2e-4
     assert abs(float(n_want) - float(n_got)) <= max(8.0, 1e-3 * float(n_want))
+
+
+def test_sorted_wavefront_bit_identical():
+    """Ray sorting is a pure execution-order optimization: the sorted
+    render must equal the unsorted one exactly (same pcg stream keyed by
+    original pixel coords, same per-ray arithmetic, exact un-permute)."""
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+
+    scene, tris, tri_mats = _mesh_scene()
+    cs = build_clusters(tris, tri_mats=tri_mats)
+    cfg = PTConfig(width=32, height=16, max_bounces=3, rng="pcg")
+    pos = jnp.zeros(3)
+    want, n_want = render_pt_fast(cfg, scene, pos, QUAT, 2, KEY, bvh=cs)
+    got, n_got = render_pt_fast(cfg, scene, pos, QUAT, 2, KEY, bvh=cs,
+                                sort=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert float(n_want) == float(n_got)

@@ -102,3 +102,54 @@ def test_resize_respecializes(scene):
     assert b.shape == (64, 128, 3)
     c = loop.step(InputEvent(resize=(64, 128)))  # width>=height enforced
     assert c.shape == (64, 64, 3)
+
+
+def test_frameloop_window_events(scene):
+    """quit / focus-freeze / F11 fullscreen semantics (src/main.rs:682-717)."""
+    import numpy as np
+    from raytracing_engine_tpu.runtime import FrameLoop, InputEvent
+
+    loop = FrameLoop(RenderConfig(width=64, height=64), scene)
+    loop.monitor = (128, 64)  # tiny "monitor" keeps the test fast
+
+    a = loop.step(InputEvent())
+    assert loop.cursor_grabbed and not loop.frozen
+
+    # focus lost -> frozen: no integration, no render, cursor released
+    pos_before = np.asarray(loop.camera.position).copy()
+    f = loop.step(InputEvent(focus=False))
+    assert loop.frozen and not loop.cursor_grabbed
+    assert f is a  # frozen frame returns the last image, renders nothing
+    loop.step(InputEvent(move=(0, 1, 0), dt=1.0))  # ignored while frozen
+    np.testing.assert_array_equal(np.asarray(loop.camera.position), pos_before)
+
+    # focus regained -> unfreeze + grab
+    loop.step(InputEvent(focus=True))
+    assert not loop.frozen and loop.cursor_grabbed
+
+    # F11 -> monitor resolution; F11 again -> windowed size restored
+    b = loop.step(InputEvent(fullscreen_toggle=True))
+    assert loop.fullscreen and b.shape == (64, 128, 3)
+    c = loop.step(InputEvent(fullscreen_toggle=True))
+    assert not loop.fullscreen and c.shape == (64, 64, 3)
+
+    # Escape -> quit; run() stops consuming events
+    loop.step(InputEvent(quit=True))
+    assert loop.quit
+    loop2 = FrameLoop(RenderConfig(width=64, height=64), scene)
+    seen = []
+    events = [InputEvent(), InputEvent(quit=True), InputEvent()]
+    loop2.run(events, sink=lambda i, im: seen.append(i))
+    assert seen == [0] and loop2.quit
+
+
+def test_progressive_accumulate_donation(scene):
+    """The donated accumulator produces the same sums as a plain add."""
+    import jax.numpy as jnp
+    import numpy as np
+    from raytracing_engine_tpu.runtime.checkpoint import _accumulate
+
+    acc = jnp.ones((8, 8, 3))
+    img = jnp.full((8, 8, 3), 0.5)
+    out = _accumulate(acc, img, jnp.float32(4))
+    np.testing.assert_allclose(np.asarray(out), 3.0)

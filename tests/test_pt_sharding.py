@@ -59,3 +59,53 @@ def test_sharded_soa_pcg_matches_unsharded(setup):
                                make_mesh(4, 2), soa=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("tiles,samples", [(4, 2), (2, 4)])
+def test_sharded_mega_matches_unsharded_mega(setup, tiles, samples):
+    """Megakernel per device band == unsharded megakernel bit-for-bit
+    (counter-based pcg is tiling-invariant; psum of disjoint spp ranges)."""
+    import dataclasses
+
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+
+    cfg, scene, pos, quat, _, _ = setup
+    cfg = dataclasses.replace(cfg, rng="pcg")
+    tile = (8, 32)
+    want, want_rays = render_pt_mega(cfg, scene, pos, quat, 8, KEY, tile=tile)
+    got, nrays = render_pt_sharded(cfg, scene, pos, quat, 8, KEY,
+                                   make_mesh(tiles, samples), mega=True,
+                                   tile=tile)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)
+    assert abs(float(nrays) - float(want_rays)) < 1e-3
+
+
+def test_sharded_mega_cluster_scene(setup):
+    """Sharded megakernel with a ClusterSet (mesh scene) matches the
+    unsharded cluster megakernel."""
+    import dataclasses
+
+    from raytracing_engine_tpu.accel import icosphere
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+
+    tris = icosphere(subdivisions=2, radius=1.2, center=(0.0, 5.0, 0.0))
+    cs = build_clusters(tris, tri_mats=np.zeros(len(tris), np.int32))
+    scene = build_pt_scene(
+        spheres=[((3.0, 3.0, 3.0), 1.0, 1)],
+        triangles=tris, tri_mats=np.zeros(len(tris), np.int32),
+        materials=[{"albedo": (0.6, 0.5, 0.4), "kind": DIFFUSE},
+                   {"albedo": (0, 0, 0), "emission": (8.0,) * 3,
+                    "kind": DIFFUSE}],
+    )
+    cfg = PTConfig(width=32, height=24, max_bounces=2, rng="pcg")
+    pos = jnp.zeros(3)
+    quat = jnp.array([0.0, 0.0, 0.0, 1.0])
+    tile = (8, 32)
+    want, _ = render_pt_mega(cfg, scene, pos, quat, 4, KEY, tile=tile, bvh=cs)
+    got, _ = render_pt_sharded(cfg, scene, pos, quat, 4, KEY,
+                               make_mesh(4, 2), bvh=cs, mega=True, tile=tile)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)

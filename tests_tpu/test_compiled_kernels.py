@@ -1,0 +1,145 @@
+"""Compiled-vs-interpret parity for every production Pallas kernel.
+
+Small shapes keep per-kernel Mosaic compiles to a few seconds; tolerances
+are tight (the interpret path runs the same jnp ops through XLA on the
+same chip — only instruction scheduling differs).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+QUAT = jnp.array([0.0, 0.0, 0.0, 1.0])
+W, H = 256, 64
+
+
+def _assert_close(a, b, atol=2e-5, rtol=1e-5, frac=0.0, label=""):
+    a = np.asarray(a)
+    b = np.asarray(b)
+    bad = ~np.isclose(a, b, atol=atol, rtol=rtol)
+    assert bad.mean() <= frac, (
+        f"{label}: {bad.mean():.4%} elements diverge "
+        f"(max abs {np.abs(a - b).max():.3g})"
+    )
+
+
+@pytest.fixture(scope="module")
+def sphere_scene():
+    from raytracing_engine_tpu.scene import default_scene
+
+    return default_scene()
+
+
+@pytest.fixture(scope="module")
+def mesh_setup():
+    from raytracing_engine_tpu.accel import build_bvh, icosphere
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+    from raytracing_engine_tpu.accel.instancing import grid_instances
+    from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
+        pack_instances,
+    )
+
+    mesh = icosphere(subdivisions=2, radius=1.2, center=(0.0, 5.0, 0.0))
+    cs = build_clusters(mesh, tri_mats=np.zeros(mesh.shape[0], np.int32))
+    bvh = build_bvh(mesh)
+    inst = grid_instances(bvh, nx=3, ny=2, spacing=2.5, base=(0.0, 8.0, 0.0))
+    return mesh, cs, inst, pack_instances(inst)
+
+
+def _rays(h=H, w=W, seed=0):
+    rng = np.random.default_rng(seed)
+    o = tuple(jnp.zeros((h, w)) for _ in range(3))
+    tx = rng.normal(0.0, 1.6, size=(h, w)).astype(np.float32)
+    ty = np.full((h, w), 5.0, np.float32)
+    tz = rng.normal(0.0, 1.6, size=(h, w)).astype(np.float32)
+    n = np.sqrt(tx * tx + ty * ty + tz * tz)
+    return o, (jnp.asarray(tx / n), jnp.asarray(ty / n), jnp.asarray(tz / n))
+
+
+def test_depth_and_shade_kernels(sphere_scene):
+    """Cone-march pyramid + shading, unfused and fused (compiled vs interpret)."""
+    import raytracing_engine_tpu as rt
+    from raytracing_engine_tpu.models import pallas_renderer
+
+    cfg = rt.RenderConfig(width=W, height=H)
+    pos = jnp.array([0.5, -2.0, 0.25])
+    for fused in (True, False):
+        got = pallas_renderer.render_jit(cfg, sphere_scene, pos, QUAT,
+                                         interpret=False, fused=fused)
+        want = pallas_renderer.render_jit(cfg, sphere_scene, pos, QUAT,
+                                          interpret=True, fused=fused)
+        _assert_close(got, want, label=f"conemarch fused={fused}",
+                      frac=1e-4)  # isolated edge pixels may flip
+
+
+def test_cluster_kernel(mesh_setup):
+    from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
+        cluster_intersect,
+    )
+
+    mesh, cs, _, _ = mesh_setup
+    o, d = _rays()
+    got = cluster_intersect(cs, o, d, jnp.inf, attrs=True, interpret=False)
+    want = cluster_intersect(cs, o, d, jnp.inf, attrs=True, interpret=True)
+    for g, w, name in zip(got, want, ("t", "idx", "nx", "ny", "nz", "mat",
+                                      "area")):
+        _assert_close(g, w, label=f"cluster.{name}")
+
+    got_ah = cluster_intersect(cs, o, d, 10.0, any_hit=True, interpret=False)
+    want_ah = cluster_intersect(cs, o, d, 10.0, any_hit=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_ah[1]) >= 0,
+                                  np.asarray(want_ah[1]) >= 0)
+
+
+def test_instanced_kernel(mesh_setup):
+    from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
+        instanced_cluster_intersect,
+    )
+
+    mesh, cs, inst, tab = mesh_setup
+    o, d = _rays(seed=3)
+    got = instanced_cluster_intersect(tab, cs, o, d, attrs=True,
+                                      interpret=False)
+    want = instanced_cluster_intersect(tab, cs, o, d, attrs=True,
+                                       interpret=True)
+    for g, w, name in zip(got, want, ("t", "code", "nx", "ny", "nz")):
+        _assert_close(g, w, label=f"instanced.{name}")
+
+
+def test_megakernel_spheres():
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scenes import material_spheres
+
+    cfg = PTConfig(width=W, height=H, max_bounces=3, rng="pcg")
+    scene = material_spheres()
+    key = jax.random.PRNGKey(5)
+    got, n_g = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                              interpret=False)
+    want, n_w = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                               interpret=True)
+    _assert_close(got, want, label="megakernel", frac=1e-4, atol=1e-4)
+    assert float(n_g) == float(n_w)
+
+
+def test_megakernel_clusters(mesh_setup):
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+
+    mesh, cs, _, _ = mesh_setup
+    scene = build_pt_scene(
+        spheres=[((3.0, 3.0, 3.0), 1.0, 1)],
+        triangles=mesh, tri_mats=np.zeros(mesh.shape[0], np.int32),
+        materials=[{"albedo": (0.6, 0.5, 0.4), "kind": DIFFUSE},
+                   {"albedo": (0, 0, 0), "emission": (8.0,) * 3,
+                    "kind": DIFFUSE}],
+    )
+    cfg = PTConfig(width=W, height=H, max_bounces=2, rng="pcg")
+    key = jax.random.PRNGKey(6)
+    got, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 1, key, bvh=cs,
+                            interpret=False)
+    want, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 1, key, bvh=cs,
+                             interpret=True)
+    _assert_close(got, want, label="megakernel-cluster", frac=1e-4, atol=1e-4)
