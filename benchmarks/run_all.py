@@ -101,7 +101,7 @@ def config3_bvh(results, size=512, segments=1100):
 
     mesh = torus_knot(segments=segments, sides=32, center=(0.0, 8.0, 0.0))
     t0 = time.perf_counter()
-    bvh = build_clusters(mesh)  # BVH-ordered cluster set (TPU intersector)
+    bvh = build_clusters(mesh, tri_mats=np.zeros(mesh.shape[0], np.int32))
     build_s = time.perf_counter() - t0
     mats = [
         {"albedo": (0.7, 0.6, 0.4), "kind": DIFFUSE},
@@ -119,9 +119,14 @@ def config3_bvh(results, size=512, segments=1100):
     key = jax.random.PRNGKey(1)
     nrays = {}
 
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+
     def run(z):
-        img, nr = render_pt_fast(cfg, scene, jnp.array([0.0, 0.0, z]), quat, 1,
-                                 key, bvh=bvh)
+        # cluster megakernel: whole bounce loop (incl. NEE shadow sweeps)
+        # in-kernel — the fastest mesh path (render_pt_fast measured ~6%
+        # slower; sort=True neutral at this scale, see DESIGN.md §6)
+        img, nr = render_pt_mega(cfg, scene, jnp.array([0.0, 0.0, z]), quat,
+                                 1, key, bvh=bvh, tile=(32, 128))
         nrays["n"] = nr
         return (img,)
 
@@ -133,6 +138,7 @@ def config3_bvh(results, size=512, segments=1100):
         "mrays": round(float(nrays["n"]) / dt / 1e6, 2),
         "accel_build_s": round(build_s, 2),
         "clusters": int(bvh.num_clusters),
+        "note": "cluster megakernel (hierarchical sweep in-kernel)",
     }
 
 

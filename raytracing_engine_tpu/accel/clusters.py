@@ -27,7 +27,7 @@ from raytracing_engine_tpu.accel.bvh import BVH, build_bvh
 
 CLUSTER = 128  # one full lane row per cluster
 SUPER = 16     # clusters per super-cluster (hierarchical cull level)
-SUBS = 4       # sub-boxes per cluster (32-triangle Möller-Trumbore gates)
+SUBS = 8       # sub-boxes per cluster (16-triangle Möller-Trumbore gates; 4 and 16 measured slower on v5e)
 
 
 @jax.tree_util.register_dataclass
@@ -97,7 +97,7 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
         boxes[c, :3] = chunk.min(0)
         boxes[c, 3:6] = chunk.max(0)
 
-    # sub-boxes (32-tri MT gates) — packed into tri rows 10-15 at lanes
+    # sub-boxes (16-tri MT gates) — packed into tri rows 10-15 at lanes
     # 0..SUBS-1 of each cluster's slice, NOT into SMEM: SMEM scalars cost
     # 64 B each on v5e (a (C*SUBS, 8) table would blow the 1 MB budget),
     # while rows 10-15 of the (16, T_pad) VMEM table are free padding and

@@ -139,6 +139,18 @@ def cmd_pt(args):
             print(f"  {state.spp_done}/{args.spp} spp")
         img = state.image
         nrays = float("nan")
+    elif args.mega:
+        import dataclasses
+
+        from raytracing_engine_tpu.accel.clusters import ClusterSet
+        from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+
+        if bvh is not None and not isinstance(bvh, ClusterSet):
+            raise SystemExit("--mega needs a ClusterSet (runs on TPU)")
+        img, nrays = render_pt_mega(
+            dataclasses.replace(cfg, rng="pcg"), scene, pos, quat,
+            args.spp, key, bvh=bvh)
+        img = np.asarray(jax.block_until_ready(img))
     else:
         img, nrays = render_pt_fast(cfg, scene, pos, quat, args.spp, key, bvh=bvh)
         img = np.asarray(jax.block_until_ready(img))
@@ -146,6 +158,47 @@ def cmd_pt(args):
     out = args.out or f"{args.scene}_{args.spp}spp.png"
     write_png(out, np.asarray(img))
     print(f"{out}  {dt:.1f}s  ({float(nrays)/1e6:.1f} Mrays)")
+
+
+def cmd_instanced(args):
+    """Shaded orbit frames of the instanced torus-knot grid (config 5)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from raytracing_engine_tpu.accel import build_bvh, torus_knot
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+    from raytracing_engine_tpu.accel.instancing import grid_instances
+    from raytracing_engine_tpu.models.instanced import render_instanced_phong
+    from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
+        pack_instances,
+    )
+    from raytracing_engine_tpu.utils import write_png
+
+    w, h = _parse_size(args.size)
+    nx, ny = _parse_size(args.grid)
+    mesh = torus_knot(segments=args.segments, sides=32)
+    bvh = build_bvh(mesh)
+    cs = build_clusters(mesh)
+    inst = grid_instances(bvh, nx=nx, ny=ny, spacing=4.0,
+                          base=(0.0, 14.0, 0.0),
+                          mats=np.arange(nx * ny, dtype=np.int32) % 3)
+    tab = pack_instances(inst)
+    mat_albedo = jnp.asarray(np.array(
+        [[0.8, 0.5, 0.3], [0.4, 0.7, 0.5], [0.5, 0.5, 0.8]], np.float32))
+    light = jnp.asarray([6.0, 2.0, 8.0])
+    print(f"{inst.total_triangles} triangles ({inst.num_instances} instances)")
+
+    os.makedirs(args.out, exist_ok=True)
+    for i in range(args.frames):
+        yaw = jnp.float32(0.5 * i / max(args.frames - 1, 1))
+        t0 = time.perf_counter()
+        img = jax.block_until_ready(render_instanced_phong(
+            tab, cs, inst.mat, mat_albedo, jnp.zeros(3), yaw, light,
+            width=w, height=h, shadows=not args.no_shadows))
+        write_png(os.path.join(args.out, f"frame_{i:04d}.png"),
+                  np.asarray(img))
+        print(f"frame {i:3d}: {(time.perf_counter()-t0)*1e3:8.1f} ms")
 
 
 def main(argv=None):
@@ -175,8 +228,21 @@ def main(argv=None):
     p.add_argument("--segments", type=int, default=1100)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--fresh", action="store_true")
+    p.add_argument("--mega", action="store_true",
+                   help="Pallas megakernel (whole bounce loop in-kernel)")
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_pt)
+
+    i = sub.add_parser(
+        "instanced",
+        help="shaded orbit of the 1M-triangle instanced scene (config 5)")
+    i.add_argument("--size", default="960x544")
+    i.add_argument("--frames", type=int, default=8)
+    i.add_argument("--segments", type=int, default=550)
+    i.add_argument("--grid", default="6x5")
+    i.add_argument("--no-shadows", action="store_true")
+    i.add_argument("--out", default="instanced")
+    i.set_defaults(fn=cmd_instanced)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -1,12 +1,14 @@
 """Pallas cluster intersector — dense triangle intersection for TPU.
 
-Two-level hierarchical sweep per ray tile: a while-loop over SUPER-clusters
-(union AABBs of SUPER=16 consecutive clusters, scalar boxes in SMEM at
-dynamic sublane indices — supported) slab-tests each super box vectorized
-against the tile; only when some ray enters does an inner fori_loop visit
-its child clusters, and only when a child box is touched does a `lax.cond`
-run 128 vector Möller-Trumbore tests against the cluster's lane-aligned
-(16, 128) VMEM slice. No gathers, no dynamic lane indexing anywhere.
+Three-level hierarchical sweep per ray tile: a while-loop over
+SUPER-clusters (union AABBs of SUPER=16 consecutive clusters, scalar boxes
+in SMEM at dynamic sublane indices — supported) slab-tests each super box
+vectorized against the tile; only when some ray enters does an inner
+fori_loop visit its child clusters; a touched cluster's 128-triangle slice
+is then tested in SUBS sub-blocks, each gated by its own AABB (stored in
+the slice's spare rows 10-15 and read as static-lane scalars), so an
+incoherent tile pays for SUB_TRIS-sized Möller-Trumbore batches it
+actually needs. No gathers, no dynamic lane indexing anywhere.
 
 The sweep body (`cluster_sweep`) is shared by two consumers:
 - the standalone `cluster_intersect` pallas_call (closest-hit / any-hit),
@@ -97,7 +99,7 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
     attr0 = (zero, zero, zero, zero, zero) if attrs else ()
 
     def mt_sub(blk, c, sub, ray_hit, t, idx, attr):
-        """SUB_TRIS unrolled Möller-Trumbore tests against one 32-tri gate
+        """SUB_TRIS unrolled Möller-Trumbore tests against one gate
         block of cluster c's already-loaded (16, 128) slice."""
         if attrs:
             anx, any_, anz, amat, aarea = attr
@@ -143,9 +145,10 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
         return t, idx, attr
 
     def mt_cluster(c, ray_hit, t, idx, attr):
-        """Cluster c's MT tests, gated per 32-triangle sub-box: incoherent
-        tiles usually need only 1-2 of the 4 blocks. Sub-boxes live in tri
-        rows 10-15 at (static) lane `sub` of the already-loaded block."""
+        """Cluster c's MT tests, gated per SUB_TRIS-triangle sub-box:
+        incoherent tiles usually need only a couple of the SUBS blocks.
+        Sub-boxes live in tri rows 10-15 at (static) lane `sub` of the
+        already-loaded block."""
         base = pl.multiple_of(c * CLUSTER, CLUSTER)
         blk = kc.tri_ref[:, pl.ds(base, CLUSTER)]  # (16, 128), lane-aligned
         for sub in range(SUBS):

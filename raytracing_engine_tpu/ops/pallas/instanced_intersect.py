@@ -9,7 +9,7 @@ Per ray tile:
     - scalar world-AABB pre-cull (vector slab test, `lax.cond` skip)
     - transform the tile's rays into object space (scalar-broadcast mults)
     - the SAME hierarchical `cluster_sweep` as the single-mesh path
-      (super -> cluster -> 32-tri sub-box gates), bounded by the current
+      (super -> cluster -> sub-box gates), bounded by the current
       best t (world units)
 
 The winning hit is encoded as instance * padded_tris + slot; with

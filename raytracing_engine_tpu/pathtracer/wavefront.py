@@ -635,7 +635,14 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             )
             st["nrays"] = st["nrays"] + jnp.sum(cand)
             sh_o = v3.add(p, v3.scale(n, cfg.eps))
-            blocked = _occluded(scene, sh_o, wi, dist * (1.0 - 1e-3), cfg.t_min, bvh, packet)
+            # park non-candidate shadow rays (mirror hits, misses, dead
+            # lanes) far away so they don't gate cluster work in the
+            # occlusion sweep; `vis` is cand-gated, results unchanged
+            dead_o = (zero + _DEAD_O, zero + _DEAD_O, zero + _DEAD_O)
+            dead_d = (zero + _INV_SQRT3,) * 3
+            sh_o = v3.where(cand, sh_o, dead_o)
+            sh_d = v3.where(cand, wi, dead_d)
+            blocked = _occluded(scene, sh_o, sh_d, dist * (1.0 - 1e-3), cfg.t_min, bvh, packet)
             vis = cand & ~blocked
 
             pdf_w = pdf_area * dist**2 / jnp.maximum(cos_ll, 1e-6)
