@@ -66,7 +66,7 @@ def render_instanced_phong(inst_tab, cs, inst_mat, mat_albedo,
               for i in range(3))
 
     t, code, nx, ny, nz = instanced_cluster_intersect(
-        inst_tab, cs, o, d, attrs=True, interpret=interpret)
+        inst_tab, cs, o, d, attrs=True, interpret=interpret, origin=cam_pos)
     hit = code >= 0
 
     nl = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-20)
@@ -102,9 +102,11 @@ def render_instanced_phong(inst_tab, cs, inst_mat, mat_albedo,
 
     if shadows:
         so = (px + nx * eps, py + ny * eps, pz + nz * eps)
+        # near-to-far from the camera ~ near the shadowed surfaces: finds
+        # occluders sooner so the any-hit gate kills lanes earlier
         _, scode = instanced_cluster_intersect(
             inst_tab, cs, so, (lx, ly, lz), any_hit=True,
-            t_max=ldist * (1.0 - 1e-3), interpret=interpret)
+            t_max=ldist * (1.0 - 1e-3), interpret=interpret, origin=cam_pos)
         lit = jnp.where(scode >= 0, 0.0, 1.0)
     else:
         lit = 1.0

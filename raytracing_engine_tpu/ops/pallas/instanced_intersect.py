@@ -61,8 +61,8 @@ def pack_instances(inst):
     return tab
 
 
-def _instanced_kernel(inst_ref, order_ref, sboxes_ref, boxes_ref, tri_ref,
-                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+def _instanced_kernel(inst_ref, iorder_ref, order_ref, sboxes_ref, boxes_ref,
+                      tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tmax_ref, *out_refs, n_instances, n_super, t_pad, t_min,
                       any_hit, attrs):
     if attrs:
@@ -82,8 +82,9 @@ def _instanced_kernel(inst_ref, order_ref, sboxes_ref, boxes_ref, tri_ref,
     zero = jnp.zeros_like(wox)
     attr0 = (zero, zero, zero) if attrs else ()
 
-    def body(k, carry):
+    def body(ki, carry):
         t_w, code, live, attr = carry[0], carry[1], carry[2], carry[3:]
+        k = iorder_ref[ki]  # near-to-far instance visit order (perf hint)
 
         # world AABB pre-cull for this instance
         t_near, t_far = _slab_vals(
@@ -162,15 +163,18 @@ def _instanced_kernel(inst_ref, order_ref, sboxes_ref, boxes_ref, tri_ref,
 )
 def instanced_cluster_intersect(inst_tab, cs: ClusterSet, o_planes, d_planes,
                                 t_min=1e-3, tile=(16, 256), interpret=None,
-                                any_hit=False, attrs=False, t_max=_INF):
+                                any_hit=False, attrs=False, t_max=_INF,
+                                origin=None):
     """Closest hit (or any-hit occlusion) over all instances of the base
     ClusterSet.
 
     inst_tab: pack_instances(...) output. t_max: scalar or (H, W) cutoff
-    (shadow-ray light distance). Returns (t_world (H,W) — inf miss,
-    code (H,W) int32 — instance * cs.padded_tris + slot, -1 miss); with
-    attrs=True additionally (nx, ny, nz) — unnormalized world-space
-    geometric normal of the hit.
+    (shadow-ray light distance). origin: optional (3,) representative ray
+    origin — instances are then visited near-to-far so nearer hits cull
+    farther instance AABBs (pure perf hint; results order-independent).
+    Returns (t_world (H,W) — inf miss, code (H,W) int32 — instance *
+    cs.padded_tris + slot, -1 miss); with attrs=True additionally
+    (nx, ny, nz) — unnormalized world-space geometric normal of the hit.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -196,12 +200,19 @@ def instanced_cluster_intersect(inst_tab, cs: ClusterSet, o_planes, d_planes,
     if attrs:
         out_shape += [f32(), f32(), f32()]
     order = jnp.arange(cs.num_super, dtype=jnp.int32)
+    if origin is None:
+        iorder = jnp.arange(inst_tab.shape[0], dtype=jnp.int32)
+    else:
+        center = (inst_tab[:, 13:16] + inst_tab[:, 16:19]) * 0.5
+        delta = center - jnp.asarray(origin, jnp.float32)
+        iorder = jnp.argsort(jnp.sum(delta * delta, -1)).astype(jnp.int32)
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # instances
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # instance visit order
             pl.BlockSpec(memory_space=pltpu.SMEM),  # super visit order
             pl.BlockSpec(memory_space=pltpu.SMEM),  # super boxes
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster boxes
@@ -210,7 +221,7 @@ def instanced_cluster_intersect(inst_tab, cs: ClusterSet, o_planes, d_planes,
         ],
         out_specs=tuple(blk() for _ in out_shape),
         interpret=interpret,
-    )(inst_tab, order, cs.super_boxes, cs.boxes, cs.tri,
+    )(inst_tab, iorder, order, cs.super_boxes, cs.boxes, cs.tri,
       o_planes[0], o_planes[1], o_planes[2],
       d_planes[0], d_planes[1], d_planes[2],
       jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (h, w)))
