@@ -153,3 +153,27 @@ def test_progressive_accumulate_donation(scene):
     img = jnp.full((8, 8, 3), 0.5)
     out = _accumulate(acc, img, jnp.float32(4))
     np.testing.assert_allclose(np.asarray(out), 3.0)
+
+
+def test_render_sequence_matches_per_frame(scene):
+    """One-dispatch K-frame serving equals K individual renders."""
+    import jax.numpy as jnp
+    import numpy as np
+    from raytracing_engine_tpu.models import conemarch
+    from raytracing_engine_tpu.runtime import render_sequence
+
+    cfg = RenderConfig(width=64, height=64)
+    positions = jnp.asarray(np.array(
+        [[0.0, 0.0, 0.0], [0.0, -1.0, 0.5], [0.5, -2.0, 0.0]], np.float32))
+    quats = jnp.asarray(np.array(
+        [[0, 0, 0, 1.0], [0.05, 0, 0, 0.9987], [0, 0, 0.05, 0.9987]],
+        np.float32))
+    for independent in (True, False):
+        seq = render_sequence(cfg, scene, positions, quats,
+                              fn=conemarch.render, independent=independent)
+        assert seq.shape == (3, 3, 64, 64)  # (K, channel, H, W) — see docstring
+        frames = np.moveaxis(np.asarray(seq), 1, -1)
+        for i in range(3):
+            want = conemarch.render(cfg, scene, positions[i], quats[i])
+            np.testing.assert_allclose(frames[i], np.asarray(want),
+                                       rtol=1e-6, atol=1e-6)
