@@ -223,7 +223,9 @@ def config5_instanced(results, width=1920, height=1088, frames=8):
             img = render_instanced_phong(
                 tab, cs, inst.mat, mat_albedo, cam, yaws[i] + 0.0 * acc,
                 light, width=width, height=height, shadows=True)
-            return acc + img[0, 0, 0]
+            # consume a FULL-FRAME reduction: slicing one pixel would let
+            # XLA fuse the Blinn/Phong math down to a single element
+            return acc + jnp.mean(img)
 
         return lax.fori_loop(0, yaws.shape[0], frame, jnp.float32(0.0))
 

@@ -84,14 +84,18 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     perm_pad = np.full((T_pad,), -1, np.int32)
     perm_pad[:T] = perm
 
+    # Padding boxes are ALL-NaN: the swap-based slab test (min/max per
+    # axis) lets an inverted (+inf/-inf) box pass for EVERY ray (t_near=-inf,
+    # t_far=+inf), whereas NaN propagates and every comparison is false —
+    # a genuine never-hit that costs one failed gate instead of a full
+    # degenerate MT sweep.
     C = T_pad // CLUSTER
     boxes = np.zeros((C, 8), np.float32)
     for c in range(C):
         lo = c * CLUSTER
         hi = min((c + 1) * CLUSTER, T)
         if lo >= T:
-            boxes[c, :3] = np.inf
-            boxes[c, 3:6] = -np.inf
+            boxes[c, :6] = np.nan
             continue
         chunk = ordered[lo:hi].reshape(-1, 3)
         boxes[c, :3] = chunk.min(0)
@@ -109,25 +113,27 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
         lo = s * sub
         hi = min((s + 1) * sub, T)
         if lo >= T:
-            sub_boxes[s, :3] = np.inf
-            sub_boxes[s, 3:6] = -np.inf
+            sub_boxes[s, :6] = np.nan  # never-hit (see boxes comment)
             continue
         chunk = ordered[lo:hi].reshape(-1, 3)
         sub_boxes[s, :3] = chunk.min(0)
         sub_boxes[s, 3:6] = chunk.max(0)
 
-    with np.errstate(invalid="ignore"):  # inf + -inf on padded boxes
+    with np.errstate(invalid="ignore"):  # NaN on padded boxes
         centroid = (boxes[:, :3] + boxes[:, 3:6]) * 0.5
     centroid[~np.isfinite(centroid)] = 1e30  # padded never-hit clusters last
 
-    # super-cluster union boxes: plain min/max works — a padded child's
-    # (+inf mins, -inf maxes) never wins against any real child, and an
-    # all-padded super stays inverted (never hit)
+    # super-cluster union boxes: nanmin/nanmax ignore padded (NaN) children;
+    # an all-padded super stays all-NaN = never hit
     S = T_pad // (CLUSTER * SUPER)
     sb = boxes.reshape(S, SUPER, 8)
     super_boxes = np.zeros((S, 8), np.float32)
-    super_boxes[:, :3] = sb[:, :, :3].min(1)
-    super_boxes[:, 3:6] = sb[:, :, 3:6].max(1)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slices
+        super_boxes[:, :3] = np.nanmin(sb[:, :, :3], 1)
+        super_boxes[:, 3:6] = np.nanmax(sb[:, :, 3:6], 1)
     with np.errstate(invalid="ignore"):
         super_centroid = (super_boxes[:, :3] + super_boxes[:, 3:6]) * 0.5
     super_centroid[~np.isfinite(super_centroid)] = 1e30

@@ -111,8 +111,9 @@ def cmd_pt(args):
             # cluster set on TPU (dense culling kernel), skip-link elsewhere
             import jax as _jax
 
-            bvh = (build_clusters(mesh) if _jax.default_backend() == "tpu"
-                   else build_bvh(mesh))
+            bvh = (build_clusters(mesh,
+                                  tri_mats=onp.zeros(mesh.shape[0], onp.int32))
+                   if _jax.default_backend() == "tpu" else build_bvh(mesh))
         pos, quat = jnp.zeros(3), jnp.array([0.0, 0.0, 0.0, 1.0])
     else:
         raise SystemExit(f"unknown scene {args.scene}")

@@ -22,8 +22,6 @@ from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
     instanced_cluster_intersect,
 )
 
-_BIG = np.float32(3.4e38)
-
 
 def _sel(idx, table, n):
     out = jnp.zeros_like(idx, dtype=table.dtype) * table[0]

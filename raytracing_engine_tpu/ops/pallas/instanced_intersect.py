@@ -2,7 +2,7 @@
 
 BASELINE config 5: N instances of one base mesh. The base mesh's ClusterSet
 (tables in VMEM) is shared; each instance is ~20 scalars in SMEM (world->
-object rotation rows, translation, uniform scale, world AABB, material).
+object rotation rows, translation, uniform scale, world AABB).
 Per ray tile:
 
   outer loop over instances:
@@ -44,7 +44,8 @@ _INF = np.float32(np.inf)
 def pack_instances(inst):
     """accel.instancing.InstancedMesh -> (inst_tab (N, 24) f32) for SMEM:
     rows [inv_rot(9, row-major), trans(3), scale(1), world_bb_min(3),
-    world_bb_max(3), material(1), pads]."""
+    world_bb_max(3), pads]. Per-instance materials resolve host-side from
+    InstancedMesh.mat (code // padded_tris -> instance id)."""
     n = inst.num_instances
     tab = jnp.concatenate(
         [
@@ -53,8 +54,7 @@ def pack_instances(inst):
             inst.scale[:, None],
             inst.aabb_min,
             inst.aabb_max,
-            inst.mat[:, None].astype(jnp.float32),
-            jnp.zeros((n, 4), jnp.float32),
+            jnp.zeros((n, 5), jnp.float32),
         ],
         axis=1,
     )  # (N, 24)

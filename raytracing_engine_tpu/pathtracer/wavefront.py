@@ -564,8 +564,9 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             raise ValueError("sort=True requires rng='pcg'")
         if not isinstance(bvh, ClusterSet):
             raise ValueError("sort=True requires a ClusterSet bvh")
-        if band_h is not None or band_w is not None:
-            raise ValueError("sort=True operates on the full image")
+        if band_h is not None or band_w is not None or row0 or col0:
+            raise ValueError("sort=True operates on the full image "
+                             "(no row0/col0/band windows)")
         from raytracing_engine_tpu.ops.rng_pcg import uniform_pcg_coords
 
         bbox_lo, bbox_hi = _scene_bbox(bvh)

@@ -83,12 +83,19 @@ def progressive_render(
     bvh=None,
     checkpoint_path: str | None = None,
     fast: bool = True,
+    donate: bool = True,
 ):
     """Advance a progressive render to target_spp in resumable chunks.
 
     Yields the state after each chunk (also checkpointing if a path is
     given), so a killed job resumes exactly — pass i always uses
     fold_in(key, i), making the result independent of chunking.
+
+    donate=True (default) reuses the accumulation buffer in place each
+    chunk — including the buffer of the state passed in and of every state
+    previously yielded: treat each yielded state as valid only until the
+    next chunk (its .accum is consumed). Pass donate=False to retain
+    intermediate states (costs one (H, W, 3) allocation per chunk).
     """
     if fast:
         from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast as render_fn
@@ -103,8 +110,9 @@ def progressive_render(
             cfg, scene, state.cam_pos, state.cam_quat, n, state.key,
             bvh=bvh, spp_offset=jnp.int32(state.spp_done),
         )
+        add = _accumulate if donate else (lambda a, b, m: a + b * m)
         state = ProgressiveState(
-            accum=_accumulate(state.accum, img, jnp.float32(n)),
+            accum=add(state.accum, img, jnp.float32(n)),
             spp_done=state.spp_done + n,
             key=state.key,
             cam_pos=state.cam_pos,

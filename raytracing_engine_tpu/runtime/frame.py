@@ -104,8 +104,9 @@ class FrameLoop:
             # (src/main.rs:711-717; frozen loop skips at :726)
             self.frozen = not event.focus
             self.cursor_grabbed = event.focus
-        if self.frozen:
-            return self._last
+        # window-state events apply even while frozen — the reference's
+        # handlers set resize/fullscreen flags regardless of focus and only
+        # the render-loop body is skipped (src/main.rs:682-717 vs :726)
         if event.fullscreen_toggle:
             # F11 borderless fullscreen (src/main.rs:689-696): headless
             # analog = switch to the monitor resolution and back
@@ -120,6 +121,8 @@ class FrameLoop:
             # reference's swapchain/pipeline/pyramid rebuild,
             # src/main.rs:778-870)
             self._set_size(*event.resize)
+        if self.frozen:
+            return self._last
         self.camera = integrate_input(
             self.camera,
             jnp.asarray(event.move, jnp.float32),

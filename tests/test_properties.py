@@ -123,9 +123,18 @@ def test_frameloop_window_events(scene):
     loop.step(InputEvent(move=(0, 1, 0), dt=1.0))  # ignored while frozen
     np.testing.assert_array_equal(np.asarray(loop.camera.position), pos_before)
 
-    # focus regained -> unfreeze + grab
+    # window-state events apply even while frozen (reference sets flags
+    # regardless of focus; only rendering is skipped)
+    loop.step(InputEvent(focus=False))
+    loop.step(InputEvent(resize=(96, 64)))
+    assert loop.cfg.width == 96 and loop.frozen
+
+    # focus regained -> unfreeze + grab; next frame uses the frozen resize
     loop.step(InputEvent(focus=True))
     assert not loop.frozen and loop.cursor_grabbed
+    r = loop.step(InputEvent())
+    assert r.shape == (64, 96, 3)
+    loop.step(InputEvent(resize=(64, 64)))  # restore for the rest
 
     # F11 -> monitor resolution; F11 again -> windowed size restored
     b = loop.step(InputEvent(fullscreen_toggle=True))
