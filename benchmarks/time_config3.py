@@ -1,0 +1,78 @@
+"""Quick config-3 timer: 70k-tri mesh, 512^2, 2-bounce + NEE megakernel.
+
+Usage: python benchmarks/time_config3.py [--tile 32x128] [--size 512]
+Prints frame ms over dependency-chained evaluations (same protocol as
+benchmarks/run_all.py).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tile", default="32x128")
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--stripes", type=int, default=None)
+    args = ap.parse_args()
+    tile = tuple(int(x) for x in args.tile.split("x"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from raytracing_engine_tpu.accel import torus_knot
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+
+    mesh = torus_knot(segments=1100, sides=32, center=(0.0, 8.0, 0.0))
+    bvh = build_clusters(mesh, tri_mats=np.zeros(mesh.shape[0], np.int32))
+    mats = [
+        {"albedo": (0.7, 0.6, 0.4), "kind": DIFFUSE},
+        {"albedo": (0, 0, 0), "emission": (10.0,) * 3, "kind": DIFFUSE},
+        {"albedo": (0.5, 0.5, 0.6), "kind": DIFFUSE},
+    ]
+    scene = build_pt_scene(
+        spheres=[((6.0, 4.0, 6.0), 1.5, 1), ((0.0, 8.0, -103.0), 100.0, 2)],
+        triangles=mesh,
+        tri_mats=np.zeros(mesh.shape[0], np.int32),
+        materials=mats,
+    )
+    cfg = PTConfig(width=args.size, height=args.size, max_bounces=2,
+                   rng="pcg")
+    quat = jnp.array([0.0, 0.0, 0.0, 1.0])
+    key = jax.random.PRNGKey(1)
+
+    def run(z):
+        img, nr = render_pt_mega(cfg, scene, jnp.array([0.0, 0.0, z]), quat,
+                                 1, key, bvh=bvh, tile=tile, stripes=args.stripes)
+        return img, nr
+
+    img, nr = run(0.0)  # compile
+    jax.block_until_ready(img)
+    best = 1e30
+    for r in range(args.reps):
+        t0 = time.perf_counter()
+        chain = jnp.float32(0.0)
+        n = 4
+        for i in range(n):
+            img, _ = run(1e-4 * i + chain)
+            chain = img[0, 0, 0] * 0.0  # dependency chain (stays on device)
+        jax.block_until_ready(img)
+        dt = (time.perf_counter() - t0) / n
+        best = min(best, dt)
+    nrays = float(nr)
+    print(f"tile={tile} stripes={args.stripes} size={args.size}: {best*1e3:.2f} ms/frame, "
+          f"{nrays/best/1e6:.2f} Mrays/s (n={nrays:.0f})")
+
+
+if __name__ == "__main__":
+    main()

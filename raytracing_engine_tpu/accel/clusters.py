@@ -26,14 +26,30 @@ import jax.numpy as jnp
 from raytracing_engine_tpu.accel.bvh import BVH, build_bvh
 
 CLUSTER = 128  # one full lane row per cluster
-SUPER = 16     # clusters per super-cluster (hierarchical cull level)
-SUBS = 8       # sub-boxes per cluster (16-triangle Möller-Trumbore gates; 4 and 16 measured slower on v5e)
+SUPER = 8      # clusters per super-cluster (16 measured slower with BW tests)
+SUBS = 4       # sub-boxes per cluster (32-triangle gates; 2/8/16 measured slower with BW tests on v5e)
+ROWS = 24      # tri-table rows (f32 sublane tiles of 8; 20 used, 4 spare)
+
+# Triangle rows hold the Baldwin–Weber precomputed intersection transform
+# (plane + barycentric rows) instead of raw v0/e1/e2: ~30% fewer VPU ops
+# per ray-triangle test than Möller–Trumbore, and the unnormalized
+# geometric normal + area come for free (no cross product per test).
+#   rows 0-2   n      unnormalized geometric normal e1 x e2 (plane normal)
+#   row  3     nd     plane offset: n . p + nd = 0 on the triangle plane
+#   rows 4-6   r1     barycentric u row:  u = r1 . p + c1
+#   row  7     c1
+#   rows 8-10  r2     barycentric v row:  v = r2 . p + c2
+#   row  11    c2
+#   row  12    mat    material id (f32)
+#   row  13    |n|    = 2 * triangle area
+#   rows 14-19 sub-box [minx,miny,minz,maxx,maxy,maxz] at lanes 0..SUBS-1
+#   rows 20-23 spare
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ClusterSet:
-    tri: jax.Array       # (16, T_pad) f32 — rows [v0.xyz, e1.xyz, e2.xyz, mat, pad]
+    tri: jax.Array       # (ROWS, T_pad) f32 — Baldwin–Weber rows (see above)
     boxes: jax.Array     # (C, 8) f32 — [minx,miny,minz,maxx,maxy,maxz,pad,pad];
                          #   C is a SUPER multiple (tail = inverted never-hit)
     perm: jax.Array      # (T_pad,) int32 — padded-slot -> original tri (-1 pad)
@@ -59,7 +75,7 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     """triangles: (T, 3, 3). Uses the BVH leaf order for spatial coherence
     (builds one if not given), pads to a CLUSTER multiple with degenerate
     triangles (det=0 -> never hit) inside inverted never-hit boxes.
-    tri_mats: optional (T,) material ids, stored in tri row 9 so the
+    tri_mats: optional (T,) material ids, stored in tri row 12 so the
     intersector can emit materials without a post-kernel gather.
 
     Prefer bvh=None here on tunneled backends: fetching device-resident BVH
@@ -101,12 +117,12 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
         boxes[c, :3] = chunk.min(0)
         boxes[c, 3:6] = chunk.max(0)
 
-    # sub-boxes (16-tri MT gates) — packed into tri rows 10-15 at lanes
-    # 0..SUBS-1 of each cluster's slice, NOT into SMEM: SMEM scalars cost
-    # 64 B each on v5e (a (C*SUBS, 8) table would blow the 1 MB budget),
-    # while rows 10-15 of the (16, T_pad) VMEM table are free padding and
-    # the kernel reads them as static-lane scalars from the block it
-    # already loaded.
+    # sub-boxes (16-tri intersection gates) — packed into tri rows 14-19 at
+    # lanes 0..SUBS-1 of each cluster's slice, NOT into SMEM: SMEM scalars
+    # cost 64 B each on v5e (a (C*SUBS, 8) table would blow the 1 MB
+    # budget), while the tail rows of the (ROWS, T_pad) VMEM table are free
+    # padding and the kernel reads them as static-lane scalars from the
+    # block it already loaded.
     sub = CLUSTER // SUBS
     sub_boxes = np.zeros((C * SUBS, 6), np.float32)
     for s in range(C * SUBS):
@@ -138,18 +154,42 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
         super_centroid = (super_boxes[:, :3] + super_boxes[:, 3:6]) * 0.5
     super_centroid[~np.isfinite(super_centroid)] = 1e30
 
-    tri_rows = np.zeros((16, T_pad), np.float32)
-    tri_rows[0:3] = v0.T
-    tri_rows[3:6] = e1.T
-    tri_rows[6:9] = e2.T
+    # Baldwin–Weber precompute (see row map at the top of this module):
+    #   n  = e1 x e2 (plane normal; also the geometric shading normal)
+    #   nd = -n . v0                      (t     = -(n.o + nd) / (n.d))
+    #   r1 = (e2 x n) / (n.n), c1 = -r1.v0   (u = r1.p + c1)
+    #   r2 = (n x e1) / (n.n), c2 = -r2.v0   (v = r2.p + c2)
+    # Identities: r1.e1 = n.(e1 x e2)/(n.n) = 1, r1.e2 = 0 (and symm.) —
+    # so u, v are exactly the Möller–Trumbore barycentrics of p on the
+    # plane. Degenerate / padding triangles (|n|^2 ~ 0) get all-zero rows:
+    # den = n.d = 0 fails the |den| >= eps gate, a genuine never-hit.
+    n = np.cross(e1, e2)
+    nn = np.einsum("ij,ij->i", n, n)
+    ok = nn > 1e-30
+    inv_nn = np.where(ok, 1.0 / np.maximum(nn, 1e-30), 0.0)[:, None]
+    r1 = np.cross(e2, n) * inv_nn
+    r2 = np.cross(n, e1) * inv_nn
+    n = np.where(ok[:, None], n, 0.0)
+    nd = -np.einsum("ij,ij->i", n, v0)
+    c1 = -np.einsum("ij,ij->i", r1, v0)
+    c2 = -np.einsum("ij,ij->i", r2, v0)
+
+    tri_rows = np.zeros((ROWS, T_pad), np.float32)
+    tri_rows[0:3] = n.T
+    tri_rows[3] = nd
+    tri_rows[4:7] = r1.T
+    tri_rows[7] = c1
+    tri_rows[8:11] = r2.T
+    tri_rows[11] = c2
     if tri_mats is not None:
         mats = np.asarray(tri_mats, np.float32)[perm]
-        tri_rows[9, :T] = mats
-    # rows 10-15 = sub-box [minx,miny,minz,maxx,maxy,maxz]; lane s of each
+        tri_rows[12, :T] = mats
+    tri_rows[13] = np.sqrt(nn)  # |n| = 2 * area
+    # rows 14-19 = sub-box [minx,miny,minz,maxx,maxy,maxz]; lane s of each
     # cluster's slice holds sub-block s's box
     for c in range(C):
         for s in range(SUBS):
-            tri_rows[10:16, c * CLUSTER + s] = sub_boxes[c * SUBS + s]
+            tri_rows[14:20, c * CLUSTER + s] = sub_boxes[c * SUBS + s]
     return ClusterSet(
         tri=jnp.asarray(tri_rows),
         boxes=jnp.asarray(boxes),

@@ -64,12 +64,13 @@ def pack_instances(inst):
 def _instanced_kernel(inst_ref, iorder_ref, order_ref, sboxes_ref, boxes_ref,
                       tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tmax_ref, *out_refs, n_instances, n_super, t_pad, t_min,
-                      any_hit, attrs):
+                      any_hit, attrs, approx_ok=False):
     if attrs:
         out_t_ref, out_idx_ref, out_nx_ref, out_ny_ref, out_nz_ref = out_refs
     else:
         out_t_ref, out_idx_ref = out_refs
-    kc = KernelClusters(order_ref, sboxes_ref, boxes_ref, tri_ref, n_super)
+    kc = KernelClusters(order_ref, sboxes_ref, boxes_ref, tri_ref, n_super,
+                        approx_ok=approx_ok)
 
     wox, woy, woz = ox_ref[:], oy_ref[:], oz_ref[:]
     wdx, wdy, wdz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -79,6 +80,11 @@ def _instanced_kernel(inst_ref, iorder_ref, order_ref, sboxes_ref, boxes_ref,
 
     t0 = tmax_ref[:]                  # WORLD-space best t (t_max cutoff)
     code0 = jnp.zeros_like(wox) - 1.0
+    if any_hit:
+        # parked lanes count as satisfied so the instance loop can
+        # early-exit once every real candidate is blocked (see
+        # cluster_intersect.cluster_sweep); callers gate by candidacy
+        code0 = jnp.where(jnp.abs(wox) >= 1e17, 0.0, code0)
     zero = jnp.zeros_like(wox)
     attr0 = (zero, zero, zero) if attrs else ()
 
@@ -192,6 +198,7 @@ def instanced_cluster_intersect(inst_tab, cs: ClusterSet, o_planes, d_planes,
         t_min=t_min,
         any_hit=any_hit,
         attrs=attrs,
+        approx_ok=not interpret,
     )
     blk = lambda: pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)

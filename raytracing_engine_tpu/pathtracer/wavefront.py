@@ -43,11 +43,15 @@ def _sel(idx, table_col, n):
     return out
 
 
-def _camera_rays(cfg: PTConfig, cam_pos, cam_quat, u1, u2, row0=0, col0=0):
+def _camera_rays(cfg: PTConfig, cam_pos, cam_quat, u1, u2, row0=0, col0=0,
+                 coords=None):
     bh, bw = u1.shape
-    # 2D int32 iota then cast — Mosaic needs >=2D integer iota
-    ix = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32) + col0
-    iy = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32) + row0
+    if coords is not None:  # explicit global pixel-coordinate planes
+        iy, ix = (coords[0].astype(jnp.float32), coords[1].astype(jnp.float32))
+    else:
+        # 2D int32 iota then cast — Mosaic needs >=2D integer iota
+        ix = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32) + col0
+        iy = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32) + row0
     ncx = ((ix + u1) * 2.0 / cfg.width - 1.0) * cfg.ratio[0]
     ncy = ((iy + u2) * 2.0 / cfg.height - 1.0) * cfg.ratio[1]
     qx, qy, qz, qw = cam_quat[0], cam_quat[1], cam_quat[2], cam_quat[3]
@@ -145,7 +149,7 @@ def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
     ClusterSet it was MEASURED SLOWER than the gather path on v5e
     (558 vs 457 ms at 512^2: +5 selects per triangle test outweigh the 8
     removed per-bounce gathers), so _intersect does NOT route ClusterSets
-    here. Material ids come from the ClusterSet's tri row 9
+    here. Material ids come from the ClusterSet's tri row 12
     (build_clusters(..., tri_mats=...)); a set built without mats yields
     material 0 for every triangle."""
     from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
@@ -195,11 +199,13 @@ def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
 
 
 def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
-    """(t, original tri index, e1 V3, e2 V3) of the nearest triangle.
+    """(t, original tri index, n V3 unnormalized, 2*area) of the nearest
+    triangle hit.
 
     `bvh` may be an accel.bvh.BVH (skip-link traversal: packet kernel in
     interpret mode / gather fallback) or an accel.clusters.ClusterSet (the
-    production TPU path — dense cluster culling).
+    production TPU path — dense cluster culling; normal and area are
+    direct row gathers from the Baldwin–Weber table, no cross product).
     """
     from raytracing_engine_tpu.accel.clusters import ClusterSet
 
@@ -219,9 +225,9 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
                                     order=visit_order(cs, mean_o))
         safe = jnp.maximum(sidx, 0)
         idx = jnp.maximum(cs.perm[safe], 0)
-        e1 = (cs.tri[3, safe], cs.tri[4, safe], cs.tri[5, safe])
-        e2 = (cs.tri[6, safe], cs.tri[7, safe], cs.tri[8, safe])
-        return jnp.where(sidx >= 0, t, BIG), idx, e1, e2
+        n = (cs.tri[0, safe], cs.tri[1, safe], cs.tri[2, safe])
+        nlen2 = cs.tri[13, safe]
+        return jnp.where(sidx >= 0, t, BIG), idx, n, nlen2
     if bvh is not None:
         if _use_packet(packet):
             from raytracing_engine_tpu.ops.pallas.bvh_traverse import (
@@ -242,7 +248,8 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
         idx = bvh.perm[safe]
         e1 = v3.unstack(bvh.e1[safe])
         e2 = v3.unstack(bvh.e2[safe])
-        return jnp.where(ridx >= 0, t, BIG), idx, e1, e2
+        n = v3.cross(e1, e2)
+        return jnp.where(ridx >= 0, t, BIG), idx, n, v3.length(n)
     if T <= TRI_UNROLL_MAX:
         t, idx = _tri_hits_unrolled(scene, o, d, t_min)
         safe = jnp.maximum(idx, 0)
@@ -252,7 +259,8 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
         e2c = (_sel(safe, scene.tri_e2[:, 0], T),
                _sel(safe, scene.tri_e2[:, 1], T),
                _sel(safe, scene.tri_e2[:, 2], T))
-        return t, safe, e1c, e2c
+        n = v3.cross(e1c, e2c)
+        return t, safe, n, v3.length(n)
     # big mesh without a BVH: stacked fallback (slow — build a BVH instead)
     from raytracing_engine_tpu.pathtracer.intersect import ray_triangle
 
@@ -265,7 +273,8 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
     idx = jnp.argmin(tt, axis=-1)
     e1 = v3.unstack(scene.tri_e1[idx])
     e2 = v3.unstack(scene.tri_e2[idx])
-    return t, idx, e1, e2
+    n = v3.cross(e1, e2)
+    return t, idx, n, v3.length(n)
 
 
 def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
@@ -276,7 +285,7 @@ def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
     if isinstance(bvh, KernelClusters):  # in-kernel: gathers impossible
         return _intersect_clusters(scene, o, d, t_min, bvh)
     t_s, i_s = _sphere_hits(scene, o, d, t_min)
-    t_t, i_t, e1, e2 = _tri_hits(scene, o, d, t_min, bvh, packet)
+    t_t, i_t, n_tri, nlen2 = _tri_hits(scene, o, d, t_min, bvh, packet)
 
     use_tri = t_t < t_s
     t = jnp.minimum(t_s, t_t)
@@ -290,7 +299,6 @@ def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
     scy = _sel(si, scene.sph_pos[:, 1], S)
     scz = _sel(si, scene.sph_pos[:, 2], S)
     n_sph = (p[0] - scx, p[1] - scy, p[2] - scz)
-    n_tri = v3.cross(e1, e2)
     n = v3.where(use_tri, n_tri, n_sph)
     nlen = jnp.maximum(v3.length(n), 1e-20)
     n = v3.scale(n, 1.0 / nlen)
@@ -306,7 +314,7 @@ def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
 
     sr = _sel(si, scene.sph_radius, S)
     sph_area = 4.0 * _PI * sr * sr
-    tri_area = 0.5 * v3.length(v3.cross(e1, e2))
+    tri_area = 0.5 * nlen2
     light_area = jnp.where(use_tri, tri_area, sph_area)
 
     return dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area)
@@ -499,8 +507,14 @@ def _permute_state(st, perm, h, w):
 
 def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
                 bvh=None, row0=0, band_h=None, packet=None,
-                col0=0, band_w=None, seed0=None, sort=False):
+                col0=0, band_w=None, seed0=None, sort=False, pix=None):
     """One sample per pixel, plane layout. Returns (rad V3 planes, nrays).
+
+    pix: optional (py, px) int32 GLOBAL pixel-coordinate planes (rng='pcg'
+    only). The Pallas megakernel's striped tiles pass these so a VMEM tile
+    can cover an arbitrary (square) pixel block: camera rays and the
+    counter-based RNG are keyed on the true pixel coordinates, keeping any
+    remapping bit-identical to the row-major render.
 
     row0/band_h (and col0/band_w) restrict to a window of the image —
     tile-sharded rendering, and the Pallas megakernel runs this same core
@@ -526,16 +540,22 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
     """
     h, w = (band_h or cfg.height), (band_w or cfg.width)
 
+    if pix is not None and cfg.rng != "pcg":
+        raise ValueError("pix coordinate planes require rng='pcg'")
     if cfg.rng == "pcg":
-        from raytracing_engine_tpu.ops.rng_pcg import uniform_pcg
+        from raytracing_engine_tpu.ops.rng_pcg import uniform_pcg, uniform_pcg_coords
 
         if seed0 is None:
             from raytracing_engine_tpu.ops.pallas.rng import key_to_seed
 
             seed0 = key_to_seed(key)
 
-        def draw_b(b, n):
-            return uniform_pcg(seed0, b, n, h, w, row0=row0, col0=col0)
+        if pix is not None:
+            def draw_b(b, n):
+                return uniform_pcg_coords(seed0, b, n, pix[1], pix[0])
+        else:
+            def draw_b(b, n):
+                return uniform_pcg(seed0, b, n, h, w, row0=row0, col0=col0)
     elif cfg.rng == "pallas":
         from raytracing_engine_tpu.ops.pallas.rng import key_to_seed, uniform_planes
 
@@ -572,7 +592,8 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         bbox_lo, bbox_hi = _scene_bbox(bvh)
 
     u = draw_b(0, 2)
-    o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0, col0=col0)
+    o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0,
+                        col0=col0, coords=pix)
 
     zero = d[0] * 0.0
     o = v3.add(o, v3.scale(d, 0.0))  # make o device-varying like d

@@ -112,3 +112,24 @@ def test_sorted_wavefront_bit_identical():
                                 sort=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     assert float(n_want) == float(n_got)
+
+
+def test_mega_striped_tiles_bit_identical():
+    """The striped pixel mapping (stripes=k renders each VMEM tile as a
+    squarer pixel block) is a pure execution-layout optimization: camera
+    rays and the counter-based RNG are keyed on true global pixel
+    coordinates, so every stripes value must produce the exact same image
+    (pt_kernel un-permutes with pure reshapes)."""
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+
+    scene, tris, tri_mats = _mesh_scene()
+    cs = build_clusters(tris, tri_mats=tri_mats)
+    cfg = PTConfig(width=64, height=32, max_bounces=2, rng="pcg")
+    pos = jnp.zeros(3)
+    want, n_want = render_pt_mega(cfg, scene, pos, QUAT, 2, KEY, bvh=cs,
+                                  tile=(8, 64), stripes=1)
+    for stripes in (2, 4):
+        got, n_got = render_pt_mega(cfg, scene, pos, QUAT, 2, KEY, bvh=cs,
+                                    tile=(8, 64), stripes=stripes)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert float(n_want) == float(n_got)
