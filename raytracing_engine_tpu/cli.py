@@ -58,7 +58,13 @@ def cmd_orbit(args):
     cfg = rt.RenderConfig(width=w, height=h)
     scene = rt.default_scene()
     positions, rotations = orbit_path(args.frames)
-    os.makedirs(args.out, exist_ok=True)
+    writer = None
+    if args.y4m:
+        from raytracing_engine_tpu.utils.video import VideoWriter
+
+        writer = VideoWriter(args.y4m, fps=args.fps)
+    else:
+        os.makedirs(args.out, exist_ok=True)
     primary, secondary = conemarch_ray_count(cfg, int(scene.light_count))
     render = pallas_renderer.render_jit_for(cfg, scene)  # static live counts
     for i in range(args.frames):
@@ -66,8 +72,54 @@ def cmd_orbit(args):
         t0 = time.perf_counter()
         img = jax.block_until_ready(render(scene, cam.position, cam.quat()))
         st = FrameStats(primary, secondary, time.perf_counter() - t0)
-        write_png(os.path.join(args.out, f"frame_{i:04d}.png"), np.asarray(img))
+        if writer is not None:
+            writer.add(np.asarray(img))
+        else:
+            write_png(os.path.join(args.out, f"frame_{i:04d}.png"), np.asarray(img))
         print(f"frame {i:3d}: {st.seconds*1e3:7.2f} ms  {st.mrays_per_sec:8.1f} Mrays/s")
+    if writer is not None:
+        writer.close()
+        print(f"{args.y4m}: {writer.frames} frames @ {args.fps} fps")
+
+
+def cmd_replay(args):
+    """Play a recorded input stream through the frame loop (deterministic:
+    same replay file -> bit-identical frames; see runtime/replay.py)."""
+    import numpy as np
+
+    import raytracing_engine_tpu as rt
+    from raytracing_engine_tpu.runtime import FrameLoop, load_replay
+    from raytracing_engine_tpu.utils import write_png
+
+    w, h = _parse_size(args.size)
+    cfg = rt.RenderConfig(width=w, height=h)
+    scene = rt.default_scene()
+    loop = FrameLoop(cfg, scene)
+    events = load_replay(args.replay)
+
+    writer = None
+    if args.y4m:
+        from raytracing_engine_tpu.utils.video import VideoWriter
+
+        writer = VideoWriter(args.y4m, fps=args.fps)
+
+        def sink(i, img):
+            writer.add(img)
+    else:
+        os.makedirs(args.out, exist_ok=True)
+
+        def sink(i, img):
+            write_png(os.path.join(args.out, f"frame_{i:04d}.png"), img)
+
+    stats = loop.run(events, sink=sink, stats=True)
+    if writer is not None:
+        writer.close()
+    n = len(stats)
+    if n:
+        ms = sum(s.seconds for s in stats) / n * 1e3
+        print(f"{n} frames replayed, {ms:.2f} ms/frame avg")
+    else:
+        print("0 frames replayed")
 
 
 def cmd_pt(args):
@@ -196,7 +248,9 @@ def cmd_instanced(args):
         t0 = time.perf_counter()
         img = jax.block_until_ready(render_instanced_phong(
             tab, cs, inst.mat, mat_albedo, jnp.zeros(3), yaw, light,
-            width=w, height=h, shadows=not args.no_shadows))
+            width=w, height=h, shadows=not args.no_shadows,
+            light_radius=args.light_radius,
+            shadow_samples=args.shadow_samples))
         write_png(os.path.join(args.out, f"frame_{i:04d}.png"),
                   np.asarray(img))
         print(f"frame {i:3d}: {(time.perf_counter()-t0)*1e3:8.1f} ms")
@@ -216,7 +270,20 @@ def main(argv=None):
     o.add_argument("--size", default="512x512")
     o.add_argument("--frames", type=int, default=60)
     o.add_argument("--out", default="orbit")
+    o.add_argument("--y4m", default=None,
+                   help="write a YUV4MPEG2 video instead of PNG frames")
+    o.add_argument("--fps", type=int, default=30)
     o.set_defaults(fn=cmd_orbit)
+
+    rp = sub.add_parser(
+        "replay",
+        help="play a recorded input stream (runtime/replay.py) deterministically")
+    rp.add_argument("replay", help="replay file (JSONL, see runtime/replay.py)")
+    rp.add_argument("--size", default="512x512")
+    rp.add_argument("--out", default="replay_out")
+    rp.add_argument("--y4m", default=None)
+    rp.add_argument("--fps", type=int, default=30)
+    rp.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("pt", help="path-trace a scene")
     p.add_argument("--scene", choices=["cornell", "spheres", "knot"], default="cornell")
@@ -242,6 +309,10 @@ def main(argv=None):
     i.add_argument("--segments", type=int, default=550)
     i.add_argument("--grid", default="6x5")
     i.add_argument("--no-shadows", action="store_true")
+    i.add_argument("--light-radius", type=float, default=0.0,
+                   help="area-light radius for soft shadows (0 = hard)")
+    i.add_argument("--shadow-samples", type=int, default=1,
+                   help="shadow rays per pixel (area-light sampling)")
     i.add_argument("--out", default="instanced")
     i.set_defaults(fn=cmd_instanced)
 

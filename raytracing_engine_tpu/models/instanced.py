@@ -31,13 +31,14 @@ def _sel(idx, table, n):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "shadows", "interpret",
-                                   "fov"))
+                                   "fov", "shadow_samples", "light_radius"))
 def render_instanced_phong(inst_tab, cs, inst_mat, mat_albedo,
                            cam_pos, yaw, light_pos,
                            width=1920, height=1088, fov=1.0,
                            light_color=(300.0, 300.0, 290.0),
                            ambient=0.08, shininess=32.0, eps=1e-2,
-                           shadows=True, interpret=None):
+                           shadows=True, interpret=None,
+                           light_radius=0.0, shadow_samples=1, seed=0):
     """Phong-shaded frame of an instanced scene: (H, W, 3) f32.
 
     inst_tab: pack_instances(...); cs: the base-mesh ClusterSet;
@@ -45,8 +46,16 @@ def render_instanced_phong(inst_tab, cs, inst_mat, mat_albedo,
     Camera: position + yaw about +Z looking +Y (reference convention,
     src/main.rs:402-414). Lighting follows fragment.glsl:162-185 semantics:
     diffuse = max(dot(n,l),0), Blinn specular, 0.01*d^2 light falloff,
-    camera-distance falloff, ambient — shadows are hard (one any-hit
-    instanced launch) rather than sphere-traced soft (no SDF here).
+    camera-distance falloff, ambient.
+
+    Shadows: one any-hit instanced launch per shadow sample. The
+    reference's penumbrae come from sphere tracing an SDF
+    (shaders/utilities.glsl shadowRay) — triangles have no distance field,
+    so the triangle-native analog is AREA-light sampling: with
+    light_radius > 0 and shadow_samples = N, visibility is averaged over N
+    pcg-jittered points on the light sphere (deterministic per pixel for a
+    given seed; N any-hit launches). light_radius=0 / shadow_samples=1 is
+    the hard-shadow fast path.
     """
     iy = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
     ix = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
@@ -99,13 +108,42 @@ def render_instanced_phong(inst_tab, cs, inst_mat, mat_albedo,
     spec = jnp.where(ndotl > 0.0, spec, 0.0)
 
     if shadows:
-        so = (px + nx * eps, py + ny * eps, pz + nz * eps)
-        # near-to-far from the camera ~ near the shadowed surfaces: finds
-        # occluders sooner so the any-hit gate kills lanes earlier
-        _, scode = instanced_cluster_intersect(
-            inst_tab, cs, so, (lx, ly, lz), any_hit=True,
-            t_max=ldist * (1.0 - 1e-3), interpret=interpret, origin=cam_pos)
-        lit = jnp.where(scode >= 0, 0.0, 1.0)
+        # park miss lanes far away: they need no occlusion answer, and the
+        # sentinel origin both fails every slab test and seeds the any-hit
+        # early-exit (see instanced_intersect/cluster_sweep)
+        dead = jnp.float32(1e18)
+        so = (jnp.where(hit, px + nx * eps, dead),
+              jnp.where(hit, py + ny * eps, dead),
+              jnp.where(hit, pz + nz * eps, dead))
+
+        def occluded(sdir, sdist):
+            # near-to-far from the camera ~ near the shadowed surfaces:
+            # finds occluders sooner so the any-hit gate kills lanes earlier
+            _, scode = instanced_cluster_intersect(
+                inst_tab, cs, so, sdir, any_hit=True,
+                t_max=sdist * (1.0 - 1e-3), interpret=interpret,
+                origin=cam_pos)
+            return jnp.where(scode >= 0, 0.0, 1.0)
+
+        if light_radius > 0.0 and shadow_samples > 1:
+            from raytracing_engine_tpu.ops.rng_pcg import uniform_pcg
+
+            vis = jnp.zeros_like(ldist)
+            for s in range(shadow_samples):
+                u1, u2 = uniform_pcg(jnp.int32(seed), s, 2, height, width)
+                z = 1.0 - 2.0 * u1
+                rr = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+                phi = 2.0 * np.pi * u2
+                sx = light_pos[0] + light_radius * rr * jnp.cos(phi) - px
+                sy_ = light_pos[1] + light_radius * rr * jnp.sin(phi) - py
+                sz = light_pos[2] + light_radius * z - pz
+                sdist = jnp.sqrt(sx * sx + sy_ * sy_ + sz * sz)
+                sinv = 1.0 / jnp.maximum(sdist, 1e-20)
+                vis = vis + occluded((sx * sinv, sy_ * sinv, sz * sinv),
+                                     sdist)
+            lit = vis / shadow_samples
+        else:
+            lit = occluded((lx, ly, lz), ldist)
     else:
         lit = 1.0
 

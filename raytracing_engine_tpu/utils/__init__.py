@@ -1,4 +1,5 @@
-"""Host utilities: image IO, timing/metrics."""
+"""Host utilities: image/video IO, timing/metrics."""
 
 from raytracing_engine_tpu.utils.image import write_png, to_srgb_u8  # noqa: F401
 from raytracing_engine_tpu.utils.timing import FrameStats, Timer  # noqa: F401
+from raytracing_engine_tpu.utils.video import VideoWriter, read_y4m  # noqa: F401

@@ -118,3 +118,38 @@ def test_render_instanced_phong(setup):
     assert (a > 0).any(), "some pixels lit"
     assert (a <= b + 1e-6).all(), "shadows only remove light"
     assert (a < b - 1e-4).any(), "instances shadow each other somewhere"
+
+
+def test_render_instanced_soft_shadows(setup):
+    """Area-light shadow sampling: radius 0 equals the hard-shadow path
+    exactly; a finite radius produces fractional penumbra visibility
+    (pixels strictly between fully-lit and fully-shadowed)."""
+    from raytracing_engine_tpu.models.instanced import render_instanced_phong
+
+    mesh, inst, cs, tab = setup
+    mat_albedo = jnp.asarray(np.array([[0.8, 0.6, 0.4]], np.float32))
+    kw = dict(width=128, height=64, interpret=True,
+              light_color=(120.0, 120.0, 110.0))
+    cam = jnp.zeros(3)
+    light = jnp.asarray([0.0, 4.0, 6.0])
+    hard = render_instanced_phong(
+        tab, cs, inst.mat, mat_albedo, cam, jnp.float32(0.0), light,
+        shadows=True, **kw)
+    hard2 = render_instanced_phong(
+        tab, cs, inst.mat, mat_albedo, cam, jnp.float32(0.0), light,
+        shadows=True, light_radius=0.0, shadow_samples=4, **kw)
+    # radius 0 with N>1 samples falls back to the single hard launch
+    np.testing.assert_array_equal(np.asarray(hard), np.asarray(hard2))
+
+    soft = render_instanced_phong(
+        tab, cs, inst.mat, mat_albedo, cam, jnp.float32(0.0), light,
+        shadows=True, light_radius=1.5, shadow_samples=8, **kw)
+    none = render_instanced_phong(
+        tab, cs, inst.mat, mat_albedo, cam, jnp.float32(0.0), light,
+        shadows=False, **kw)
+    s, h, n = np.asarray(soft), np.asarray(hard), np.asarray(none)
+    assert np.isfinite(s).all()
+    assert (s <= n + 1e-5).all(), "soft shadows only remove light"
+    # penumbra: some pixels strictly between the hard shadow's two states
+    mid = (s > h + 1e-4) & (s < n - 1e-4)
+    assert mid.any(), "a finite light radius must produce partial visibility"
