@@ -70,13 +70,64 @@ class ClusterSet:
         return self.tri.shape[1]
 
 
+def _subtree_ranges(bvh: BVH, max_tris: int):
+    """DFS-ordered (start, end) triangle ranges, each a whole BVH subtree
+    of <= max_tris triangles, greedily merging adjacent small subtrees.
+
+    A fixed 128-chunk of the leaf order can straddle a major BVH split and
+    get a box spanning disjoint geometry; cutting at subtree boundaries
+    keeps every cluster box as tight as the tree itself. Descends to
+    subtrees of <= max_tris//2 before packing: the median-split tree makes
+    sibling subtrees near-equal, so stopping at <= max_tris strands pairs
+    like 69+69 that cannot merge under the cap (measured 55% fill, and the
+    doubled cluster count cost more than the tighter boxes saved);
+    half-size chunks repack to ~85%+ fill while a merged box is still the
+    union of 2-3 adjacent siblings."""
+    first = np.asarray(bvh.first_tri)
+    cnt = np.asarray(bvh.tri_count)
+    skip = np.asarray(bvh.skip)
+    N = first.shape[0]
+    T = int(cnt[first >= 0].sum())
+    # nxt[k] = first triangle index of the first leaf at preorder >= k;
+    # subtree rooted at i covers tris [nxt[i], nxt[skip[i]])
+    nxt = np.full((N + 1,), T, np.int64)
+    for k in range(N - 1, -1, -1):
+        nxt[k] = first[k] if first[k] >= 0 else nxt[k + 1]
+
+    ranges = []
+    stack = [0]
+    descend = max(max_tris // 2, 1)
+    while stack:
+        i = stack.pop()
+        s, e = int(nxt[i]), int(nxt[min(int(skip[i]), N)])
+        if e - s <= descend or first[i] >= 0:
+            if e > s:
+                ranges.append((s, e))
+        else:
+            left = i + 1
+            stack.append(int(skip[left]))  # right child
+            stack.append(left)             # popped first -> DFS order
+    merged = [list(ranges[0])]
+    for s, e in ranges[1:]:
+        if e - merged[-1][0] <= max_tris:
+            merged[-1][1] = e  # adjacent in DFS order = spatially coherent
+        else:
+            merged.append([s, e])
+    return [tuple(r) for r in merged]
+
+
 def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
-                   tri_mats: np.ndarray | None = None) -> ClusterSet:
+                   tri_mats: np.ndarray | None = None,
+                   align: str = "subtree") -> ClusterSet:
     """triangles: (T, 3, 3). Uses the BVH leaf order for spatial coherence
     (builds one if not given), pads to a CLUSTER multiple with degenerate
-    triangles (det=0 -> never hit) inside inverted never-hit boxes.
+    triangles (zero rows -> never hit) inside NaN never-hit boxes.
     tri_mats: optional (T,) material ids, stored in tri row 12 so the
     intersector can emit materials without a post-kernel gather.
+
+    align: "subtree" cuts clusters at BVH subtree boundaries (tight boxes,
+    some intra-cluster padding — see _subtree_ranges); "fixed" packs the
+    leaf order into exactly-128 chunks (full clusters, looser boxes).
 
     Prefer bvh=None here on tunneled backends: fetching device-resident BVH
     arrays back to host has shown ~100 s stalls; the in-process build is
@@ -88,52 +139,61 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     perm = np.asarray(bvh.perm)
     ordered = tris[perm]
 
-    # pad the cluster count to a SUPER multiple (tail clusters are inverted
+    if align == "subtree":
+        ranges = _subtree_ranges(bvh, CLUSTER)
+    elif align == "fixed":
+        ranges = [(k * CLUSTER, min((k + 1) * CLUSTER, T))
+                  for k in range(-(-T // CLUSTER))]
+    else:
+        raise ValueError(f"align must be 'subtree' or 'fixed': {align!r}")
+
+    # pad the cluster count to a SUPER multiple (tail clusters are NaN
     # never-hit boxes) so the hierarchical sweep's inner loop is rectangular
-    T_pad = -(-T // (CLUSTER * SUPER)) * (CLUSTER * SUPER)
+    C = -(-len(ranges) // SUPER) * SUPER
+    T_pad = C * CLUSTER
+    # cluster c's tris ordered[s:e] sit at lanes [c*CLUSTER, c*CLUSTER+e-s);
+    # unfilled lanes keep all-zero rows = never-hit triangles
     v0 = np.zeros((T_pad, 3), np.float32)
     e1 = np.zeros((T_pad, 3), np.float32)
     e2 = np.zeros((T_pad, 3), np.float32)
-    v0[:T] = ordered[:, 0]
-    e1[:T] = ordered[:, 1] - ordered[:, 0]
-    e2[:T] = ordered[:, 2] - ordered[:, 0]
     perm_pad = np.full((T_pad,), -1, np.int32)
-    perm_pad[:T] = perm
+    for c, (s, e) in enumerate(ranges):
+        base = c * CLUSTER
+        L = e - s
+        v0[base:base + L] = ordered[s:e, 0]
+        e1[base:base + L] = ordered[s:e, 1] - ordered[s:e, 0]
+        e2[base:base + L] = ordered[s:e, 2] - ordered[s:e, 0]
+        perm_pad[base:base + L] = perm[s:e]
 
     # Padding boxes are ALL-NaN: the swap-based slab test (min/max per
     # axis) lets an inverted (+inf/-inf) box pass for EVERY ray (t_near=-inf,
     # t_far=+inf), whereas NaN propagates and every comparison is false —
     # a genuine never-hit that costs one failed gate instead of a full
-    # degenerate MT sweep.
-    C = T_pad // CLUSTER
-    boxes = np.zeros((C, 8), np.float32)
-    for c in range(C):
-        lo = c * CLUSTER
-        hi = min((c + 1) * CLUSTER, T)
-        if lo >= T:
-            boxes[c, :6] = np.nan
-            continue
-        chunk = ordered[lo:hi].reshape(-1, 3)
+    # degenerate triangle sweep.
+    boxes = np.full((C, 8), np.nan, np.float32)
+    boxes[:, 6:] = 0.0
+    for c, (s, e) in enumerate(ranges):
+        chunk = ordered[s:e].reshape(-1, 3)
         boxes[c, :3] = chunk.min(0)
         boxes[c, 3:6] = chunk.max(0)
 
-    # sub-boxes (16-tri intersection gates) — packed into tri rows 14-19 at
-    # lanes 0..SUBS-1 of each cluster's slice, NOT into SMEM: SMEM scalars
-    # cost 64 B each on v5e (a (C*SUBS, 8) table would blow the 1 MB
-    # budget), while the tail rows of the (ROWS, T_pad) VMEM table are free
-    # padding and the kernel reads them as static-lane scalars from the
-    # block it already loaded.
+    # sub-boxes (SUB_TRIS-triangle intersection gates) — packed into tri
+    # rows 14-19 at lanes 0..SUBS-1 of each cluster's slice, NOT into SMEM:
+    # SMEM scalars cost 64 B each on v5e (a (C*SUBS, 8) table would blow
+    # the 1 MB budget), while the tail rows of the (ROWS, T_pad) VMEM table
+    # are free padding and the kernel reads them as static-lane scalars
+    # from the block it already loaded.
     sub = CLUSTER // SUBS
-    sub_boxes = np.zeros((C * SUBS, 6), np.float32)
-    for s in range(C * SUBS):
-        lo = s * sub
-        hi = min((s + 1) * sub, T)
-        if lo >= T:
-            sub_boxes[s, :6] = np.nan  # never-hit (see boxes comment)
-            continue
-        chunk = ordered[lo:hi].reshape(-1, 3)
-        sub_boxes[s, :3] = chunk.min(0)
-        sub_boxes[s, 3:6] = chunk.max(0)
+    sub_boxes = np.full((C * SUBS, 6), np.nan, np.float32)
+    for c, (s, e) in enumerate(ranges):
+        for k in range(SUBS):
+            lo = s + k * sub
+            hi = min(s + (k + 1) * sub, e)
+            if lo >= e:
+                continue  # fully-padded sub-block stays NaN never-hit
+            chunk = ordered[lo:hi].reshape(-1, 3)
+            sub_boxes[c * SUBS + k, :3] = chunk.min(0)
+            sub_boxes[c * SUBS + k, 3:6] = chunk.max(0)
 
     with np.errstate(invalid="ignore"):  # NaN on padded boxes
         centroid = (boxes[:, :3] + boxes[:, 3:6]) * 0.5
@@ -183,7 +243,9 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     tri_rows[11] = c2
     if tri_mats is not None:
         mats = np.asarray(tri_mats, np.float32)[perm]
-        tri_rows[12, :T] = mats
+        for c, (s, e) in enumerate(ranges):
+            base = c * CLUSTER
+            tri_rows[12, base:base + (e - s)] = mats[s:e]
     tri_rows[13] = np.sqrt(nn)  # |n| = 2 * area
     # rows 14-19 = sub-box [minx,miny,minz,maxx,maxy,maxz]; lane s of each
     # cluster's slice holds sub-block s's box

@@ -151,3 +151,42 @@ def test_intersect_clusters_attrs_path_matches_gather_path():
                                    np.asarray(b["n"][c])[hit], atol=1e-5)
     np.testing.assert_allclose(np.asarray(a["light_area"])[hit],
                                np.asarray(b["light_area"])[hit], rtol=1e-4)
+
+
+def test_subtree_ranges_partition_and_fill():
+    """Subtree-aligned clustering: ranges exactly partition the reordered
+    triangle list, each fits one cluster, boxes are no looser than the
+    fixed packing's (tightness is the point), and both alignments render
+    identical intersections."""
+    from raytracing_engine_tpu.accel.clusters import _subtree_ranges
+
+    mesh = icosphere(subdivisions=3, radius=1.2, center=(0.0, 5.0, 0.0))
+    bvh = build_bvh(mesh)
+    ranges = _subtree_ranges(bvh, CLUSTER)
+    flat = sorted(ranges)
+    assert flat[0][0] == 0 and flat[-1][1] == mesh.shape[0]
+    assert all(flat[i][1] == flat[i + 1][0] for i in range(len(flat) - 1))
+    assert all(0 < e - s <= CLUSTER for s, e in ranges)
+
+    cs_s = build_clusters(mesh, bvh=bvh, align="subtree")
+    cs_f = build_clusters(mesh, bvh=bvh, align="fixed")
+
+    def area(cs):
+        b = np.asarray(cs.boxes)
+        fin = np.isfinite(b[:, 0])
+        d = b[fin, 3:6] - b[fin, :3]
+        return (d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 0] * d[:, 2]).sum()
+
+    assert area(cs_s) <= area(cs_f) * 1.05, "subtree boxes should be tighter"
+
+    o, d = _ray_grid(8, 128, seed=9)
+    t_s, i_s = cluster_intersect(cs_s, o, d, jnp.inf, interpret=True)
+    t_f, i_f = cluster_intersect(cs_f, o, d, jnp.inf, interpret=True)
+    np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_f),
+                               rtol=1e-5, atol=1e-5)
+    # slot ids differ (different packing) but must map to the same triangle
+    # (rays grazing a shared edge may tie-break differently: allow 0.5%)
+    hit = np.asarray(i_s) >= 0
+    perm_s = np.asarray(cs_s.perm)[np.maximum(np.asarray(i_s), 0)]
+    perm_f = np.asarray(cs_f.perm)[np.maximum(np.asarray(i_f), 0)]
+    assert (perm_s[hit] != perm_f[hit]).mean() <= 5e-3
