@@ -4,5 +4,6 @@ from raytracing_engine_tpu.accel.bvh import BVH, build_bvh, bvh_intersect  # noq
 from raytracing_engine_tpu.accel.mesh import (  # noqa: F401
     icosphere,
     load_obj,
+    save_obj,
     torus_knot,
 )

@@ -112,3 +112,17 @@ def torus_knot(p: int = 2, q: int = 3, segments: int = 400, sides: int = 32,
     t2 = np.stack([a, c, d], axis=2).reshape(-1, 3, 3)
     tris = np.concatenate([t1, t2]) + np.asarray(center, np.float64)
     return tris.astype(np.float32)
+
+
+def save_obj(path: str, triangles: np.ndarray) -> None:
+    """Write a (T, 3, 3) triangle array as an OBJ (vertices deduplicated).
+    Round-trips with load_obj; useful for exporting generated meshes
+    (torus_knot/icosphere) to external tools."""
+    tris = np.asarray(triangles, np.float32).reshape(-1, 3)
+    verts, inverse = np.unique(tris, axis=0, return_inverse=True)
+    faces = inverse.reshape(-1, 3)
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]:.9g} {v[1]:.9g} {v[2]:.9g}\n")
+        for a, b, c in faces + 1:
+            f.write(f"f {a} {b} {c}\n")

@@ -140,14 +140,21 @@ def cmd_pt(args):
     elif args.scene == "spheres":
         scene = pt_scenes.material_spheres()
         pos, quat = jnp.zeros(3), jnp.array([0.0, 0.0, 0.0, 1.0])
-    elif args.scene == "knot":
+    elif args.scene in ("knot", "obj"):
         import numpy as onp
 
-        from raytracing_engine_tpu.accel import build_bvh, torus_knot
+        from raytracing_engine_tpu.accel import build_bvh, load_obj, torus_knot
         from raytracing_engine_tpu.accel.clusters import build_clusters
         from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
 
-        mesh = torus_knot(segments=args.segments, sides=32, center=(0.0, 8.0, 0.0))
+        if args.scene == "obj":
+            if not args.mesh:
+                raise SystemExit("--scene obj requires --mesh FILE.obj")
+            mesh = load_obj(args.mesh)
+            print(f"{args.mesh}: {mesh.shape[0]} triangles")
+        else:
+            mesh = torus_knot(segments=args.segments, sides=32,
+                              center=(0.0, 8.0, 0.0))
         mats = [
             {"albedo": (0.7, 0.6, 0.4), "kind": DIFFUSE},
             {"albedo": (0, 0, 0), "emission": (10.0, 10.0, 10.0), "kind": DIFFUSE},
@@ -286,7 +293,10 @@ def main(argv=None):
     rp.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("pt", help="path-trace a scene")
-    p.add_argument("--scene", choices=["cornell", "spheres", "knot"], default="cornell")
+    p.add_argument("--scene", choices=["cornell", "spheres", "knot", "obj"],
+                   default="cornell")
+    p.add_argument("--mesh", default=None,
+                   help="OBJ file for --scene obj (lit by the knot-scene lights)")
     p.add_argument("--size", default="256x256")
     p.add_argument("--spp", type=int, default=16)
     p.add_argument("--bounces", type=int, default=4)

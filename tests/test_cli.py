@@ -28,3 +28,21 @@ def test_cli_pt_with_checkpoint(tmp_path):
     from raytracing_engine_tpu.runtime.checkpoint import load_checkpoint
 
     assert load_checkpoint(ck).spp_done == 8
+
+
+def test_cli_pt_obj_scene(tmp_path):
+    """--scene obj --mesh file.obj: load a user mesh end-to-end."""
+    import numpy as np
+
+    from raytracing_engine_tpu.accel import icosphere, save_obj
+    from raytracing_engine_tpu.cli import main
+    from raytracing_engine_tpu.utils.image import read_png
+
+    obj = str(tmp_path / "ball.obj")
+    save_obj(obj, icosphere(subdivisions=1, radius=1.5, center=(0.0, 6.0, 0.0)))
+    out = str(tmp_path / "obj.png")
+    main(["pt", "--scene", "obj", "--mesh", obj, "--size", "64x32",
+          "--spp", "2", "--bounces", "2", "--bvh", "--out", out])
+    img = read_png(out)
+    assert img.shape == (32, 64, 3)
+    assert (img > 0).any()
