@@ -31,14 +31,16 @@ def _sel(idx, table, n):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "shadows", "interpret",
-                                   "fov", "shadow_samples", "light_radius"))
+                                   "fov", "shadow_samples", "light_radius",
+                                   "band_h"))
 def render_instanced_phong(inst_tab, cs, inst_mat, mat_albedo,
                            cam_pos, yaw, light_pos,
                            width=1920, height=1088, fov=1.0,
                            light_color=(300.0, 300.0, 290.0),
                            ambient=0.08, shininess=32.0, eps=1e-2,
                            shadows=True, interpret=None,
-                           light_radius=0.0, shadow_samples=1, seed=0):
+                           light_radius=0.0, shadow_samples=1, seed=0,
+                           sample_offset=0, row0=0, band_h=None):
     """Phong-shaded frame of an instanced scene: (H, W, 3) f32.
 
     inst_tab: pack_instances(...); cs: the base-mesh ClusterSet;
@@ -56,9 +58,16 @@ def render_instanced_phong(inst_tab, cs, inst_mat, mat_albedo,
     pcg-jittered points on the light sphere (deterministic per pixel for a
     given seed; N any-hit launches). light_radius=0 / shadow_samples=1 is
     the hard-shadow fast path.
+
+    row0/band_h: render only a horizontal band (the multi-chip sharded
+    form renders one band per device — parallel/instanced_sharding.py).
+    The camera projection and the shadow-sample RNG stay keyed on FULL
+    image coordinates, so band renders are bit-identical to the same rows
+    of the full-image render.
     """
-    iy = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    bh = band_h or height
+    iy = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 0) + row0
+    ix = jax.lax.broadcasted_iota(jnp.int32, (bh, width), 1)
     ncx = ((ix.astype(jnp.float32) + 0.5) * 2.0 / width - 1.0) * fov
     ncy = ((iy.astype(jnp.float32) + 0.5) * 2.0 / height - 1.0) * (
         fov * height / width)
@@ -130,7 +139,12 @@ def render_instanced_phong(inst_tab, cs, inst_mat, mat_albedo,
 
             vis = jnp.zeros_like(ldist)
             for s in range(shadow_samples):
-                u1, u2 = uniform_pcg(jnp.int32(seed), s, 2, height, width)
+                # sample_offset shifts the draw counter so a sharded
+                # render's devices each take a slice of the SAME global
+                # sample set (parallel/instanced_sharding.py)
+                u1, u2 = uniform_pcg(jnp.int32(seed),
+                                     jnp.int32(sample_offset) + s, 2, bh,
+                                     width, row0=row0)
                 z = 1.0 - 2.0 * u1
                 rr = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
                 phi = 2.0 * np.pi * u2

@@ -9,3 +9,6 @@ from raytracing_engine_tpu.parallel.pt_sharding import (  # noqa: F401
     render_pt_sharded,
     sharded_pt_step,
 )
+from raytracing_engine_tpu.parallel.instanced_sharding import (  # noqa: F401
+    render_instanced_sharded,
+)

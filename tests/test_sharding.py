@@ -58,3 +58,50 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("tiles,samples", [(4, 2), (2, 4), (8, 1)])
+def test_instanced_sharded_matches_single_device(tiles, samples):
+    """Sharded instanced render: tile bands bit-identical (hard shadows);
+    sample-sharded soft shadows match to float-summation tolerance."""
+    from raytracing_engine_tpu.accel import build_bvh, icosphere
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+    from raytracing_engine_tpu.accel.instancing import grid_instances
+    from raytracing_engine_tpu.models.instanced import render_instanced_phong
+    from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
+        pack_instances,
+    )
+    from raytracing_engine_tpu.parallel import (
+        make_mesh,
+        render_instanced_sharded,
+    )
+
+    mesh_tris = icosphere(subdivisions=1, radius=1.2, center=(0.0, 5.0, 0.0))
+    bvh = build_bvh(mesh_tris)
+    cs = build_clusters(mesh_tris, bvh=bvh)
+    inst = grid_instances(bvh, nx=2, ny=2, spacing=2.5, base=(0.0, 7.0, 0.0))
+    tab = pack_instances(inst)
+    mat_albedo = jnp.asarray(np.array([[0.8, 0.6, 0.4]], np.float32))
+    cam = jnp.zeros(3)
+    light = jnp.asarray([0.0, 3.0, 5.0])
+    kw = dict(width=64, height=32, light_color=(80.0, 80.0, 70.0))
+    dev_mesh = make_mesh(tiles, samples)
+
+    # hard shadows: bit-identical (samples axis is pure replication)
+    want = render_instanced_phong(tab, cs, inst.mat, mat_albedo, cam,
+                                  jnp.float32(0.0), light, **kw)
+    got = render_instanced_sharded(tab, cs, inst.mat, mat_albedo, cam,
+                                   jnp.float32(0.0), light, mesh=dev_mesh,
+                                   **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # soft shadows: devices slice the same global sample set; the affine
+    # radiance average reassociates one float sum -> tolerance, not bitwise
+    soft = dict(light_radius=1.0, shadow_samples=8)
+    want_s = render_instanced_phong(tab, cs, inst.mat, mat_albedo, cam,
+                                    jnp.float32(0.0), light, **kw, **soft)
+    got_s = render_instanced_sharded(tab, cs, inst.mat, mat_albedo, cam,
+                                     jnp.float32(0.0), light, mesh=dev_mesh,
+                                     **kw, **soft)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-6, atol=1e-6)
