@@ -43,7 +43,16 @@ ROWS = 24      # tri-table rows (f32 sublane tiles of 8; 20 used, 4 spare)
 #   row  12    mat    material id (f32)
 #   row  13    |n|    = 2 * triangle area
 #   rows 14-19 sub-box [minx,miny,minz,maxx,maxy,maxz] at lanes 0..SUBS-1
-#   rows 20-23 spare
+#   row  20    oc     cluster-local origin (box center) at lanes 0..2
+#   rows 21-23 spare
+#
+# The affine rows (nd, c1, c2) are REBASED to each cluster's box center:
+# nd = -n.(v0-oc) etc., and the kernel intersects with o' = o - oc. This
+# keeps u, v, t translation-invariant like Möller–Trumbore: with absolute
+# coordinates a mesh at |p| ~ 1e4 would lose ~1e-2 of barycentric
+# precision (2^-24 * |r1||p|), visible as edge cracks; rebased, precision
+# depends only on cluster-local geometry. Costs 3 scalar reads + 3 vector
+# subs per cluster (hoisted out of the per-triangle loop).
 
 
 @jax.tree_util.register_dataclass
@@ -230,9 +239,17 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     r1 = np.cross(e2, n) * inv_nn
     r2 = np.cross(n, e1) * inv_nn
     n = np.where(ok[:, None], n, 0.0)
-    nd = -np.einsum("ij,ij->i", n, v0)
-    c1 = -np.einsum("ij,ij->i", r1, v0)
-    c2 = -np.einsum("ij,ij->i", r2, v0)
+    # per-slot cluster-local origin (box center; 0 for padded clusters) —
+    # the affine offsets are precomputed against v0 - oc (see row map)
+    with np.errstate(invalid="ignore"):
+        oc_cluster = np.where(np.isfinite(boxes[:, 0:1]),
+                              (boxes[:, 0:3] + boxes[:, 3:6]) * 0.5, 0.0)
+    oc_cluster = oc_cluster.astype(np.float32)
+    oc = np.repeat(oc_cluster, CLUSTER, axis=0)  # (T_pad, 3)
+    v0l = v0 - oc
+    nd = -np.einsum("ij,ij->i", n, v0l)
+    c1 = -np.einsum("ij,ij->i", r1, v0l)
+    c2 = -np.einsum("ij,ij->i", r2, v0l)
 
     tri_rows = np.zeros((ROWS, T_pad), np.float32)
     tri_rows[0:3] = n.T
@@ -247,6 +264,8 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
             base = c * CLUSTER
             tri_rows[12, base:base + (e - s)] = mats[s:e]
     tri_rows[13] = np.sqrt(nn)  # |n| = 2 * area
+    # row 20 lanes 0-2 of each cluster's slice = the cluster's local origin
+    tri_rows[20].reshape(C, CLUSTER)[:, 0:3] = oc_cluster
     # rows 14-19 = sub-box [minx,miny,minz,maxx,maxy,maxz]; lane s of each
     # cluster's slice holds sub-block s's box
     for c in range(C):

@@ -111,18 +111,21 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
     zero = jnp.zeros_like(t0)
     attr0 = (zero, zero, zero, zero, zero) if attrs else ()
 
-    def mt_sub(blk, c, sub, ray_hit, t, idx, attr):
+    def mt_sub(blk, lo, c, sub, ray_hit, t, idx, attr):
         """SUB_TRIS unrolled Baldwin–Weber tests against one gate block of
         cluster c's already-loaded (ROWS, 128) slice. The precomputed
         transform (accel/clusters.py row map) needs no cross products per
         test — ~30% fewer VPU ops than Möller-Trumbore — and the plane
-        normal / material / area attrs are direct row reads."""
+        normal / material / area attrs are direct row reads. `lo` is the
+        ray origin rebased to the cluster's local frame (translation
+        invariance; see the row-map comment)."""
+        lox, loy, loz = lo
         if attrs:
             anx, any_, anz, amat, aarea = attr
         for k in range(sub * SUB_TRIS, (sub + 1) * SUB_TRIS):
             nx, ny, nz, nd = blk[0, k], blk[1, k], blk[2, k], blk[3, k]
             den = nx * dx + ny * dy + nz * dz
-            num = nx * ox + ny * oy + nz * oz + nd
+            num = nx * lox + ny * loy + nz * loz + nd
             # No den==0 guard needed: IEEE semantics make every degenerate
             # case a miss. Real triangle, parallel ray (den=0, num!=0):
             # tt = -/+inf fails tt>t_min or tt<t. All-zero padding rows
@@ -133,9 +136,9 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
             # t error (kc.approx_ok is False in interpret mode).
             inv = pl.reciprocal(den, approx=any_hit and kc.approx_ok)
             tt = -num * inv
-            px = ox + tt * dx
-            py = oy + tt * dy
-            pz = oz + tt * dz
+            px = lox + tt * dx  # cluster-local hit point
+            py = loy + tt * dy
+            pz = loz + tt * dz
             u = blk[4, k] * px + blk[5, k] * py + blk[6, k] * pz + blk[7, k]
             v = blk[8, k] * px + blk[9, k] * py + blk[10, k] * pz + blk[11, k]
             ok = (
@@ -162,6 +165,9 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
         already-loaded block."""
         base = pl.multiple_of(c * CLUSTER, CLUSTER)
         blk = kc.tri_ref[:, pl.ds(base, CLUSTER)]  # (ROWS, 128), lane-aligned
+        # rebase the ray origin to the cluster's local frame once per
+        # cluster (translation-invariant affine rows, see accel/clusters)
+        lo = (ox - blk[20, 0], oy - blk[20, 1], oz - blk[20, 2])
         for sub in range(SUBS):
             t_near, t_far = _slab_vals(
                 blk[14, sub], blk[15, sub], blk[16, sub],
@@ -171,7 +177,7 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
 
             def hit_fn(a, _sub=sub, _sh=sub_hit):
                 t, idx, attr = a[0], a[1], a[2:]
-                t, idx, attr = mt_sub(blk, c, _sub, _sh, t, idx, attr)
+                t, idx, attr = mt_sub(blk, lo, c, _sub, _sh, t, idx, attr)
                 return (t, idx) + attr
 
             t, idx, *attr = lax.cond(jnp.any(sub_hit), hit_fn, lambda a: a,

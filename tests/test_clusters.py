@@ -190,3 +190,33 @@ def test_subtree_ranges_partition_and_fill():
     perm_s = np.asarray(cs_s.perm)[np.maximum(np.asarray(i_s), 0)]
     perm_f = np.asarray(cs_f.perm)[np.maximum(np.asarray(i_f), 0)]
     assert (perm_s[hit] != perm_f[hit]).mean() <= 5e-3
+
+
+def test_translation_invariance_of_intersection():
+    """The Baldwin–Weber rows are rebased to each cluster's box center, so
+    intersecting a far-from-origin copy of a scene (camera translated
+    equally) must produce near-identical hit t/idx — with absolute-frame
+    affine rows the barycentrics would lose ~1e-2 precision at |p|~1e4
+    and edge pixels would crack."""
+    mesh = icosphere(subdivisions=2, radius=1.2, center=(0.0, 5.0, 0.0))
+    shift = np.array([8192.0, -4096.0, 2048.0], np.float32)  # exact in f32
+    cs0 = build_clusters(mesh)
+    cs1 = build_clusters(mesh + shift)
+
+    o, d = _ray_grid(8, 128, seed=11)
+    t0, i0 = cluster_intersect(cs0, o, d, jnp.inf, interpret=True)
+    o1 = tuple(o[k] + shift[k] for k in range(3))
+    t1, i1 = cluster_intersect(cs1, o1, d, jnp.inf, interpret=True)
+
+    t0, t1 = np.asarray(t0), np.asarray(t1)
+    hit0, hit1 = np.isfinite(t0), np.isfinite(t1)
+    # identical hit sets up to a sliver of edge pixels
+    assert (hit0 != hit1).mean() <= 2e-3, (hit0 != hit1).mean()
+    both = hit0 & hit1
+    # tolerance floor is set by the INPUT quantization: translating the
+    # vertices rounds each coordinate at ulp(8192) ~ 5e-4, so hit t's of
+    # grazing rays legitimately move by a few 1e-3
+    np.testing.assert_allclose(t0[both], t1[both], rtol=2e-3, atol=1e-2)
+    p0 = np.asarray(cs0.perm)[np.maximum(np.asarray(i0), 0)]
+    p1 = np.asarray(cs1.perm)[np.maximum(np.asarray(i1), 0)]
+    assert (p0[both] != p1[both]).mean() <= 5e-3
