@@ -54,7 +54,7 @@ def _chained(frame_fn, frames=4, variants=(0.0, 1e-3, 2e-3)):
 
         return (lax.fori_loop(0, frames, body, jnp.float32(0.0)),)
 
-    _timed(chain, [variants[0]])  # compile
+    # _timed compiles/warms on variants[0] and times only variants[1:]
     return _timed(chain, list(variants)) / frames
 
 
@@ -117,16 +117,14 @@ def config2_spheres(results, spp=4):  # megakernel
     }
 
 
-def config3_bvh(results, size=512, segments=1100):
-    """~70k-triangle mesh with stackless BVH (packet traversal)."""
-    import jax
-    import jax.numpy as jnp
-
-    from raytracing_engine_tpu.accel import build_bvh, torus_knot
+def config3_scene(size=512, segments=1100):
+    """The config-3 bench scene: (mesh, ClusterSet, PTScene, PTConfig,
+    cluster build seconds). Shared with benchmarks/time_config3.py so the
+    standalone timer can never drift from what results.json reports."""
+    from raytracing_engine_tpu.accel import torus_knot
     from raytracing_engine_tpu.accel.clusters import build_clusters
     from raytracing_engine_tpu.pathtracer import PTConfig
     from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
-    from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
 
     mesh = torus_knot(segments=segments, sides=32, center=(0.0, 8.0, 0.0))
     t0 = time.perf_counter()
@@ -144,6 +142,15 @@ def config3_bvh(results, size=512, segments=1100):
         materials=mats,
     )
     cfg = PTConfig(width=size, height=size, max_bounces=2, rng="pcg")
+    return mesh, bvh, scene, cfg, build_s
+
+
+def config3_bvh(results, size=512, segments=1100):
+    """~70k-triangle mesh through the cluster megakernel."""
+    import jax
+    import jax.numpy as jnp
+
+    mesh, bvh, scene, cfg, build_s = config3_scene(size, segments)
     quat = jnp.array([0.0, 0.0, 0.0, 1.0])
     key = jax.random.PRNGKey(1)
     nrays = {}

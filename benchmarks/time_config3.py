@@ -1,8 +1,9 @@
 """Quick config-3 timer: 70k-tri mesh, 512^2, 2-bounce + NEE megakernel.
 
 Usage: python benchmarks/time_config3.py [--tile 32x128] [--size 512]
-Prints frame ms over dependency-chained evaluations (same protocol as
-benchmarks/run_all.py).
+Prints frame ms over dependency-chained evaluations. Uses the SAME scene
+builder as benchmarks/run_all.py (config3_scene), so this timer can never
+drift from what results.json reports.
 """
 
 import argparse
@@ -10,9 +11,8 @@ import os
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -27,33 +27,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from raytracing_engine_tpu.accel import torus_knot
-    from raytracing_engine_tpu.accel.clusters import build_clusters
-    from raytracing_engine_tpu.pathtracer import PTConfig
-    from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+    from run_all import config3_scene
     from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
 
-    mesh = torus_knot(segments=1100, sides=32, center=(0.0, 8.0, 0.0))
-    bvh = build_clusters(mesh, tri_mats=np.zeros(mesh.shape[0], np.int32))
-    mats = [
-        {"albedo": (0.7, 0.6, 0.4), "kind": DIFFUSE},
-        {"albedo": (0, 0, 0), "emission": (10.0,) * 3, "kind": DIFFUSE},
-        {"albedo": (0.5, 0.5, 0.6), "kind": DIFFUSE},
-    ]
-    scene = build_pt_scene(
-        spheres=[((6.0, 4.0, 6.0), 1.5, 1), ((0.0, 8.0, -103.0), 100.0, 2)],
-        triangles=mesh,
-        tri_mats=np.zeros(mesh.shape[0], np.int32),
-        materials=mats,
-    )
-    cfg = PTConfig(width=args.size, height=args.size, max_bounces=2,
-                   rng="pcg")
+    mesh, bvh, scene, cfg, _ = config3_scene(size=args.size)
     quat = jnp.array([0.0, 0.0, 0.0, 1.0])
     key = jax.random.PRNGKey(1)
 
     def run(z):
         img, nr = render_pt_mega(cfg, scene, jnp.array([0.0, 0.0, z]), quat,
-                                 1, key, bvh=bvh, tile=tile, stripes=args.stripes)
+                                 1, key, bvh=bvh, tile=tile,
+                                 stripes=args.stripes)
         return img, nr
 
     img, nr = run(0.0)  # compile
@@ -70,8 +54,9 @@ def main():
         dt = (time.perf_counter() - t0) / n
         best = min(best, dt)
     nrays = float(nr)
-    print(f"tile={tile} stripes={args.stripes} size={args.size}: {best*1e3:.2f} ms/frame, "
-          f"{nrays/best/1e6:.2f} Mrays/s (n={nrays:.0f})")
+    print(f"tile={tile} stripes={args.stripes} size={args.size}: "
+          f"{best*1e3:.2f} ms/frame, {nrays/best/1e6:.2f} Mrays/s "
+          f"(n={nrays:.0f})")
 
 
 if __name__ == "__main__":

@@ -28,7 +28,7 @@ from raytracing_engine_tpu.accel.bvh import BVH, build_bvh
 CLUSTER = 128  # one full lane row per cluster
 SUPER = 8      # clusters per super-cluster (16 measured slower with BW tests)
 SUBS = 4       # sub-boxes per cluster (32-triangle gates; 2/8/16 measured slower with BW tests on v5e)
-ROWS = 24      # tri-table rows (f32 sublane tiles of 8; 20 used, 4 spare)
+ROWS = 24      # tri-table rows (f32 sublane tiles of 8; 21 used, 3 spare)
 
 # Triangle rows hold the Baldwin–Weber precomputed intersection transform
 # (plane + barycentric rows) instead of raw v0/e1/e2: ~30% fewer VPU ops

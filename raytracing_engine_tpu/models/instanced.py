@@ -56,8 +56,8 @@ def render_instanced_phong(inst_tab, cs, inst_mat, mat_albedo,
     so the triangle-native analog is AREA-light sampling: with
     light_radius > 0 and shadow_samples = N, visibility is averaged over N
     pcg-jittered points on the light sphere (deterministic per pixel for a
-    given seed; N any-hit launches). light_radius=0 / shadow_samples=1 is
-    the hard-shadow fast path.
+    given seed; N any-hit launches). light_radius=0 is the hard-shadow
+    fast path; any positive radius samples the area light, even at N=1.
 
     row0/band_h: render only a horizontal band (the multi-chip sharded
     form renders one band per device — parallel/instanced_sharding.py).
@@ -117,13 +117,16 @@ def render_instanced_phong(inst_tab, cs, inst_mat, mat_albedo,
     spec = jnp.where(ndotl > 0.0, spec, 0.0)
 
     if shadows:
-        # park miss lanes far away: they need no occlusion answer, and the
-        # sentinel origin both fails every slab test and seeds the any-hit
-        # early-exit (see instanced_intersect/cluster_sweep)
+        # park lanes whose lighting can't change with occlusion — misses
+        # AND back-facing hits (ndotl <= 0 zeroes both diffuse and spec, so
+        # `lit` is irrelevant there): the sentinel origin fails every slab
+        # test and seeds the any-hit early-exit (see instanced_intersect /
+        # cluster_sweep), so these lanes stop dragging cluster work
+        cand = hit & (ndotl > 0.0)
         dead = jnp.float32(1e18)
-        so = (jnp.where(hit, px + nx * eps, dead),
-              jnp.where(hit, py + ny * eps, dead),
-              jnp.where(hit, pz + nz * eps, dead))
+        so = (jnp.where(cand, px + nx * eps, dead),
+              jnp.where(cand, py + ny * eps, dead),
+              jnp.where(cand, pz + nz * eps, dead))
 
         def occluded(sdir, sdist):
             # near-to-far from the camera ~ near the shadowed surfaces:
@@ -134,7 +137,11 @@ def render_instanced_phong(inst_tab, cs, inst_mat, mat_albedo,
                 origin=cam_pos)
             return jnp.where(scode >= 0, 0.0, 1.0)
 
-        if light_radius > 0.0 and shadow_samples > 1:
+        # any positive light_radius takes the area-sampling path, even with
+        # a single sample — so a sharded render whose samples axis leaves
+        # local shadow_samples == 1 still draws its jittered slice of the
+        # global sample set instead of degrading to the hard central ray
+        if light_radius > 0.0:
             from raytracing_engine_tpu.ops.rng_pcg import uniform_pcg
 
             vis = jnp.zeros_like(ldist)

@@ -10,10 +10,11 @@ ClusterSet) are replicated — VMEM holds one base mesh per device, exactly
 like the single-chip kernel.
 
 The camera projection and shadow-sample RNG are keyed on global pixel
-coordinates and global sample indices, so tile-sharding is bit-identical
-to the single-device render; sample-sharding averages per-device affine
-radiance instead of per-device visibility, which reassociates one float
-sum — matching to ~1 ulp rather than bitwise (tests/test_sharding.py).
+coordinates and global sample indices, so the sharded render computes
+exactly the single-device sample set. Results match to ulp level (not
+bitwise: each mesh shape is a separate XLA program with its own
+fusion/FMA choices, and sample-sharding reassociates one float sum) —
+tests/test_sharding.py.
 """
 
 from __future__ import annotations
@@ -36,9 +37,11 @@ def render_instanced_sharded(inst_tab, cs, inst_mat, mat_albedo,
     """Sharded shaded instanced frame: (H, W, 3) f32, rows sharded over
     the ``tiles`` axis, shadow samples over ``samples``.
 
-    With shadow_samples == 1 (hard shadows) the samples axis devices
-    render identical bands and the psum-average is exact replication;
-    shadow_samples must otherwise divide by the samples axis size.
+    With light_radius == 0 (hard shadows) the samples-axis devices render
+    identical bands and the psum-average is exact replication; with a
+    positive radius shadow_samples must divide by the samples axis size
+    (local shadow_samples == 1 is fine — each device draws its single
+    jittered sample of the global set).
     """
     from raytracing_engine_tpu.models.instanced import render_instanced_phong
 
@@ -46,7 +49,7 @@ def render_instanced_sharded(inst_tab, cs, inst_mat, mat_albedo,
     n_s = mesh.shape[SAMPLE_AXIS]
     if height % n_t:
         raise ValueError(f"height {height} not divisible by tiles={n_t}")
-    soft = light_radius > 0.0 and shadow_samples > 1
+    soft = light_radius > 0.0
     if soft and shadow_samples % n_s:
         raise ValueError(
             f"shadow_samples {shadow_samples} not divisible by "

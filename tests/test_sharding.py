@@ -60,7 +60,7 @@ def test_graft_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
-@pytest.mark.parametrize("tiles,samples", [(4, 2), (2, 4), (8, 1)])
+@pytest.mark.parametrize("tiles,samples", [(4, 2), (2, 4), (8, 1), (1, 8)])
 def test_instanced_sharded_matches_single_device(tiles, samples):
     """Sharded instanced render: tile bands bit-identical (hard shadows);
     sample-sharded soft shadows match to float-summation tolerance."""
@@ -87,13 +87,17 @@ def test_instanced_sharded_matches_single_device(tiles, samples):
     kw = dict(width=64, height=32, light_color=(80.0, 80.0, 70.0))
     dev_mesh = make_mesh(tiles, samples)
 
-    # hard shadows: bit-identical (samples axis is pure replication)
+    # hard shadows: the samples axis is pure replication, so the psum
+    # average is mathematically exact — but each (tiles, samples) config
+    # is a different XLA program whose fusion/FMA choices may differ by an
+    # ulp, so assert ulp-level closeness rather than bitwise equality
     want = render_instanced_phong(tab, cs, inst.mat, mat_albedo, cam,
                                   jnp.float32(0.0), light, **kw)
     got = render_instanced_sharded(tab, cs, inst.mat, mat_albedo, cam,
                                    jnp.float32(0.0), light, mesh=dev_mesh,
                                    **kw)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-7, atol=1e-6)
 
     # soft shadows: devices slice the same global sample set; the affine
     # radiance average reassociates one float sum -> tolerance, not bitwise
