@@ -2,13 +2,16 @@
 
 .PHONY: test test-fast test-tpu bench benchmarks golden native clean
 
+# Suite cost (1-CPU box): full ~45 min cold, ~20 min with a warm
+# .jax_cache (the conftest enables the persistent XLA compile cache;
+# the kernel suites are compile-dominated). -n auto parallelizes across
+# cores where available (each xdist worker gets its own 8-fake-device
+# backend — process-parallel safe).
 test:            ## full suite (CPU, 8 virtual devices via tests/conftest.py)
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -n auto
 
-test-fast:       ## skip the slow interpret-mode kernel suites
-	python -m pytest tests/ -q --ignore=tests/test_megakernel.py \
-	  --ignore=tests/test_clusters.py --ignore=tests/test_packet_bvh.py \
-	  --ignore=tests/test_instanced_kernel.py
+test-fast:       ## skip the slow interpret-mode kernel suites (marker: slow)
+	python -m pytest tests/ -q -n auto -m "not slow"
 
 test-tpu:        ## compiled-kernel parity tier (needs a real TPU; run before benchmarks)
 	python -m pytest tests_tpu/ -q

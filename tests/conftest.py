@@ -16,6 +16,17 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Persistent XLA compile cache: the interpret-mode kernel suites are
+# dominated by compile time (measured: test_clusters.py 152 s cold ->
+# 61 s warm), and the cache is keyed by HLO so it is always safe. Opt out
+# with JAX_COMPILATION_CACHE_DIR="" .
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    )
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
 # JAX_PLATFORMS is bound to jax.config at import time; if a pytest plugin
 # already imported jax (before this conftest), the env var alone is too late.
 if "jax" in sys.modules:

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: compile-heavy
+
 from raytracing_engine_tpu.accel import build_bvh, icosphere
 from raytracing_engine_tpu.accel.clusters import CLUSTER, ClusterSet, build_clusters
 from raytracing_engine_tpu.ops.pallas.cluster_intersect import cluster_intersect

@@ -4,6 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: compile-heavy
+
 from raytracing_engine_tpu.accel import build_bvh, icosphere
 from raytracing_engine_tpu.accel.clusters import build_clusters
 from raytracing_engine_tpu.accel.instancing import grid_instances, instanced_intersect

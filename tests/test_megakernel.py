@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: compile-heavy
+
 from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
 from raytracing_engine_tpu.pathtracer import PTConfig
 from raytracing_engine_tpu.pathtracer.scenes import (

@@ -4,6 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: compile-heavy
+
 from raytracing_engine_tpu.accel import build_bvh, bvh_intersect, icosphere
 from raytracing_engine_tpu.ops.pallas.bvh_traverse import (
     bvh_intersect_packet,
