@@ -16,6 +16,7 @@ per pyramid level + one shadow ray per live light per output pixel.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -83,6 +84,23 @@ def main():
         )
     )
     print(f"# frame time: {frame_s*1e3:.2f} ms @ 1080p", file=sys.stderr)
+    # regression gate: append to the dated history and report the delta vs
+    # the previous headline (stderr keeps stdout = exactly one JSON line)
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        from history import append_history, last_record
+
+        prev = last_record("headline")
+        append_history("headline", {"mrays": round(mrays, 2),
+                                    "frame_ms": round(frame_s * 1e3, 3)})
+        if prev:
+            delta = (mrays - prev["mrays"]) / prev["mrays"] * 100.0
+            print(f"# vs last headline ({prev['ts']}, {prev['git']}): "
+                  f"{prev['mrays']} -> {mrays:.1f} Mrays/s ({delta:+.1f}%)",
+                  file=sys.stderr)
+    except Exception as e:  # history must never break the bench contract
+        print(f"# history unavailable: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

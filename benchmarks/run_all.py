@@ -326,6 +326,17 @@ def main():
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
 
+    # append-only dated history + drift vs the previous full run (results
+    # .json alone can't distinguish regression from noise — see history.py)
+    from history import append_history, drift_lines, last_record
+
+    prev = last_record("run_all")
+    append_history("run_all", {"quick": args.quick, "results": results})
+    print("\ndrift vs last run_all record"
+          + (f" ({prev['ts']}, {prev['git']})" if prev else "") + ":")
+    for line in drift_lines(prev.get("results") if prev else None, results):
+        print("  " + line)
+
     print("\n| config | result |")
     print("|---|---|")
     for k, v in results.items():
