@@ -92,7 +92,9 @@ def _unpack_scene(sph, tri, mat, light, counts) -> PTScene:
 def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                light_ref, *rest, cfg: PTConfig, spp: int,
                tile_h: int, tile_w: int, n_super: int = 0, stripes: int = 1,
-               approx_ok: bool = False):
+               approx_ok: bool = False, has_mlt: bool = False):
+    rest = list(rest)
+    mlt_ref = rest.pop(0) if has_mlt else None
     if n_super:
         from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
             KernelClusters,
@@ -134,10 +136,16 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
     def body(s, carry):
         ar, ag, ab, nr = carry
         seed_pass = base + (offset + s) * _PRIME
+        # per-pass mesh-light row: scalar reads at dynamic SUBLANE index s
+        # (supported in SMEM) — the TPU-native stand-in for a per-lane
+        # emissive-triangle gather
+        mlt = (tuple(mlt_ref[s, c] for c in range(13))
+               if has_mlt else None)
         rad, n = trace_window_planes(
             cfg, scene, cam, quat, None, bvh=bvh,
             band_h=tile_h, packet=False,
             band_w=tile_w, seed0=seed_pass, pix=(py, px),
+            mesh_light=mlt,
         )
         return (ar + rad[0], ag + rad[1], ab + rad[2], nr + n)
 
@@ -183,8 +191,11 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
     bvh: optional accel.clusters.ClusterSet — the whole bounce loop
     (intersection + NEE shadow sweeps included) then runs in-kernel via the
     hierarchical cluster sweep; scene.tri_* beyond TRI_UNROLL_MAX slots is
-    not shipped to the kernel (mesh *area lights* must sit in the first
-    TRI_UNROLL_MAX slots — same constraint as the wavefront path).
+    not shipped to the kernel. Per-slot mesh *area lights* must sit in the
+    first TRI_UNROLL_MAX slots — build_pt_scene REFUSES emissive slots
+    beyond that; emissive meshes of any size use mesh_lights=True, which
+    feeds a per-pass (spp, 16) SMEM row table into the kernel (scalar
+    reads at the pass's sublane index — no per-lane gather needed).
     Without a ClusterSet, triangle slots must be <= TRI_UNROLL_MAX.
     """
     from raytracing_engine_tpu.accel.clusters import ClusterSet
@@ -244,10 +255,11 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         )
     sph, tri, mat, light, counts = pack_pt_scene(scene)
 
+    has_mlt = scene.has_mesh_light
     kernel = functools.partial(
         _pt_kernel, cfg=cfg, spp=spp, tile_h=tile_h, tile_w=tile_w,
         n_super=bvh.num_super if bvh is not None else 0, stripes=stripes,
-        approx_ok=not interpret,
+        approx_ok=not interpret, has_mlt=has_mlt,
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
@@ -257,6 +269,19 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         full(), full(), full(), full(),          # scene tables
     ]
     args = [params, seeds, counts, sph, tri, mat, light]
+    if has_mlt:
+        from raytracing_engine_tpu.pathtracer.scene import mesh_light_rows
+
+        # one area-weighted emissive triangle per GLOBAL pass — computed
+        # here in XLA (gathers are free outside the kernel) and shipped as
+        # an SMEM scalar table, padded to 16 columns
+        gpass = jnp.asarray(spp_offset, jnp.int32) + jnp.arange(
+            spp, dtype=jnp.int32)
+        rows = mesh_light_rows(scene, base, gpass)  # (spp, 13)
+        mlt_tab = jnp.concatenate(
+            [rows, jnp.zeros((spp, 3), jnp.float32)], axis=1)
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args += [mlt_tab]
     if bvh is not None:
         from raytracing_engine_tpu.accel.clusters import visit_order
 

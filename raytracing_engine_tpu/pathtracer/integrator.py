@@ -230,6 +230,11 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
     row0/band_h restrict to a horizontal band (tile-sharded rendering);
     randoms are always drawn image-wide and sliced, so a sharded render is
     bit-identical to the single-device one."""
+    if scene.has_mesh_light:
+        raise ValueError(
+            "the stacked reference integrator samples per-slot lights and "
+            "cannot use a mesh-light scene; build the cross-check scene "
+            "with allow_many_tri_lights=True instead of mesh_lights=True")
     h, w = (band_h or cfg.height), cfg.width
 
     def draw(k, n):

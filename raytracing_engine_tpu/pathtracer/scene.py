@@ -23,6 +23,18 @@ DIFFUSE = 0
 MIRROR = 1
 EMISSIVE = 2  # alias: a diffuse surface whose emission dominates
 
+# Triangle slots the plane-native integrators unroll into scalar selects
+# (wavefront._tri_hits_unrolled / _sample_light). Bigger meshes ride the
+# cluster sweep for INTERSECTION, but per-triangle NEE light slots cannot
+# exceed this — emissive triangles beyond it must use mesh_lights=True
+# (global per-pass area-CDF selection; see build_pt_scene).
+TRI_UNROLL_MAX = 32
+
+# light_kind values in the NEE light table
+LIGHT_SPHERE = 0
+LIGHT_TRI = 1
+LIGHT_MESH = 2   # pseudo-slot: the whole emissive mesh, one light
+
 
 def _pad(a, n, fill=0.0):
     a = np.asarray(a, np.float32)
@@ -51,11 +63,20 @@ class PTScene:
     mat_emission: jax.Array # (M, 3)
     mat_kind: jax.Array     # (M,) int32
     # NEE light table (host-built from emissive primitives)
-    light_kind: jax.Array   # (L,) int32 — 0 sphere, 1 triangle
+    light_kind: jax.Array   # (L,) int32 — 0 sphere, 1 triangle, 2 mesh
     light_prim: jax.Array   # (L,) int32 — index into the primitive arrays
     light_area: jax.Array   # (L,) f32   — surface area (uniform-area pdf)
     light_le: jax.Array     # (L, 3) f32 — emitted radiance (precomputed)
     light_count: jax.Array  # () int32
+    # mesh light (mesh_lights=True): ALL emissive triangles, any count.
+    # Sampled per PASS: one area-weighted triangle per global pass index
+    # (scalar), per-lane barycentric jitter — the marginal point pdf is
+    # 1/(total_area * light_count), used consistently on both MIS sides,
+    # so the estimator stays unbiased; TPU-native because the per-pass
+    # row is a scalar table (SMEM) instead of a per-lane gather.
+    mesh_light_tri: jax.Array | None = None   # (E, 12): v0, e1, e2, Le
+    mesh_light_cdf: jax.Array | None = None   # (E,) normalized area CDF
+    mesh_light_area: jax.Array | None = None  # () total emissive area
 
     @property
     def num_sphere_slots(self) -> int:
@@ -64,6 +85,10 @@ class PTScene:
     @property
     def num_triangle_slots(self) -> int:
         return self.tri_v0.shape[0]
+
+    @property
+    def has_mesh_light(self) -> bool:
+        return self.mesh_light_tri is not None
 
 
 def build_pt_scene(
@@ -74,8 +99,25 @@ def build_pt_scene(
     sphere_pad: int | None = None,
     tri_pad: int | None = None,
     light_pad: int | None = None,
+    mesh_lights: bool = False,
+    allow_many_tri_lights: bool = False,
 ) -> PTScene:
-    """Host-side scene assembly: pads SoA arrays, derives the light table."""
+    """Host-side scene assembly: pads SoA arrays, derives the light table.
+
+    mesh_lights=True routes ALL emissive triangles through the mesh-light
+    sampler (area-weighted per-pass triangle selection, no slot limit)
+    instead of per-triangle light slots. Emissive triangles at index >=
+    TRI_UNROLL_MAX REQUIRE it: the plane-native NEE samplers unroll
+    per-triangle light slots into scalar selects and cannot address later
+    slots, so without it such a light would silently vanish from direct
+    lighting — this constructor refuses instead (the reference shades
+    every light it has: /root/reference/shaders/fragment.glsl:170-185).
+
+    allow_many_tri_lights=True keeps per-triangle light slots beyond the
+    unroll limit anyway — ONLY the stacked reference integrator
+    (pathtracer/integrator.py, gather-based) samples those correctly; use
+    it for statistical cross-checks of the mesh-light estimator.
+    """
     S = len(spheres)
     sphere_pad = sphere_pad or max(S, 1)
     sph_pos = np.zeros((sphere_pad, 3), np.float32)
@@ -112,13 +154,45 @@ def build_pt_scene(
     lk, lp, la, le = [], [], [], []
     for i in range(S):
         if np.any(mat_emission[sph_mat[i]] > 0):
-            lk.append(0)
+            lk.append(LIGHT_SPHERE)
             lp.append(i)
             la.append(4.0 * np.pi * float(sph_radius[i]) ** 2)
             le.append(mat_emission[sph_mat[i]])
-    for i in range(T):
-        if np.any(mat_emission[tri_mats[i]] > 0):
-            lk.append(1)
+
+    emissive_tris = [i for i in range(T)
+                     if np.any(mat_emission[tri_mats[i]] > 0)]
+    mesh_tri = mesh_cdf = mesh_area = None
+    if mesh_lights:
+        if not emissive_tris:
+            raise ValueError("mesh_lights=True but no triangle has an "
+                             "emissive material")
+        idxs = np.asarray(emissive_tris)
+        cross = np.cross(e1[idxs], e2[idxs])
+        areas = 0.5 * np.linalg.norm(cross, axis=1).astype(np.float64)
+        total = float(areas.sum())
+        if total <= 0:
+            raise ValueError("emissive triangles have zero total area")
+        mesh_tri = np.concatenate(
+            [v0[idxs], e1[idxs], e2[idxs],
+             mat_emission[tri_mats[idxs]]], axis=1).astype(np.float32)
+        mesh_cdf = np.cumsum(areas / total).astype(np.float32)
+        mesh_cdf[-1] = 1.0  # guard fp drift: last bin must cover u -> 1
+        mesh_area = np.float32(total)
+        lk.append(LIGHT_MESH)
+        lp.append(-1)
+        la.append(total)          # slot area = TOTAL area -> the uniform
+        le.append((0.0, 0.0, 0.0))  # 1/(area*count) pdf is the marginal
+    else:
+        for i in emissive_tris:
+            if i >= TRI_UNROLL_MAX and not allow_many_tri_lights:
+                raise ValueError(
+                    f"emissive triangle at slot {i} >= TRI_UNROLL_MAX="
+                    f"{TRI_UNROLL_MAX}: the unrolled NEE samplers cannot "
+                    f"address it and it would silently vanish from direct "
+                    f"lighting. Pass mesh_lights=True (area-CDF per-pass "
+                    f"sampling, no slot limit) or move emissive triangles "
+                    f"into the first {TRI_UNROLL_MAX} slots.")
+            lk.append(LIGHT_TRI)
             lp.append(i)
             cross = np.cross(e1[i], e2[i])
             la.append(0.5 * float(np.linalg.norm(cross)))
@@ -153,4 +227,35 @@ def build_pt_scene(
         light_area=jnp.asarray(light_area),
         light_le=jnp.asarray(light_le),
         light_count=jnp.int32(L),
+        mesh_light_tri=None if mesh_tri is None else jnp.asarray(mesh_tri),
+        mesh_light_cdf=None if mesh_cdf is None else jnp.asarray(mesh_cdf),
+        mesh_light_area=None if mesh_area is None else jnp.float32(mesh_area),
     )
+
+
+def mesh_light_rows(scene: PTScene, seed, gpass):
+    """Per-pass mesh-light rows: (N, 13) f32 = [v0, e1, e2, Le, total_area]
+    for int32 pass indices `gpass` (scalar or (N,)).
+
+    One area-weighted emissive triangle is selected per GLOBAL pass index
+    by a counter-based hash, so the selection is invariant to chunking,
+    sharding and tile decomposition (same invariance contract as the pixel
+    RNG). The megakernel feeds the rows in as an SMEM scalar table; the
+    XLA paths compute a row per pass inline."""
+    import jax.numpy as jnp  # noqa: F811 (kernel-safe local import style)
+
+    from raytracing_engine_tpu.ops.rng_pcg import pcg4d, _to_unit
+
+    gp = jnp.atleast_1d(jnp.asarray(gpass)).astype(jnp.uint32)
+    # distinct stream from the pixel-keyed draws: y-channel pinned to a
+    # sentinel no pixel coordinate reaches
+    o1, _, _, _ = pcg4d(gp, jnp.full_like(gp, np.uint32(0x9E3779B9)),
+                        jnp.zeros_like(gp),
+                        jnp.broadcast_to(jnp.asarray(seed).astype(jnp.uint32),
+                                         gp.shape))
+    u = _to_unit(o1)
+    e = jnp.searchsorted(scene.mesh_light_cdf, u, side="left")
+    e = jnp.minimum(e, scene.mesh_light_cdf.shape[0] - 1)
+    rows = scene.mesh_light_tri[e]  # (N, 12)
+    area = jnp.broadcast_to(scene.mesh_light_area, (rows.shape[0], 1))
+    return jnp.concatenate([rows, area], axis=1)

@@ -24,10 +24,15 @@ from jax import lax, random
 from raytracing_engine_tpu.ops import vec3 as v3
 from raytracing_engine_tpu.pathtracer import sampler
 from raytracing_engine_tpu.pathtracer.integrator import PTConfig
-from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, MIRROR, PTScene
+from raytracing_engine_tpu.pathtracer.scene import (
+    DIFFUSE,
+    LIGHT_MESH,
+    MIRROR,
+    TRI_UNROLL_MAX,
+    PTScene,
+)
 
 _PI = float(jnp.pi)
-TRI_UNROLL_MAX = 32
 import numpy as _np
 
 BIG = _np.float32(3.4e38)  # numpy scalar: traces as a literal inside Pallas
@@ -195,7 +200,8 @@ def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
     sph_area = 4.0 * _PI * sr * sr
     light_area = jnp.where(use_tri, carea, sph_area)
 
-    return dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area)
+    return dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
+                is_tri=use_tri)
 
 
 def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
@@ -317,7 +323,8 @@ def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
     tri_area = 0.5 * nlen2
     light_area = jnp.where(use_tri, tri_area, sph_area)
 
-    return dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area)
+    return dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
+                is_tri=use_tri)
 
 
 def _occluded(scene: PTScene, o, d, max_t, t_min, bvh, packet=None):
@@ -393,8 +400,15 @@ def _occluded(scene: PTScene, o, d, max_t, t_min, bvh, packet=None):
     return blocked
 
 
-def _sample_light(scene: PTScene, u_sel, u1, u2):
-    """Plane-native NEE light sample (see integrator.sample_light_point)."""
+def _sample_light(scene: PTScene, u_sel, u1, u2, mesh_light=None):
+    """Plane-native NEE light sample (see integrator.sample_light_point).
+
+    mesh_light: optional tuple of 13 SCALARS [v0(3), e1(3), e2(3), Le(3),
+    total_area] — this pass's area-weighted emissive-mesh triangle (see
+    scene.mesh_light_rows). Slots with kind==LIGHT_MESH sample a point on
+    it with per-lane barycentric jitter; the pseudo-slot's stored area is
+    the TOTAL emissive area, so pdf_area = 1/(area*count) is already the
+    marginal pdf of the whole scheme."""
     L = scene.light_kind.shape[0]
     count = jnp.maximum(scene.light_count, 1)
     idx = jnp.minimum((u_sel * count).astype(jnp.int32), count - 1)
@@ -437,6 +451,30 @@ def _sample_light(scene: PTScene, u_sel, u1, u2):
     is_tri = kind == 1
     point = v3.where(is_tri, p_t, p_s)
     normal = v3.where(is_tri, n_t, n_s)
+
+    if mesh_light is not None:
+        mv0 = mesh_light[0:3]
+        me1 = mesh_light[3:6]
+        me2 = mesh_light[6:9]
+        mle = mesh_light[9:12]
+        # same sqrt barycentric mapping as the per-slot triangles
+        p_m = (mv0[0] + me1[0] * b1 + me2[0] * b2,
+               mv0[1] + me1[1] * b1 + me2[1] * b2,
+               mv0[2] + me1[2] * b1 + me2[2] * b2)
+        ncx = me1[1] * me2[2] - me1[2] * me2[1]  # scalar cross product
+        ncy = me1[2] * me2[0] - me1[0] * me2[2]
+        ncz = me1[0] * me2[1] - me1[1] * me2[0]
+        ninv = 1.0 / jnp.maximum(
+            jnp.sqrt(ncx * ncx + ncy * ncy + ncz * ncz), 1e-20)
+        is_mesh = kind == LIGHT_MESH
+        point = v3.where(is_mesh, p_m, point)
+        normal = v3.where(is_mesh, (ncx * ninv + 0.0 * b1,
+                                    ncy * ninv + 0.0 * b1,
+                                    ncz * ninv + 0.0 * b1), normal)
+        le = (jnp.where(is_mesh, mle[0], le[0]),
+              jnp.where(is_mesh, mle[1], le[1]),
+              jnp.where(is_mesh, mle[2], le[2]))
+
     pdf_area = 1.0 / (area * count)
     return point, normal, le, pdf_area
 
@@ -507,7 +545,8 @@ def _permute_state(st, perm, h, w):
 
 def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
                 bvh=None, row0=0, band_h=None, packet=None,
-                col0=0, band_w=None, seed0=None, sort=False, pix=None):
+                col0=0, band_w=None, seed0=None, sort=False, pix=None,
+                probe=None, mesh_light=None):
     """One sample per pixel, plane layout. Returns (rad V3 planes, nrays).
 
     pix: optional (py, px) int32 GLOBAL pixel-coordinate planes (rng='pcg'
@@ -614,6 +653,8 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
 
     def bounce(b, st):
         st = dict(st)
+        if probe is not None:  # instrumentation: pre-sweep ray state
+            probe("ray", b, dict(o=st["o"], d=st["d"], alive=st["alive"]))
         if sort:
             u = uniform_pcg_coords(seed0, b + 1, 5, st["px"], st["py"])
         else:
@@ -630,8 +671,14 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         # --- emission (MIS vs NEE of the previous vertex) ------------------
         emissive = (emission[0] > 0.0) | (emission[1] > 0.0) | (emission[2] > 0.0)
         cos_l = jnp.abs(v3.dot(n, st["d"]))
+        light_area = isect["light_area"]
+        if mesh_light is not None:
+            # emissive triangle hits belong to the mesh light: MIS must use
+            # the same MARGINAL pdf the sampler used, 1/(total_area*count)
+            light_area = jnp.where(isect["is_tri"], mesh_light[12],
+                                   light_area)
         pdf_light_w = (
-            1.0 / jnp.maximum(isect["light_area"] * jnp.maximum(scene.light_count, 1), 1e-20)
+            1.0 / jnp.maximum(light_area * jnp.maximum(scene.light_count, 1), 1e-20)
             * isect["t"] ** 2 / jnp.maximum(cos_l, 1e-6)
         )
         w_b = jnp.where(
@@ -644,7 +691,8 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
 
         # --- NEE ------------------------------------------------------------
         if cfg.use_nee:
-            lp, ln, le, pdf_area = _sample_light(scene, u[2], u[3], u[4])
+            lp, ln, le, pdf_area = _sample_light(scene, u[2], u[3], u[4],
+                                                 mesh_light=mesh_light)
             to_l = v3.sub(lp, p)
             dist = v3.length(to_l)
             wi = v3.scale(to_l, 1.0 / jnp.maximum(dist, 1e-20))
@@ -664,6 +712,9 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             dead_d = (zero + _INV_SQRT3,) * 3
             sh_o = v3.where(cand, sh_o, dead_o)
             sh_d = v3.where(cand, wi, dead_d)
+            if probe is not None:  # instrumentation: NEE occlusion rays
+                probe("shadow", b, dict(o=sh_o, d=sh_d, cand=cand,
+                                        dist=dist * (1.0 - 1e-3)))
             blocked = _occluded(scene, sh_o, sh_d, dist * (1.0 - 1e-3), cfg.t_min, bvh, packet)
             vis = cand & ~blocked
 
@@ -709,7 +760,13 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             st = _permute_state(st, perm, *keys.shape)
         return st
 
-    st = lax.fori_loop(0, cfg.max_bounces + 1, bounce, st)
+    if probe is None:
+        st = lax.fori_loop(0, cfg.max_bounces + 1, bounce, st)
+    else:
+        # instrumentation mode: unrolled python loop so the probe callback
+        # sees concrete per-bounce ray states (call un-jitted)
+        for b in range(cfg.max_bounces + 1):
+            st = bounce(b, st)
     if sort:
         # un-permute radiance back to pixel order (one ray per pixel)
         flat = (st["py"] * w + st["px"]).reshape(-1)
@@ -727,11 +784,13 @@ def trace_window_planes(*args, **kwargs):
 
 def trace_pass_soa(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
                    bvh=None, row0=0, band_h=None, packet=None,
-                   col0=0, band_w=None, seed0=None, sort=False):
+                   col0=0, band_w=None, seed0=None, sort=False, probe=None,
+                   mesh_light=None):
     """One sample per pixel. Returns ((h, w, 3) image, nrays) — see
     _trace_core for the window semantics."""
     rad, nrays = _trace_core(cfg, scene, cam_pos, cam_quat, key, bvh, row0,
-                             band_h, packet, col0, band_w, seed0, sort)
+                             band_h, packet, col0, band_w, seed0, sort,
+                             probe=probe, mesh_light=mesh_light)
     return jnp.stack([rad[0], rad[1], rad[2]], axis=-1), nrays
 
 
@@ -746,11 +805,19 @@ def render_pt_fast(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
     if key is None:
         key = random.PRNGKey(0)
 
+    from raytracing_engine_tpu.ops.pallas.rng import key_to_seed
+
+    def _mlt(i):
+        if not scene.has_mesh_light:
+            return None
+        from raytracing_engine_tpu.pathtracer.scene import mesh_light_rows
+
+        row = mesh_light_rows(scene, key_to_seed(key), spp_offset + i)[0]
+        return tuple(row[c] for c in range(13))
+
     if cfg.rng == "pcg":
         # derive one base seed; pass i's stream = base + global_pass * prime
         # (identical construction in the Pallas megakernel)
-        from raytracing_engine_tpu.ops.pallas.rng import key_to_seed
-
         base = key_to_seed(key)
 
         def body(i, carry):
@@ -758,7 +825,7 @@ def render_pt_fast(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
             seed_pass = base + (spp_offset + i) * jnp.int32(-1640531527)
             img, nr = trace_pass_soa(cfg, scene, cam_pos, cam_quat, None,
                                      bvh=bvh, packet=packet, seed0=seed_pass,
-                                     sort=sort)
+                                     sort=sort, mesh_light=_mlt(i))
             return acc + img, nrays + nr
     else:
         if sort:
@@ -768,7 +835,8 @@ def render_pt_fast(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
             acc, nrays = carry
             img, nr = trace_pass_soa(cfg, scene, cam_pos, cam_quat,
                                      random.fold_in(key, spp_offset + i),
-                                     bvh=bvh, packet=packet)
+                                     bvh=bvh, packet=packet,
+                                     mesh_light=_mlt(i))
             return acc + img, nrays + nr
 
     acc, nrays = lax.fori_loop(
