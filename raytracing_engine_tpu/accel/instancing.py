@@ -131,3 +131,49 @@ def instanced_intersect(inst: InstancedMesh, o3, d3, t_min=1e-3):
 
     nl = jnp.maximum(jnp.linalg.norm(best_n, axis=-1, keepdims=True), 1e-20)
     return best_t, best_inst, best_tri, best_n / nl
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class InstancedClusters:
+    """Two-level PT scene container: the shared base-mesh ClusterSet plus
+    the packed SMEM instance table (ops.pallas.instanced_intersect.
+    pack_instances layout; col 19 = per-instance material id).
+
+    Pass as `bvh` to render_pt_mega / render_pt_fast: the FULL NEE+MIS
+    bounce loop then runs over the instanced scene (config 5 as a
+    first-class path-traced citizen — the reference shades everything it
+    draws, /root/reference/shaders/fragment.glsl:127-187)."""
+    inst_tab: jax.Array   # (N, 24) f32
+    cs: object            # accel.clusters.ClusterSet
+
+    @property
+    def num_instances(self) -> int:
+        return self.inst_tab.shape[0]
+
+
+def make_instanced_clusters(inst: InstancedMesh, cs, scene=None
+                            ) -> InstancedClusters:
+    """Build the PT container from an InstancedMesh + its base ClusterSet.
+
+    scene: optional PTScene — when given, refuses per-instance materials
+    whose emission is nonzero: instanced emissive surfaces have no NEE
+    light-table entry and no MIS pdf, so they would silently lose energy.
+    Area lights in instanced scenes are emissive SPHERES or unrolled-slot
+    triangles."""
+    from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
+        pack_instances,
+    )
+
+    if scene is not None:
+        mats = np.asarray(inst.mat)
+        emiss = np.asarray(scene.mat_emission)
+        bad = [int(k) for k in range(mats.shape[0])
+               if np.any(emiss[mats[k]] > 0)]
+        if bad:
+            raise ValueError(
+                f"instances {bad} use emissive materials: instanced "
+                f"emissive surfaces are not NEE-sampleable (no light-table "
+                f"entry / MIS pdf). Use emissive spheres or unrolled-slot "
+                f"triangles as area lights in instanced scenes.")
+    return InstancedClusters(inst_tab=pack_instances(inst), cs=cs)

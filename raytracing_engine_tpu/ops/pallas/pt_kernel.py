@@ -92,7 +92,8 @@ def _unpack_scene(sph, tri, mat, light, counts) -> PTScene:
 def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                light_ref, *rest, cfg: PTConfig, spp: int,
                tile_h: int, tile_w: int, n_super: int = 0, stripes: int = 1,
-               approx_ok: bool = False, has_mlt: bool = False):
+               approx_ok: bool = False, has_mlt: bool = False,
+               n_instances: int = 0, t_pad: int = 0):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
     if n_super:
@@ -100,10 +101,22 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
             KernelClusters,
         )
 
-        (order_ref, sboxes_ref, cboxes_ref, ctri_ref,
-         out_ref, nrays_ref) = rest
-        bvh = KernelClusters(order_ref, sboxes_ref, cboxes_ref, ctri_ref,
-                             n_super, approx_ok=approx_ok)
+        if n_instances:
+            from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
+                KernelInstances,
+            )
+
+            (inst_ref, iorder_ref, order_ref, sboxes_ref, cboxes_ref,
+             ctri_ref, out_ref, nrays_ref) = rest
+            kc = KernelClusters(order_ref, sboxes_ref, cboxes_ref, ctri_ref,
+                                n_super, approx_ok=approx_ok)
+            bvh = KernelInstances(inst_ref, iorder_ref, kc, n_instances,
+                                  t_pad)
+        else:
+            (order_ref, sboxes_ref, cboxes_ref, ctri_ref,
+             out_ref, nrays_ref) = rest
+            bvh = KernelClusters(order_ref, sboxes_ref, cboxes_ref, ctri_ref,
+                                 n_super, approx_ok=approx_ok)
     else:
         out_ref, nrays_ref = rest
         bvh = None
@@ -199,12 +212,17 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
     Without a ClusterSet, triangle slots must be <= TRI_UNROLL_MAX.
     """
     from raytracing_engine_tpu.accel.clusters import ClusterSet
+    from raytracing_engine_tpu.accel.instancing import InstancedClusters
 
-    if bvh is not None and not isinstance(bvh, ClusterSet):
+    if bvh is not None and not isinstance(bvh, (ClusterSet,
+                                                InstancedClusters)):
         raise TypeError(
-            "render_pt_mega accepts a ClusterSet (build_clusters); for a "
-            "skip-link BVH use render_pt_fast"
+            "render_pt_mega accepts a ClusterSet (build_clusters) or an "
+            "InstancedClusters (make_instanced_clusters); for a skip-link "
+            "BVH use render_pt_fast"
         )
+    instanced = isinstance(bvh, InstancedClusters)
+    cs = bvh.cs if instanced else bvh
     if bvh is None and scene.tri_v0.shape[0] > TRI_UNROLL_MAX:
         raise ValueError(
             f"megakernel unrolls triangles; {scene.tri_v0.shape[0]} slots > "
@@ -258,8 +276,10 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
     has_mlt = scene.has_mesh_light
     kernel = functools.partial(
         _pt_kernel, cfg=cfg, spp=spp, tile_h=tile_h, tile_w=tile_w,
-        n_super=bvh.num_super if bvh is not None else 0, stripes=stripes,
+        n_super=cs.num_super if cs is not None else 0, stripes=stripes,
         approx_ok=not interpret, has_mlt=has_mlt,
+        n_instances=bvh.num_instances if instanced else 0,
+        t_pad=cs.padded_tris if instanced else 0,
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
@@ -285,14 +305,29 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
     if bvh is not None:
         from raytracing_engine_tpu.accel.clusters import visit_order
 
+        if instanced:
+            # instance table + near-to-far instance visit order (from the
+            # camera — a perf hint, results order-independent)
+            center = (bvh.inst_tab[:, 13:16] + bvh.inst_tab[:, 16:19]) * 0.5
+            delta = center - jnp.asarray(cam_pos, jnp.float32)
+            iorder = jnp.argsort(jnp.sum(delta * delta, -1)).astype(jnp.int32)
+            in_specs += [
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # instances
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # instance order
+            ]
+            args += [bvh.inst_tab, iorder]
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # super visit order
             pl.BlockSpec(memory_space=pltpu.SMEM),  # super boxes
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster boxes
             full(),                                  # cluster tri rows
         ]
-        args += [visit_order(bvh, jnp.asarray(cam_pos, jnp.float32)),
-                 bvh.super_boxes, bvh.boxes, bvh.tri]
+        # super visit order: the cluster sweep runs in OBJECT space for
+        # instanced scenes, where the world camera position is meaningless
+        # — identity order there (matches instanced_cluster_intersect)
+        order = (jnp.arange(cs.num_super, dtype=jnp.int32) if instanced
+                 else visit_order(cs, jnp.asarray(cam_pos, jnp.float32)))
+        args += [order, cs.super_boxes, cs.boxes, cs.tri]
     out, nrays = pl.pallas_call(
         kernel,
         out_shape=(

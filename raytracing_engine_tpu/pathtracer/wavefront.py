@@ -283,11 +283,81 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
     return t, idx, n, v3.length(n)
 
 
+def _intersect_instanced(scene: PTScene, o, d, t_min, bvh):
+    """Two-level (instanced) closest hit for the PT bounce loop.
+
+    bvh: a KernelInstances (in-kernel) or accel.instancing.InstancedClusters
+    (XLA path — one pallas launch per bounce). Materials are PER INSTANCE
+    (inst table col 19). Emissive instanced materials are NOT supported
+    (no NEE entry / MIS pdf for them — make_instanced_clusters refuses);
+    area lights in instanced scenes are emissive spheres or unrolled-slot
+    triangles, so light_area for mesh hits is never read and stays 1."""
+    from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
+        KernelInstances,
+        instanced_cluster_intersect,
+        instanced_sweep,
+    )
+
+    t_s, i_s = _sphere_hits(scene, o, d, t_min)
+    if isinstance(bvh, KernelInstances):
+        big = jnp.full_like(o[0], BIG)
+        t_w, code, attr = instanced_sweep(bvh, o, d, big, t_min=t_min,
+                                          attrs=True)
+        cnx, cny, cnz = attr
+        n_inst, t_pad = bvh.n_instances, bvh.t_pad
+        inst_mat = jnp.zeros_like(code)
+        for k in range(n_inst):  # static select chain over instances
+            sel = (code >= jnp.float32(k * t_pad)) & \
+                  (code < jnp.float32((k + 1) * t_pad))
+            inst_mat = jnp.where(sel, bvh.inst_ref[k, 19], inst_mat)
+        hit_tri = code >= 0.0
+    else:
+        t_w, code_i, cnx, cny, cnz = instanced_cluster_intersect(
+            bvh.inst_tab, bvh.cs, o, d, t_min=t_min, attrs=True)
+        n_inst = bvh.inst_tab.shape[0]
+        inst_id = jnp.maximum(code_i, 0) // bvh.cs.padded_tris
+        inst_mat = _sel(inst_id, bvh.inst_tab[:, 19], n_inst)
+        hit_tri = code_i >= 0
+    t_t = jnp.where(hit_tri, t_w, BIG)
+
+    use_tri = t_t < t_s
+    t = jnp.minimum(t_s, t_t)
+    hit = t < BIG
+    p = v3.add(o, v3.scale(d, t))
+
+    S = scene.sph_pos.shape[0]
+    si = jnp.maximum(i_s, 0)
+    scx = _sel(si, scene.sph_pos[:, 0], S)
+    scy = _sel(si, scene.sph_pos[:, 1], S)
+    scz = _sel(si, scene.sph_pos[:, 2], S)
+    n_sph = (p[0] - scx, p[1] - scy, p[2] - scz)
+    n = v3.where(use_tri, (cnx, cny, cnz), n_sph)
+    nlen = jnp.maximum(v3.length(n), 1e-20)
+    n = v3.scale(n, 1.0 / nlen)
+    n = v3.where(v3.dot(n, d) > 0.0, v3.neg(n), n)  # two-sided
+
+    sph_mat = _sel(si, scene.sph_mat, S)
+    mat_id = jnp.where(use_tri, inst_mat.astype(jnp.int32), sph_mat)
+
+    sr = _sel(si, scene.sph_radius, S)
+    sph_area = 4.0 * _PI * sr * sr
+    light_area = jnp.where(use_tri, 1.0, sph_area)
+
+    return dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
+                is_tri=use_tri)
+
+
 def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
+    from raytracing_engine_tpu.accel.instancing import InstancedClusters
     from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
         KernelClusters,
     )
+    from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
+        KernelInstances,
+    )
 
+    if isinstance(bvh, (KernelInstances, InstancedClusters)):
+        return _intersect_instanced(scene, o, d, t_min, bvh)
     if isinstance(bvh, KernelClusters):  # in-kernel: gathers impossible
         return _intersect_clusters(scene, o, d, t_min, bvh)
     t_s, i_s = _sphere_hits(scene, o, d, t_min)
@@ -345,13 +415,29 @@ def _occluded(scene: PTScene, o, d, max_t, t_min, bvh, packet=None):
         blocked = blocked | ok
 
     from raytracing_engine_tpu.accel.clusters import ClusterSet
+    from raytracing_engine_tpu.accel.instancing import InstancedClusters
     from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
         KernelClusters,
         cluster_sweep,
     )
+    from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
+        KernelInstances,
+        instanced_cluster_intersect,
+        instanced_sweep,
+    )
 
     T = scene.tri_v0.shape[0]
-    if isinstance(bvh, KernelClusters):  # in-kernel any-hit sweep
+    if isinstance(bvh, KernelInstances):  # in-kernel two-level any-hit
+        t0 = jnp.broadcast_to(max_t, o[0].shape)
+        _, code, _ = instanced_sweep(bvh, o, d, t0, t_min=t_min,
+                                     any_hit=True)
+        blocked = blocked | (code >= 0.0)
+    elif isinstance(bvh, InstancedClusters):
+        _, code_i = instanced_cluster_intersect(
+            bvh.inst_tab, bvh.cs, o, d, t_min=t_min, any_hit=True,
+            t_max=max_t)
+        blocked = blocked | (code_i >= 0)
+    elif isinstance(bvh, KernelClusters):  # in-kernel any-hit sweep
         t0 = jnp.broadcast_to(max_t, o[0].shape)
         _, idx_f, _ = cluster_sweep(bvh, o, d, t0, t_min=t_min, any_hit=True)
         blocked = blocked | (idx_f >= 0.0)
