@@ -66,17 +66,51 @@ def cmd_orbit(args):
     else:
         os.makedirs(args.out, exist_ok=True)
     primary, secondary = conemarch_ray_count(cfg, int(scene.light_count))
-    render = pallas_renderer.render_jit_for(cfg, scene)  # static live counts
-    for i in range(args.frames):
-        cam = Camera(position=positions[i], rotation=rotations[i])
-        t0 = time.perf_counter()
-        img = jax.block_until_ready(render(scene, cam.position, cam.quat()))
-        st = FrameStats(primary, secondary, time.perf_counter() - t0)
-        if writer is not None:
-            writer.add(np.asarray(img))
-        else:
-            write_png(os.path.join(args.out, f"frame_{i:04d}.png"), np.asarray(img))
-        print(f"frame {i:3d}: {st.seconds*1e3:7.2f} ms  {st.mrays_per_sec:8.1f} Mrays/s")
+    if args.chunk > 1:
+        # batched serving: K frames per dispatch (runtime/serve.py) — the
+        # ~25 ms tunnel dispatch round-trip amortizes across the chunk, so
+        # interactive orbit serving matches the benchmark methodology
+        import jax.numpy as jnp
+
+        from raytracing_engine_tpu.runtime import render_sequence
+
+        n_obj, n_light = int(scene.obj_count), int(scene.light_count)
+
+        def fn(cfg, scene, pos, quat, _n_obj=n_obj, _n_light=n_light):
+            return pallas_renderer.render(cfg, scene, pos, quat,
+                                          n_obj=_n_obj, n_light=_n_light)
+
+        cams = [Camera(position=positions[i], rotation=rotations[i])
+                for i in range(args.frames)]
+        P = jnp.asarray(np.stack([np.asarray(c.position) for c in cams]))
+        Q = jnp.asarray(np.stack([np.asarray(c.quat()) for c in cams]))
+        for k0 in range(0, args.frames, args.chunk):
+            k1 = min(k0 + args.chunk, args.frames)
+            t0 = time.perf_counter()
+            frames = render_sequence(cfg, scene, P[k0:k1], Q[k0:k1], fn=fn)
+            frames = np.moveaxis(np.asarray(frames), 1, -1)
+            dt = (time.perf_counter() - t0) / (k1 - k0)
+            st = FrameStats(primary, secondary, dt)
+            for i, img in zip(range(k0, k1), frames):
+                if writer is not None:
+                    writer.add(img)
+                else:
+                    write_png(os.path.join(args.out, f"frame_{i:04d}.png"),
+                              img)
+            print(f"frames {k0:3d}-{k1-1:3d}: {st.seconds*1e3:7.2f} ms/frame "
+                  f"{st.mrays_per_sec:8.1f} Mrays/s (chunked dispatch)")
+    else:
+        render = pallas_renderer.render_jit_for(cfg, scene)  # static counts
+        for i in range(args.frames):
+            cam = Camera(position=positions[i], rotation=rotations[i])
+            t0 = time.perf_counter()
+            img = jax.block_until_ready(render(scene, cam.position, cam.quat()))
+            st = FrameStats(primary, secondary, time.perf_counter() - t0)
+            if writer is not None:
+                writer.add(np.asarray(img))
+            else:
+                write_png(os.path.join(args.out, f"frame_{i:04d}.png"), np.asarray(img))
+            print(f"frame {i:3d}: {st.seconds*1e3:7.2f} ms  {st.mrays_per_sec:8.1f} Mrays/s")
     if writer is not None:
         writer.close()
         print(f"{args.y4m}: {writer.frames} frames @ {args.fps} fps")
@@ -111,7 +145,8 @@ def cmd_replay(args):
         def sink(i, img):
             write_png(os.path.join(args.out, f"frame_{i:04d}.png"), img)
 
-    stats = loop.run(events, sink=sink, stats=True)
+    stats = loop.run(events, sink=sink, stats=True,
+                     chunk=args.chunk if args.chunk > 1 else None)
     if writer is not None:
         writer.close()
     n = len(stats)
@@ -280,6 +315,9 @@ def main(argv=None):
     o.add_argument("--y4m", default=None,
                    help="write a YUV4MPEG2 video instead of PNG frames")
     o.add_argument("--fps", type=int, default=30)
+    o.add_argument("--chunk", type=int, default=8,
+                   help="frames per dispatch (amortizes tunnel RTT; "
+                        "1 = per-frame dispatch)")
     o.set_defaults(fn=cmd_orbit)
 
     rp = sub.add_parser(
@@ -290,6 +328,9 @@ def main(argv=None):
     rp.add_argument("--out", default="replay_out")
     rp.add_argument("--y4m", default=None)
     rp.add_argument("--fps", type=int, default=30)
+    rp.add_argument("--chunk", type=int, default=8,
+                    help="frames per dispatch (replay events are known "
+                         "ahead; 1 = per-frame dispatch)")
     rp.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("pt", help="path-trace a scene")

@@ -54,6 +54,17 @@ class KernelClusters:
     # occlusion, bounded by tests_tpu). Interpret mode keeps exact math so
     # the CPU suite's any-hit == closest-hit invariants stay bitwise.
     approx_ok: bool = False
+    # Optional per-tile visit-order selection (closest-hit sweeps only):
+    # orders_ref (K, S) int32 SMEM — near-to-far order per reference
+    # origin; refs_ref (K, 4) f32 SMEM — the reference origins (row 0 =
+    # this frame's camera, rows 1+ = mesh farthest-point samples). The
+    # sweep picks the row whose reference is nearest the tile's mean live
+    # ray origin: primary tiles naturally select the camera row, bounce
+    # tiles a mesh-local one (instrumented −18% tests on the config-3
+    # bounce-1 sweep). Results stay order-independent by construction.
+    orders_ref: Any = None
+    refs_ref: Any = None
+    n_orders: int = 0
 
 
 def _slab_vals(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz,
@@ -202,6 +213,27 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
         return lax.cond(jnp.any(ray_hit), hit_fn, lambda a: a,
                         (t, idx) + attr)
 
+    # per-tile visit-order selection (closest sweeps): pick the
+    # precomputed order whose reference origin is nearest the tile's mean
+    # live ray origin — a handful of scalar ops + 4 plane reductions
+    order_k = None
+    if kc.n_orders and not any_hit:
+        live_m = (jnp.abs(ox) < 1e17).astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(live_m), 1.0)
+        mx = jnp.sum(ox * live_m) / cnt
+        my = jnp.sum(oy * live_m) / cnt
+        mz = jnp.sum(oz * live_m) / cnt
+        best_d = jnp.float32(_INF)
+        order_k = jnp.int32(0)
+        for k in range(kc.n_orders):
+            ddx = kc.refs_ref[k, 0] - mx
+            ddy = kc.refs_ref[k, 1] - my
+            ddz = kc.refs_ref[k, 2] - mz
+            d2 = ddx * ddx + ddy * ddy + ddz * ddz
+            sel = d2 < best_d
+            best_d = jnp.where(sel, d2, best_d)
+            order_k = jnp.where(sel, jnp.int32(k), order_k)
+
     def cond(state):
         si, t, idx, live = state[0], state[1], state[2], state[3]
         return (si < kc.n_super) & (live != 0.0)
@@ -209,7 +241,10 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
     def body(state):
         si, t, idx, live, attr = (state[0], state[1], state[2], state[3],
                                   state[4:])
-        s = kc.order_ref[si]  # near-to-far visit order (perf hint only)
+        if order_k is None:
+            s = kc.order_ref[si]  # near-to-far visit order (perf hint only)
+        else:
+            s = kc.orders_ref[order_k, si]
         t_near, t_far = _slab(kc.sboxes_ref, s, ox, oy, oz,
                               inv_dx, inv_dy, inv_dz)
         super_hit = (t_near <= t_far) & (t_far > t_min) & (t_near < t)

@@ -93,7 +93,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                light_ref, *rest, cfg: PTConfig, spp: int,
                tile_h: int, tile_w: int, n_super: int = 0, stripes: int = 1,
                approx_ok: bool = False, has_mlt: bool = False,
-               n_instances: int = 0, t_pad: int = 0):
+               n_instances: int = 0, t_pad: int = 0, n_orders: int = 0):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
     if n_super:
@@ -112,6 +112,13 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                                 n_super, approx_ok=approx_ok)
             bvh = KernelInstances(inst_ref, iorder_ref, kc, n_instances,
                                   t_pad)
+        elif n_orders:
+            (order_ref, sboxes_ref, cboxes_ref, ctri_ref, orders_ref,
+             refs_ref, out_ref, nrays_ref) = rest
+            bvh = KernelClusters(order_ref, sboxes_ref, cboxes_ref, ctri_ref,
+                                 n_super, approx_ok=approx_ok,
+                                 orders_ref=orders_ref, refs_ref=refs_ref,
+                                 n_orders=n_orders)
         else:
             (order_ref, sboxes_ref, cboxes_ref, ctri_ref,
              out_ref, nrays_ref) = rest
@@ -274,12 +281,16 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
     sph, tri, mat, light, counts = pack_pt_scene(scene)
 
     has_mlt = scene.has_mesh_light
+    multi_order = (not instanced and cs is not None
+                   and cs.order_refs is not None
+                   and cs.order_refs.shape[0] > 0)
+    n_orders = 1 + cs.order_refs.shape[0] if multi_order else 0
     kernel = functools.partial(
         _pt_kernel, cfg=cfg, spp=spp, tile_h=tile_h, tile_w=tile_w,
         n_super=cs.num_super if cs is not None else 0, stripes=stripes,
         approx_ok=not interpret, has_mlt=has_mlt,
         n_instances=bvh.num_instances if instanced else 0,
-        t_pad=cs.padded_tris if instanced else 0,
+        t_pad=cs.padded_tris if instanced else 0, n_orders=n_orders,
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
@@ -328,6 +339,20 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         order = (jnp.arange(cs.num_super, dtype=jnp.int32) if instanced
                  else visit_order(cs, jnp.asarray(cam_pos, jnp.float32)))
         args += [order, cs.super_boxes, cs.boxes, cs.tri]
+        if multi_order:
+            from raytracing_engine_tpu.accel.clusters import visit_orders
+
+            # row 0 = this frame's camera; rows 1+ = mesh FPS references —
+            # closest sweeps pick per tile by mean live origin (KernelClusters)
+            refs = jnp.concatenate(
+                [jnp.asarray(cam_pos, jnp.float32)[None, :],
+                 cs.order_refs], axis=0)
+            orders = visit_orders(cs, refs)
+            refs4 = jnp.concatenate(
+                [refs, jnp.zeros((refs.shape[0], 1), jnp.float32)], axis=1)
+            in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),  # orders
+                         pl.BlockSpec(memory_space=pltpu.SMEM)]  # refs
+            args += [orders, refs4]
     out, nrays = pl.pallas_call(
         kernel,
         out_shape=(

@@ -26,16 +26,21 @@ from raytracing_engine_tpu.pathtracer.integrator import PTConfig, trace_pass
 
 def render_pt_sharded(cfg: PTConfig, scene, cam_pos, cam_quat, spp: int,
                       key, mesh, bvh=None, soa: bool = False,
-                      mega: bool = False, tile=(64, 256)):
+                      mega: bool = False, tile=(64, 256), spp_offset=0):
     """SPMD progressive pass over `mesh`. Returns ((H, W, 3) image, nrays).
     soa=True uses the plane-layout wavefront integrator (production speed);
     mega=True runs the Pallas megakernel per device band (the fastest
     single-chip path — its counter-based pcg stream is tiling-invariant by
     construction, so sharded == unsharded bit-for-bit up to the psum);
-    the default uses the stacked reference integrator (bit-matched tests)."""
+    the default uses the stacked reference integrator (bit-matched tests).
+
+    spp_offset: global pass index of this call's first pass — every pass's
+    stream is keyed by its GLOBAL index, so chunked progressive renders
+    (runtime.checkpoint.progressive_render(mesh=...)) accumulate the same
+    sample set regardless of chunking or device count."""
     if mega:
         return _render_pt_sharded_mega(cfg, scene, cam_pos, cam_quat, spp,
-                                       key, mesh, bvh, tile)
+                                       key, mesh, bvh, tile, spp_offset)
     if soa:
         from raytracing_engine_tpu.pathtracer.wavefront import trace_pass_soa
         pass_fn = trace_pass_soa
@@ -65,7 +70,7 @@ def render_pt_sharded(cfg: PTConfig, scene, cam_pos, cam_quat, spp: int,
 
             def pass_body(i, carry):
                 acc, nrays = carry
-                gpass = s * local_spp + i
+                gpass = spp_offset + s * local_spp + i
                 rad, nr = pass_fn(
                     cfg, scene, cam_pos, cam_quat, None, bvh=bvh,
                     row0=t * band_h, band_h=band_h,
@@ -75,7 +80,7 @@ def render_pt_sharded(cfg: PTConfig, scene, cam_pos, cam_quat, spp: int,
         else:
             def pass_body(i, carry):
                 acc, nrays = carry
-                gpass = s * local_spp + i  # global pass index
+                gpass = spp_offset + s * local_spp + i  # global pass index
                 rad, nr = pass_fn(
                     cfg, scene, cam_pos, cam_quat, random.fold_in(key, gpass),
                     bvh=bvh, row0=t * band_h, band_h=band_h,
@@ -102,7 +107,7 @@ def render_pt_sharded(cfg: PTConfig, scene, cam_pos, cam_quat, spp: int,
 
 
 def _render_pt_sharded_mega(cfg: PTConfig, scene, cam_pos, cam_quat,
-                            spp: int, key, mesh, bvh, tile):
+                            spp: int, key, mesh, bvh, tile, spp_offset=0):
     """Megakernel per device band: tiles shard image rows, samples shard
     spp (each sample-device renders its pass range via spp_offset)."""
     import dataclasses
@@ -125,7 +130,8 @@ def _render_pt_sharded_mega(cfg: PTConfig, scene, cam_pos, cam_quat,
         s = lax.axis_index(SAMPLE_AXIS)
         img, nrays = render_pt_mega(
             cfg, scene, cam_pos, cam_quat, local_spp, key,
-            spp_offset=s * local_spp, tile=tile, bvh=bvh,  # bvh: replicated closure
+            spp_offset=spp_offset + s * local_spp,  # global pass indices
+            tile=tile, bvh=bvh,  # bvh: replicated closure
             row0=t * band_h, band_h=band_h,
         )
         img = lax.psum(img * jnp.float32(local_spp / spp), SAMPLE_AXIS)

@@ -92,13 +92,16 @@ class FrameLoop:
             self.cfg, int(self.scene.light_count)
         )
 
-    def step(self, event: InputEvent):
-        """Integrate one input event and render. Returns the device image
-        (async — not blocked on) like the reference's submit-without-wait."""
+    def _advance(self, event: InputEvent) -> bool:
+        """Integrate one input event into loop/camera state WITHOUT
+        rendering. Returns True when this event produces a frame — the
+        separation lets `run(chunk=...)` precompute a whole pose sequence
+        (replay events are known ahead of time) and render it in batched
+        dispatches."""
         if event.quit:
             # Escape / close (src/main.rs:684-694): stop rendering
             self.quit = True
-            return self._last
+            return False
         if event.focus is not None:
             # focus change: freeze when unfocused + cursor grab toggle
             # (src/main.rs:711-717; frozen loop skips at :726)
@@ -122,7 +125,7 @@ class FrameLoop:
             # src/main.rs:778-870)
             self._set_size(*event.resize)
         if self.frozen:
-            return self._last
+            return False
         self.camera = integrate_input(
             self.camera,
             jnp.asarray(event.move, jnp.float32),
@@ -131,6 +134,13 @@ class FrameLoop:
             jnp.float32(event.dt),
             jnp.float32(self.cfg.width),
         )
+        return True
+
+    def step(self, event: InputEvent):
+        """Integrate one input event and render. Returns the device image
+        (async — not blocked on) like the reference's submit-without-wait."""
+        if not self._advance(event):
+            return self._last
         self._last = self._render(
             self.cfg, self.scene, self.camera.position, self.camera.quat()
         )
@@ -141,10 +151,23 @@ class FrameLoop:
         events: Iterable[InputEvent],
         sink: Optional[Callable[[int, np.ndarray], None]] = None,
         stats: bool = False,
+        chunk: Optional[int] = None,
     ):
         """Render a sequence of frames. With a sink, each frame is pulled to
         host (the 'present'); otherwise frames stay on device and only the
-        last is synchronized. Returns per-frame FrameStats when stats=True."""
+        last is synchronized. Returns per-frame FrameStats when stats=True.
+
+        chunk=K: replay-style serving — events are integrated ahead of
+        time (they are known, unlike live input) and frames render K per
+        dispatch via runtime.serve.render_sequence, so the ~25 ms tunnel
+        round-trip amortizes across the chunk instead of taxing every
+        frame (the benchmark methodology, now on the user-facing path —
+        VERDICT round-2 item 7). Identical images to the per-frame path:
+        same (cfg, pose) sequence through the same render fn, grouped at
+        resize/fullscreen boundaries (cfg changes force a new dispatch).
+        Per-frame stats report the amortized chunk time."""
+        if chunk:
+            return self._run_chunked(events, sink, stats, chunk)
         frame_stats = []
         img = None
         for i, ev in enumerate(events):
@@ -166,3 +189,44 @@ class FrameLoop:
         if img is not None:
             jax.block_until_ready(img)
         return frame_stats if stats else img
+
+    def _run_chunked(self, events, sink, stats, chunk):
+        from raytracing_engine_tpu.runtime import serve
+
+        # phase 1: pure host-side event integration -> pose sequence,
+        # grouped by RenderConfig (resize/fullscreen breaks a group)
+        groups = []  # [(cfg, [(event_idx, pos, quat), ...])]
+        for i, ev in enumerate(events):
+            rendered = self._advance(ev)
+            if self.quit:
+                break
+            if not rendered:
+                continue
+            if not groups or groups[-1][0] != self.cfg:
+                groups.append((self.cfg, []))
+            groups[-1][1].append((i, np.asarray(self.camera.position),
+                                  np.asarray(self.camera.quat())))
+
+        # phase 2: K frames per dispatch, one fetch per chunk
+        frame_stats = []
+        last = None
+        for cfg, poses in groups:
+            primary, secondary = conemarch_ray_count(
+                cfg, int(self.scene.light_count))
+            for k0 in range(0, len(poses), chunk):
+                sub = poses[k0:k0 + chunk]
+                t0 = time.perf_counter()
+                frames = serve.render_sequence(
+                    cfg, self.scene,
+                    jnp.asarray(np.stack([p for _, p, _ in sub])),
+                    jnp.asarray(np.stack([q for _, _, q in sub])),
+                    fn=self._render)
+                frames = np.moveaxis(np.asarray(frames), 1, -1)
+                dt = (time.perf_counter() - t0) / len(sub)
+                for (idx, _, _), img in zip(sub, frames):
+                    if sink is not None:
+                        sink(idx, img)
+                    if stats:
+                        frame_stats.append(FrameStats(primary, secondary, dt))
+                last = frames[-1]
+        return frame_stats if stats else last

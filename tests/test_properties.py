@@ -186,3 +186,26 @@ def test_render_sequence_matches_per_frame(scene):
             want = conemarch.render(cfg, scene, positions[i], quats[i])
             np.testing.assert_allclose(frames[i], np.asarray(want),
                                        rtol=1e-6, atol=1e-6)
+
+
+def test_frameloop_chunked_run_matches_per_frame(scene):
+    """run(chunk=K) — batched replay serving — produces the same frames at
+    the same event indices as the per-frame loop, across a resize (cfg
+    change = chunk-group boundary)."""
+    import numpy as np
+    from raytracing_engine_tpu.runtime import FrameLoop, InputEvent
+
+    cfg = RenderConfig(width=64, height=64)
+    events = (
+        [InputEvent(move=(1.0, 0.5, 0.0), cursor=(3.0, 1.0), dt=0.02)] * 4
+        + [InputEvent(resize=(72, 48))]
+        + [InputEvent(rot=(1.0, 0.0), dt=0.03)] * 3
+    )
+
+    a, b = {}, {}
+    FrameLoop(cfg, scene).run(events, sink=lambda i, im: a.__setitem__(i, im))
+    FrameLoop(cfg, scene).run(events, sink=lambda i, im: b.__setitem__(i, im),
+                              chunk=3)
+    assert set(a) == set(b)
+    for i in a:
+        np.testing.assert_allclose(b[i], a[i], rtol=1e-6, atol=1e-6)

@@ -109,3 +109,44 @@ def test_sharded_mega_cluster_scene(setup):
                                make_mesh(4, 2), bvh=cs, mega=True, tile=tile)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_progressive_sharded_resume_across_mesh_shapes(setup, tmp_path):
+    """A multi-chip progressive job checkpointed on one mesh shape resumes
+    on ANOTHER shape (preemption/reshape survival) and reproduces the
+    single-device render: passes are keyed by GLOBAL index, so the sample
+    set is chunking- and device-count-invariant (VERDICT round-2 item 6)."""
+    import dataclasses
+
+    from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
+    from raytracing_engine_tpu.runtime.checkpoint import (
+        ProgressiveState,
+        load_checkpoint,
+        progressive_render,
+    )
+
+    cfg, scene, pos, quat, _, _ = setup
+    cfg = dataclasses.replace(cfg, rng="pcg")
+    want, _ = render_pt_fast(cfg, scene, pos, quat, 8, KEY)
+
+    path = str(tmp_path / "prog.npz")
+    state = ProgressiveState(
+        accum=jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
+        spp_done=0, key=KEY, cam_pos=pos, cam_quat=quat)
+    # first 4 spp on a (2 tiles x 2 samples) mesh, megakernel per band
+    for state in progressive_render(cfg, scene, state, 4,
+                                    passes_per_chunk=4, mesh=make_mesh(2, 2),
+                                    mega=True, tile=(8, 32),
+                                    checkpoint_path=path):
+        pass
+    assert state.spp_done == 4
+    # resume from disk on a DIFFERENT mesh shape for the remaining 4
+    state = load_checkpoint(path)
+    for state in progressive_render(cfg, scene, state, 8,
+                                    passes_per_chunk=4, mesh=make_mesh(4, 1),
+                                    mega=True, tile=(8, 32),
+                                    checkpoint_path=path):
+        pass
+    assert state.spp_done == 8
+    np.testing.assert_allclose(state.image, np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
