@@ -148,3 +148,116 @@ def test_megakernel_clusters(mesh_setup):
     want, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 1, key, bvh=cs,
                              interpret=True)
     _assert_close(got, want, label="megakernel-cluster", frac=1e-4, atol=1e-4)
+
+
+def test_sharded_megakernel_one_device_mesh():
+    """The shard_map-wrapped megakernel compiles and runs ON CHIP (the CI
+    suite only ever exercises it on the CPU fake backend) and matches the
+    direct megakernel render — VERDICT round-2 item 9."""
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.parallel import make_mesh, render_pt_sharded
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scenes import material_spheres
+
+    cfg = PTConfig(width=W, height=H, max_bounces=2, rng="pcg")
+    scene = material_spheres()
+    key = jax.random.PRNGKey(7)
+    got, n_g = render_pt_sharded(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                                 make_mesh(1, 1), mega=True, tile=(16, 128))
+    want, n_w = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                               tile=(16, 128))
+    _assert_close(got, want, label="sharded-mega", frac=1e-4, atol=1e-4)
+    assert float(n_g) == float(n_w)
+
+
+def test_render_sequence_on_chip(sphere_scene):
+    """Batched K-frame serving (the production dispatch shape) compiled on
+    chip equals per-frame renders of the same poses."""
+    from raytracing_engine_tpu.config import RenderConfig
+    from raytracing_engine_tpu.models import pallas_renderer
+    from raytracing_engine_tpu.runtime import render_sequence
+
+    cfg = RenderConfig(width=128, height=64)
+    positions = jnp.asarray(np.array(
+        [[0.0, 0.0, 0.0], [0.0, -1.0, 0.5], [0.5, -2.0, 0.0]], np.float32))
+    quats = jnp.asarray(np.array(
+        [[0, 0, 0, 1.0], [0.05, 0, 0, 0.9987], [0, 0, 0.05, 0.9987]],
+        np.float32))
+    seq = render_sequence(cfg, sphere_scene, positions, quats,
+                          fn=pallas_renderer.render)
+    frames = np.moveaxis(np.asarray(seq), 1, -1)
+    for i in range(3):
+        want = pallas_renderer.render(cfg, sphere_scene, positions[i],
+                                      quats[i])
+        _assert_close(frames[i], want, label=f"sequence[{i}]")
+
+
+def test_instanced_soft_shadows_on_chip(mesh_setup):
+    """Area-light soft shadows (N jittered any-hit launches) compiled vs
+    interpret. Compiled any-hit uses the approximate reciprocal, so a tiny
+    fraction of shadow decisions may flip — bounded here."""
+    from raytracing_engine_tpu.models.instanced import render_instanced_phong
+
+    mesh, cs, inst, tab = mesh_setup
+    mat_albedo = jnp.asarray(np.array([[0.8, 0.6, 0.4]], np.float32))
+    kwargs = dict(width=W, height=H, shadows=True, light_radius=0.8,
+                  shadow_samples=2)
+    got = render_instanced_phong(tab, cs, inst.mat, mat_albedo, jnp.zeros(3),
+                                 jnp.float32(0.1), jnp.asarray([2.0, 3.0, 6.0]),
+                                 interpret=False, **kwargs)
+    want = render_instanced_phong(tab, cs, inst.mat, mat_albedo, jnp.zeros(3),
+                                  jnp.float32(0.1), jnp.asarray([2.0, 3.0, 6.0]),
+                                  interpret=True, **kwargs)
+    _assert_close(got, want, label="instanced-soft", frac=2e-3, atol=1e-3)
+
+
+def test_megakernel_mesh_light_on_chip(mesh_setup):
+    """Mesh lights (per-pass SMEM row table) compiled vs interpret."""
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+
+    mesh, cs_nomat, _, _ = mesh_setup
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+
+    mats = np.ones(mesh.shape[0], np.int32)  # the whole icosphere emits
+    cs = build_clusters(mesh, tri_mats=mats)
+    scene = build_pt_scene(
+        spheres=[((0.0, 5.0, -3.0), 1.2, 0)],
+        triangles=mesh, tri_mats=mats,
+        materials=[{"albedo": (0.6, 0.5, 0.4), "kind": DIFFUSE},
+                   {"albedo": (0, 0, 0), "emission": (6.0,) * 3,
+                    "kind": DIFFUSE}],
+        mesh_lights=True,
+    )
+    cfg = PTConfig(width=W, height=H, max_bounces=2, rng="pcg")
+    key = jax.random.PRNGKey(8)
+    got, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key, bvh=cs,
+                            interpret=False)
+    want, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key, bvh=cs,
+                             interpret=True)
+    _assert_close(got, want, label="mesh-light", frac=1e-3, atol=1e-3)
+
+
+def test_instanced_pt_megakernel_on_chip(mesh_setup):
+    """Two-level (instanced) PT megakernel compiled vs interpret."""
+    from raytracing_engine_tpu.accel.instancing import InstancedClusters
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+
+    mesh, cs, inst, tab = mesh_setup
+    scene = build_pt_scene(
+        spheres=[((3.0, 3.0, 5.0), 1.0, 1)],
+        materials=[{"albedo": (0.7, 0.55, 0.4), "kind": DIFFUSE},
+                   {"albedo": (0, 0, 0), "emission": (10.0,) * 3,
+                    "kind": DIFFUSE}],
+    )
+    ic = InstancedClusters(inst_tab=tab, cs=cs)
+    cfg = PTConfig(width=W, height=H, max_bounces=2, rng="pcg")
+    key = jax.random.PRNGKey(9)
+    got, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 1, key, bvh=ic,
+                            interpret=False)
+    want, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 1, key, bvh=ic,
+                             interpret=True)
+    _assert_close(got, want, label="instanced-pt", frac=1e-3, atol=1e-3)
