@@ -112,7 +112,7 @@ def _slab_np(box, o, inv):
 class SweepStats:
     FIELDS = ("supers_gated", "supers_hit", "clusters_gated", "clusters_hit",
               "subs_gated", "subs_hit", "tests", "useful_lane_tests",
-              "lanes", "tiles")
+              "lanes", "tiles", "lane_issue", "group_conds")
 
     def __init__(self):
         for f in self.FIELDS:
@@ -124,9 +124,17 @@ class SweepStats:
 
 
 def replay_sweep(tri, boxes, sboxes, order, o, d, t0, t_min, any_hit,
-                 sub_tris, subs, cluster, sup):
+                 sub_tris, subs, cluster, sup, groups=1):
     """Replay cluster_sweep for ONE tile (lanes flattened). Returns stats
-    contribution + final (t, idx)."""
+    contribution + final (t, idx).
+
+    groups: model row-group-gated test issue — a hit sub-block's test
+    batch runs only over the (lanes/groups)-lane row groups that contain
+    a gating lane (the tile is row-major, so contiguous lane chunks are
+    vreg row groups). `lane_issue` counts test*lanes actually issued;
+    `group_conds` counts the extra per-group branches such a kernel pays.
+    groups=1 reproduces the whole-tile kernel (lane_issue = tests*lanes).
+    """
     L = o.shape[1]
     with np.errstate(divide="ignore"):
         inv = 1.0 / d
@@ -175,6 +183,14 @@ def replay_sweep(tri, boxes, sboxes, order, o, d, t0, t_min, any_hit,
                 st.subs_hit += 1
                 st.tests += sub_tris
                 st.useful_lane_tests += int(sub_hit.sum()) * sub_tris
+                gl = L // groups
+                if groups > 1:
+                    ng = sum(bool(sub_hit[g * gl:(g + 1) * gl].any())
+                             for g in range(groups))
+                    st.group_conds += groups
+                else:
+                    ng = 1
+                st.lane_issue += sub_tris * ng * gl
                 tile_blocks.add((c, sub))
                 # vectorized BW tests over the block (final t identical to
                 # the kernel's sequential unroll: min over ok candidates)

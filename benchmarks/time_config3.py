@@ -21,6 +21,12 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--stripes", type=int, default=None)
+    ap.add_argument("--path", default="mega", choices=["mega", "fast"],
+                    help="mega = in-kernel bounce loop; fast = per-bounce "
+                         "XLA wavefront (supports --sort)")
+    ap.add_argument("--sort", default="none",
+                    choices=["none", "true", "compact", "compact_oct"],
+                    help="between-bounce regroup mode (fast path only)")
     args = ap.parse_args()
     tile = tuple(int(x) for x in args.tile.split("x"))
 
@@ -29,15 +35,21 @@ def main():
 
     from run_all import config3_scene
     from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
 
     mesh, bvh, scene, cfg, _ = config3_scene(size=args.size)
     quat = jnp.array([0.0, 0.0, 0.0, 1.0])
     key = jax.random.PRNGKey(1)
+    sort = {"none": False, "true": True}.get(args.sort, args.sort)
 
     def run(z):
-        img, nr = render_pt_mega(cfg, scene, jnp.array([0.0, 0.0, z]), quat,
-                                 1, key, bvh=bvh, tile=tile,
-                                 stripes=args.stripes)
+        pos = jnp.array([0.0, 0.0, z])
+        if args.path == "fast":
+            img, nr = render_pt_fast(cfg, scene, pos, quat, 1, key, bvh=bvh,
+                                     sort=sort)
+        else:
+            img, nr = render_pt_mega(cfg, scene, pos, quat, 1, key, bvh=bvh,
+                                     tile=tile, stripes=args.stripes)
         return img, nr
 
     img, nr = run(0.0)  # compile
@@ -54,7 +66,8 @@ def main():
         dt = (time.perf_counter() - t0) / n
         best = min(best, dt)
     nrays = float(nr)
-    print(f"tile={tile} stripes={args.stripes} size={args.size}: "
+    print(f"path={args.path} sort={args.sort} "
+          f"tile={tile} stripes={args.stripes} size={args.size}: "
           f"{best*1e3:.2f} ms/frame, {nrays/best/1e6:.2f} Mrays/s "
           f"(n={nrays:.0f})")
 

@@ -270,15 +270,21 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
 
 def _cluster_kernel(order_ref, sboxes_ref, boxes_ref, tri_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                    tmax_ref, *out_refs, n_super, t_min, any_hit, attrs,
-                    approx_ok=False):
+                    tmax_ref, *rest, n_super, t_min, any_hit, attrs,
+                    approx_ok=False, n_orders=0):
+    orders_ref = refs_ref = None
+    if n_orders:
+        orders_ref, refs_ref, *out_refs = rest
+    else:
+        out_refs = rest
     if attrs:
         (out_t_ref, out_idx_ref, out_nx_ref, out_ny_ref, out_nz_ref,
          out_mat_ref, out_area_ref) = out_refs
     else:
         out_t_ref, out_idx_ref = out_refs
     kc = KernelClusters(order_ref, sboxes_ref, boxes_ref, tri_ref, n_super,
-                        approx_ok=approx_ok)
+                        approx_ok=approx_ok, orders_ref=orders_ref,
+                        refs_ref=refs_ref, n_orders=n_orders)
     t, idx, attr = cluster_sweep(
         kc,
         (ox_ref[:], oy_ref[:], oz_ref[:]),
@@ -301,7 +307,8 @@ def _cluster_kernel(order_ref, sboxes_ref, boxes_ref, tri_ref,
 )
 def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
                       t_min=1e-3, any_hit=False, tile=(16, 256),
-                      interpret=None, attrs=False, order=None):
+                      interpret=None, attrs=False, order=None,
+                      orders=None, refs=None):
     """Intersect an (H, W) ray-plane grid against a ClusterSet.
 
     Returns (t (H,W) — inf on miss, tri_idx (H,W) int32 — PADDED-REORDERED
@@ -315,6 +322,12 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
     order: optional (S,) int32 SUPER-cluster visit order
     (accel.clusters.visit_order) — near-to-far ordering lets the running t
     cull far boxes; pure perf hint, results are order-independent.
+
+    orders/refs: optional (K, S) int32 visit-order table + (K, 4) f32
+    reference origins (accel.clusters.visit_orders) — each TILE then picks
+    the order whose reference is nearest its mean live ray origin (same
+    mechanism as the megakernel's per-tile orders; closest-hit sweeps
+    only). Overrides `order`. Pure perf hint; results order-independent.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -324,6 +337,9 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
     tile_h, tile_w = pick_tile(h, w, *tile)
     grid = (h // tile_h, w // tile_w)
 
+    n_orders = 0
+    if orders is not None and not any_hit:
+        n_orders = orders.shape[0]
     kernel = functools.partial(
         _cluster_kernel,
         n_super=cs.num_super,
@@ -331,6 +347,7 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
         any_hit=any_hit,
         attrs=attrs,
         approx_ok=not interpret,
+        n_orders=n_orders,
     )
     blk = lambda: pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)
@@ -340,21 +357,27 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
     out_shape = [f32(), jax.ShapeDtypeStruct((h, w), jnp.int32)]
     if attrs:
         out_shape += [f32(), f32(), f32(), f32(), f32()]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # super visit order
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # super boxes
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster boxes
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # tri rows (ROWS, T_pad)
+        blk(), blk(), blk(), blk(), blk(), blk(), blk(),
+    ]
+    args = [order, cs.super_boxes, cs.boxes, cs.tri,
+            o_planes[0], o_planes[1], o_planes[2],
+            d_planes[0], d_planes[1], d_planes[2],
+            jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (h, w))]
+    if n_orders:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),   # order table
+                     pl.BlockSpec(memory_space=pltpu.SMEM)]   # refs
+        args += [orders, refs]
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # super visit order
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # super boxes
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster boxes
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri rows (ROWS, T_pad)
-            blk(), blk(), blk(), blk(), blk(), blk(), blk(),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(blk() for _ in out_shape),
         interpret=interpret,
-    )(order, cs.super_boxes, cs.boxes, cs.tri,
-      o_planes[0], o_planes[1], o_planes[2],
-      d_planes[0], d_planes[1], d_planes[2],
-      jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (h, w)))
+    )(*args)
     return outs if attrs else (outs[0], outs[1])

@@ -227,8 +227,20 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
         # near-to-far visit order from the mean ray origin (perf hint);
         # parked dead rays (origin ~1e18) are excluded from the mean
         mean_o = _mean_live_origin(o)
+        kw = {}
+        if cs.order_refs is not None and cs.order_refs.shape[0] > 0:
+            # per-TILE order selection (same mechanism as the megakernel):
+            # row 0 = the image-wide mean origin (camera tiles pick it),
+            # rows 1+ = mesh farthest-point refs for bounce tiles
+            from raytracing_engine_tpu.accel.clusters import visit_orders
+
+            refs = jnp.concatenate([mean_o[None, :], cs.order_refs], axis=0)
+            kw = dict(orders=visit_orders(cs, refs),
+                      refs=jnp.concatenate(
+                          [refs, jnp.zeros((refs.shape[0], 1), jnp.float32)],
+                          axis=1))
         t, sidx = cluster_intersect(cs, o, d, BIG, t_min=t_min,
-                                    order=visit_order(cs, mean_o))
+                                    order=visit_order(cs, mean_o), **kw)
         safe = jnp.maximum(sidx, 0)
         idx = jnp.maximum(cs.perm[safe], 0)
         n = (cs.tri[0, safe], cs.tri[1, safe], cs.tri[2, safe])
@@ -613,6 +625,47 @@ def _sort_keys(o, d, alive, lo, hi):
     return jnp.where(alive != 0.0, key, jnp.int32(0x7FFF0000))
 
 
+def _compact_perm(o, d, alive, with_oct):
+    """Stable alive-partition permutation — the cheap cross-tile regroup.
+
+    Returns a flat int32 permutation (argsort convention: new[i] =
+    old[perm[i]]) that packs live rays to the front (order-preserving) and
+    parked/dead rays to the back, optionally sub-bucketed by direction
+    octant. Built from B cumsums + one scatter — NO argsort (the argsort in
+    sort=True cost ~40 ms/frame at 512^2, which ate its sweep savings).
+
+    The SWEEP-side win is real (benchmarks/experiment_regroup.py, replayed
+    work counts on the config-3 scene: by bounce 2 only ~5% of rays are
+    alive, scattered over most tiles; packing them models x4.1 on the
+    bounce-2 closest sweep) — but the plane TRANSPORT is not free: at
+    512^2 the ~16-plane permute measured +70 ms/frame on the fast path,
+    more than the sweep saved, for cumsum and argsort permutations alike.
+    Kept as the cheapest permutation builder for when the balance flips
+    (bigger meshes / more clusters per tile).
+    """
+    n = o[0].size
+    if with_oct:
+        key = (
+            (d[0].reshape(-1) > 0.0).astype(jnp.int32) * 4
+            + (d[1].reshape(-1) > 0.0).astype(jnp.int32) * 2
+            + (d[2].reshape(-1) > 0.0).astype(jnp.int32)
+        )
+        nb = 9
+    else:
+        key = jnp.zeros(n, jnp.int32)
+        nb = 2
+    key = jnp.where(alive.reshape(-1) != 0.0, key, nb - 1)
+    dest = jnp.zeros(n, jnp.int32)
+    start = jnp.int32(0)
+    for b in range(nb):
+        m = key == b
+        c = jnp.cumsum(m.astype(jnp.int32))
+        dest = jnp.where(m, start + c - 1, dest)
+        start = start + c[n - 1]
+    return (jnp.zeros(n, jnp.int32)
+            .at[dest].set(jnp.arange(n, dtype=jnp.int32)))
+
+
 def _permute_state(st, perm, h, w):
     """Apply a flat ray permutation to every plane of the bounce state."""
     def take(p):
@@ -649,19 +702,25 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
     (int32 scalar) may replace `key` — required in-kernel, where jax.random
     keys don't exist.
 
-    sort=True (XLA path with a ClusterSet only, rng=pcg): re-sorts ray
-    state between bounces by origin Morton cell + direction octant, so the
-    cluster sweep's per-tile gates see coherent rays again. RNG stays keyed
-    by each ray's ORIGINAL pixel coordinates (carried through the
-    permutation), making the sorted render bit-identical to the unsorted
-    one — sorting is purely an execution-order optimization.
+    sort (XLA path with a ClusterSet only, rng=pcg): regroup ray state
+    between bounces so the cluster sweep's per-tile gates see coherent
+    rays again. RNG stays keyed by each ray's ORIGINAL pixel coordinates
+    (carried through the permutation), making every mode bit-identical to
+    the unsorted render — regrouping is purely an execution-order
+    optimization. Modes:
 
-    MEASURED NEUTRAL on the 70k-tri bench scene at 512^2 (v5e): the
-    hierarchical sweep already touches only ~35/560 clusters per tile for
-    UNSORTED bounce rays (instrumented), so sorting saves ~10 ms of sweep
-    but costs ~40 ms of argsort+permute per frame. Kept (and tested
-    bit-identical) because scenes with more clusters per tile — bigger
-    meshes, closer geometry — shift the balance toward sorting.
+      True           full Morton-cell + octant argsort. MEASURED NEUTRAL
+                     on the 70k-tri bench at 512^2: saves ~10 ms of sweep,
+                     costs ~40 ms of argsort+permute. Kept + tested for
+                     scenes with more clusters per tile.
+      "compact"      stable alive-partition (cumsum-based, no argsort):
+                     live rays keep pixel order, parked/dead rays pack
+                     into all-parked tiles the sweep falls through.
+      "compact_oct"  same, sub-bucketed by direction octant (9 buckets).
+
+    The compact modes target the measured occupancy collapse at depth (by
+    bounce 2, ~5% of rays alive spread over most tiles — see
+    benchmarks/experiment_regroup.py for the replayed-work-count model).
     """
     h, w = (band_h or cfg.height), (band_w or cfg.width)
 
@@ -705,16 +764,20 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
     if sort:
         from raytracing_engine_tpu.accel.clusters import ClusterSet
 
+        if sort not in (True, "compact", "compact_oct"):
+            raise ValueError(f"sort must be True/'compact'/'compact_oct', "
+                             f"got {sort!r}")
         if cfg.rng != "pcg":
-            raise ValueError("sort=True requires rng='pcg'")
+            raise ValueError("sort requires rng='pcg'")
         if not isinstance(bvh, ClusterSet):
-            raise ValueError("sort=True requires a ClusterSet bvh")
+            raise ValueError("sort requires a ClusterSet bvh")
         if band_h is not None or band_w is not None or row0 or col0:
-            raise ValueError("sort=True operates on the full image "
+            raise ValueError("sort operates on the full image "
                              "(no row0/col0/band windows)")
         from raytracing_engine_tpu.ops.rng_pcg import uniform_pcg_coords
 
-        bbox_lo, bbox_hi = _scene_bbox(bvh)
+        if sort is True:
+            bbox_lo, bbox_hi = _scene_bbox(bvh)
 
     u = draw_b(0, 2)
     o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0,
@@ -841,9 +904,14 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         st["prev_pdf"] = pdf_cos
 
         if sort:
-            keys = _sort_keys(st["o"], st["d"], st["alive"], bbox_lo, bbox_hi)
-            perm = jnp.argsort(keys.reshape(-1))
-            st = _permute_state(st, perm, *keys.shape)
+            if sort is True:
+                keys = _sort_keys(st["o"], st["d"], st["alive"],
+                                  bbox_lo, bbox_hi)
+                perm = jnp.argsort(keys.reshape(-1))
+            else:
+                perm = _compact_perm(st["o"], st["d"], st["alive"],
+                                     with_oct=(sort == "compact_oct"))
+            st = _permute_state(st, perm, h, w)
         return st
 
     if probe is None:
@@ -885,9 +953,13 @@ def render_pt_fast(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
                    key=None, bvh=None, spp_offset=0, packet=None, sort=False):
     """SoA render: average spp passes (same sample stream as render_pt).
 
-    sort=True (rng='pcg' + ClusterSet bvh): re-sort secondary rays for
-    coherence between bounces — bit-identical image, large speedup on mesh
-    scenes (see _trace_core)."""
+    sort (rng='pcg' + ClusterSet bvh): regroup secondary rays between
+    bounces — bit-identical image, see _trace_core for modes. MEASURED
+    SLOWER at bench scale (fast-path config 3: 217 ms unsorted, 282 ms
+    argsort, 286 ms compact): the ~16-plane permute transport costs more
+    than the sweep savings, whichever way the permutation is built. Kept
+    (tested bit-identical) as the regroup scaffold for scenes where
+    per-tile cluster counts grow."""
     if key is None:
         key = random.PRNGKey(0)
 

@@ -99,10 +99,12 @@ def test_mega_cluster_mode_matches_wavefront():
     assert abs(float(n_want) - float(n_got)) <= max(8.0, 1e-3 * float(n_want))
 
 
-def test_sorted_wavefront_bit_identical():
-    """Ray sorting is a pure execution-order optimization: the sorted
-    render must equal the unsorted one exactly (same pcg stream keyed by
-    original pixel coords, same per-ray arithmetic, exact un-permute)."""
+@pytest.mark.parametrize("mode", [True, "compact", "compact_oct"])
+def test_sorted_wavefront_bit_identical(mode):
+    """Ray regrouping (full Morton argsort or the cumsum alive-partition)
+    is a pure execution-order optimization: the regrouped render must
+    equal the unsorted one exactly (same pcg stream keyed by original
+    pixel coords, same per-ray arithmetic, exact un-permute)."""
     from raytracing_engine_tpu.accel.clusters import build_clusters
 
     scene, tris, tri_mats = _mesh_scene()
@@ -111,7 +113,7 @@ def test_sorted_wavefront_bit_identical():
     pos = jnp.zeros(3)
     want, n_want = render_pt_fast(cfg, scene, pos, QUAT, 2, KEY, bvh=cs)
     got, n_got = render_pt_fast(cfg, scene, pos, QUAT, 2, KEY, bvh=cs,
-                                sort=True)
+                                sort=mode)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     assert float(n_want) == float(n_got)
 
