@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--sort", default="none",
                     choices=["none", "true", "compact", "compact_oct"],
                     help="between-bounce regroup mode (fast path only)")
+    ap.add_argument("--groups", type=int, default=1,
+                    help="row-group-gated test issue (mega path)")
     args = ap.parse_args()
     tile = tuple(int(x) for x in args.tile.split("x"))
 
@@ -49,7 +51,8 @@ def main():
                                      sort=sort)
         else:
             img, nr = render_pt_mega(cfg, scene, pos, quat, 1, key, bvh=bvh,
-                                     tile=tile, stripes=args.stripes)
+                                     tile=tile, stripes=args.stripes,
+                                     groups=args.groups)
         return img, nr
 
     img, nr = run(0.0)  # compile
@@ -66,7 +69,7 @@ def main():
         dt = (time.perf_counter() - t0) / n
         best = min(best, dt)
     nrays = float(nr)
-    print(f"path={args.path} sort={args.sort} "
+    print(f"path={args.path} sort={args.sort} groups={args.groups} "
           f"tile={tile} stripes={args.stripes} size={args.size}: "
           f"{best*1e3:.2f} ms/frame, {nrays/best/1e6:.2f} Mrays/s "
           f"(n={nrays:.0f})")

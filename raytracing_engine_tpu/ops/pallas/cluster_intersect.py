@@ -65,6 +65,19 @@ class KernelClusters:
     orders_ref: Any = None
     refs_ref: Any = None
     n_orders: int = 0
+    # Row-group-gated test issue: split each tile into `groups` row groups
+    # (tile_h must divide; (8,128) groups = one f32 vreg) and run the
+    # whole sweep per group, so a sub-block's triangle batch issues only
+    # over groups containing a gating lane. Bit-exact: skipped groups had
+    # sub_hit all-false, so every skipped test would have failed its `ok`
+    # gate anyway. MEASURED NEGATIVE on chip (config 3 @512², 32×128
+    # tile): 163.7 ms at groups=1 → 185.4 at 2 → 246.9 at 4, despite the
+    # replayed lane-issue model predicting ~2x less test issue at
+    # groups=4 (benchmarks/experiment_subgroups.py). The duplicated
+    # scalar hierarchy traversal + per-group lax.cond branches cost more
+    # than the saved lane issue. Kept (default 1 = zero impact) as the
+    # committed, runnable record of the ruled-out lever.
+    groups: int = 1
 
 
 def _slab_vals(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz,
@@ -102,7 +115,39 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
     idx < 0 means miss (t is then left at whatever the carry held — mask on
     idx, not t). attr = (nx, ny, nz, mat, 2*area) planes when attrs else ().
     Results are visit-order independent; order is a near-to-far perf hint.
+
+    kc.groups > 1 runs the WHOLE sweep independently per row group of the
+    tile ((8,128) groups = one f32 vreg): each group gates supers /
+    clusters / sub-blocks against only ITS rays, so a cluster needed by
+    one group's rays is never even slab-tested by the others, and a test
+    batch issues over 1/groups of the lanes. Bit-exact: per-lane
+    arithmetic is unchanged; skipped work would have failed its gates.
+    Measured negative on chip — see the KernelClusters.groups comment;
+    default 1 keeps the single-sweep path byte-for-byte unchanged.
     """
+    G = kc.groups
+    h = o[0].shape[0]
+    if G > 1 and h % G == 0:
+        gh = h // G
+        t0 = jnp.broadcast_to(t0, o[0].shape).astype(jnp.float32)
+        parts = []
+        for g in range(G):
+            sl = slice(g * gh, (g + 1) * gh)
+            parts.append(_sweep_one(
+                kc, tuple(x[sl] for x in o), tuple(x[sl] for x in d),
+                t0[sl], t_min=t_min, any_hit=any_hit, attrs=attrs))
+        t = jnp.concatenate([p[0] for p in parts], axis=0)
+        idx = jnp.concatenate([p[1] for p in parts], axis=0)
+        attr = tuple(jnp.concatenate([p[2][i] for p in parts], axis=0)
+                     for i in range(len(parts[0][2])))
+        return t, idx, attr
+    return _sweep_one(kc, o, d, t0, t_min=t_min, any_hit=any_hit,
+                      attrs=attrs)
+
+
+def _sweep_one(kc: KernelClusters, o, d, t0, *, t_min, any_hit, attrs):
+    """One full hierarchical sweep over the given ray planes (a whole tile
+    or one row group of it — see cluster_sweep)."""
     ox, oy, oz = o
     dx, dy, dz = d
     inv_dx = 1.0 / dx
@@ -122,14 +167,16 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
     zero = jnp.zeros_like(t0)
     attr0 = (zero, zero, zero, zero, zero) if attrs else ()
 
-    def mt_sub(blk, lo, c, sub, ray_hit, t, idx, attr):
+    def mt_sub(blk, lo, c, sub, ray_hit, t, idx, attr, d3):
         """SUB_TRIS unrolled Baldwin–Weber tests against one gate block of
         cluster c's already-loaded (ROWS, 128) slice. The precomputed
         transform (accel/clusters.py row map) needs no cross products per
         test — ~30% fewer VPU ops than Möller-Trumbore — and the plane
         normal / material / area attrs are direct row reads. `lo` is the
         ray origin rebased to the cluster's local frame (translation
-        invariance; see the row-map comment)."""
+        invariance; see the row-map comment). `d3` is the ray direction
+        (possibly a row-group slice of the tile — see kc.groups)."""
+        dx, dy, dz = d3
         lox, loy, loz = lo
         if attrs:
             anx, any_, anz, amat, aarea = attr
@@ -188,7 +235,8 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
 
             def hit_fn(a, _sub=sub, _sh=sub_hit):
                 t, idx, attr = a[0], a[1], a[2:]
-                t, idx, attr = mt_sub(blk, lo, c, _sub, _sh, t, idx, attr)
+                t, idx, attr = mt_sub(blk, lo, c, _sub, _sh, t, idx, attr,
+                                      (dx, dy, dz))
                 return (t, idx) + attr
 
             t, idx, *attr = lax.cond(jnp.any(sub_hit), hit_fn, lambda a: a,
@@ -271,7 +319,7 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
 def _cluster_kernel(order_ref, sboxes_ref, boxes_ref, tri_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     tmax_ref, *rest, n_super, t_min, any_hit, attrs,
-                    approx_ok=False, n_orders=0):
+                    approx_ok=False, n_orders=0, groups=1):
     orders_ref = refs_ref = None
     if n_orders:
         orders_ref, refs_ref, *out_refs = rest
@@ -284,7 +332,7 @@ def _cluster_kernel(order_ref, sboxes_ref, boxes_ref, tri_ref,
         out_t_ref, out_idx_ref = out_refs
     kc = KernelClusters(order_ref, sboxes_ref, boxes_ref, tri_ref, n_super,
                         approx_ok=approx_ok, orders_ref=orders_ref,
-                        refs_ref=refs_ref, n_orders=n_orders)
+                        refs_ref=refs_ref, n_orders=n_orders, groups=groups)
     t, idx, attr = cluster_sweep(
         kc,
         (ox_ref[:], oy_ref[:], oz_ref[:]),
@@ -303,12 +351,13 @@ def _cluster_kernel(order_ref, sboxes_ref, boxes_ref, tri_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("t_min", "any_hit", "tile", "interpret", "attrs"),
+    static_argnames=("t_min", "any_hit", "tile", "interpret", "attrs",
+                     "groups"),
 )
 def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
                       t_min=1e-3, any_hit=False, tile=(16, 256),
                       interpret=None, attrs=False, order=None,
-                      orders=None, refs=None):
+                      orders=None, refs=None, groups=1):
     """Intersect an (H, W) ray-plane grid against a ClusterSet.
 
     Returns (t (H,W) — inf on miss, tri_idx (H,W) int32 — PADDED-REORDERED
@@ -348,6 +397,7 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
         attrs=attrs,
         approx_ok=not interpret,
         n_orders=n_orders,
+        groups=groups,
     )
     blk = lambda: pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)

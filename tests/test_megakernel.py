@@ -118,6 +118,25 @@ def test_sorted_wavefront_bit_identical(mode):
     assert float(n_want) == float(n_got)
 
 
+@pytest.mark.parametrize("groups", [2, 4])
+def test_mega_row_groups_bit_identical(groups):
+    """Row-group-gated test issue (kc.groups): a skipped group had
+    sub_hit all-false, so every skipped test would have failed its ok
+    gate — the image must be bit-identical to whole-tile issue."""
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+
+    scene, tris, tri_mats = _mesh_scene()
+    cs = build_clusters(tris, tri_mats=tri_mats)
+    cfg = PTConfig(width=64, height=32, max_bounces=2, rng="pcg")
+    pos = jnp.zeros(3)
+    want, n_want = render_pt_mega(cfg, scene, pos, QUAT, 2, KEY, bvh=cs,
+                                  tile=(8, 64))
+    got, n_got = render_pt_mega(cfg, scene, pos, QUAT, 2, KEY, bvh=cs,
+                                tile=(8, 64), groups=groups)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert float(n_want) == float(n_got)
+
+
 def test_mega_striped_tiles_bit_identical():
     """The striped pixel mapping (stripes=k renders each VMEM tile as a
     squarer pixel block) is a pure execution-layout optimization: camera
