@@ -29,6 +29,9 @@ def main():
                     help="between-bounce regroup mode (fast path only)")
     ap.add_argument("--groups", type=int, default=1,
                     help="row-group-gated test issue (mega path)")
+    ap.add_argument("--fast-math", action="store_true",
+                    help="approximate reciprocal in closest-hit tests "
+                         "(mega path; ~2^-14 t error)")
     args = ap.parse_args()
     tile = tuple(int(x) for x in args.tile.split("x"))
 
@@ -52,7 +55,8 @@ def main():
         else:
             img, nr = render_pt_mega(cfg, scene, pos, quat, 1, key, bvh=bvh,
                                      tile=tile, stripes=args.stripes,
-                                     groups=args.groups)
+                                     groups=args.groups,
+                                     fast_math=args.fast_math)
         return img, nr
 
     img, nr = run(0.0)  # compile
@@ -70,6 +74,7 @@ def main():
         best = min(best, dt)
     nrays = float(nr)
     print(f"path={args.path} sort={args.sort} groups={args.groups} "
+          f"fast_math={args.fast_math} "
           f"tile={tile} stripes={args.stripes} size={args.size}: "
           f"{best*1e3:.2f} ms/frame, {nrays/best/1e6:.2f} Mrays/s "
           f"(n={nrays:.0f})")

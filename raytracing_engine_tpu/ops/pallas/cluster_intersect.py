@@ -65,19 +65,32 @@ class KernelClusters:
     orders_ref: Any = None
     refs_ref: Any = None
     n_orders: int = 0
-    # Row-group-gated test issue: split each tile into `groups` row groups
-    # (tile_h must divide; (8,128) groups = one f32 vreg) and run the
-    # whole sweep per group, so a sub-block's triangle batch issues only
-    # over groups containing a gating lane. Bit-exact: skipped groups had
-    # sub_hit all-false, so every skipped test would have failed its `ok`
-    # gate anyway. MEASURED NEGATIVE on chip (config 3 @512², 32×128
-    # tile): 163.7 ms at groups=1 → 185.4 at 2 → 246.9 at 4, despite the
-    # replayed lane-issue model predicting ~2x less test issue at
-    # groups=4 (benchmarks/experiment_subgroups.py). The duplicated
-    # scalar hierarchy traversal + per-group lax.cond branches cost more
-    # than the saved lane issue. Kept (default 1 = zero impact) as the
-    # committed, runnable record of the ruled-out lever.
+    # Row-group-gated test issue: split the per-lane planes into `groups`
+    # row groups (tile_h must divide; (8,128) groups = one f32 vreg) while
+    # the SCALAR traversal stays shared — one super while-loop, one child
+    # fori_loop, one sub-box scalar read per gate, entered when ANY
+    # group's rays need it — and only the SUB_TRIS triangle-test batches
+    # (~84% of issued lane-ops, benchmarks/instrument_config3.json) issue
+    # per group, each gated by its own group's sub_hit. Bit-exact vs
+    # groups=1: per-lane arithmetic is unchanged, and a skipped group had
+    # sub_hit all-false there, so every skipped test would have failed its
+    # `ok` gate anyway. History: v1 ran the WHOLE sweep per group and
+    # measured NEGATIVE on chip (config 3 @512²: 163.7 → 185.4 (g2) →
+    # 246.9 ms (g4)) — the duplicated scalar traversal dominated. This
+    # shared-traversal form keeps v1's lane-issue savings (the replayed
+    # model predicted ~2× less test issue at g4,
+    # benchmarks/experiment_subgroups.py) without the duplication — and
+    # STILL measures negative: 163.2 → 170.4 (g2) → 227.4 ms (g4). The
+    # per-(block, group) lax.cond branches alone (~0.4-0.5 µs each on
+    # Mosaic) outweigh the saved issue. Kept (default 1 = the ungrouped
+    # graph) as the committed, runnable record of the ruled-out lever.
     groups: int = 1
+    # Opt-in: use the fast approximate reciprocal (~2^-14 relative t
+    # error) in CLOSEST-hit triangle tests too, not just any-hit ones.
+    # Shifts hit points ~1 ulp-class and may flip near-coplanar winners;
+    # the default keeps exact math (the reference renders full-precision,
+    # shaders/utilities.glsl). Hardware only (approx_ok gates it).
+    fast_math: bool = False
 
 
 def _slab_vals(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz,
@@ -116,46 +129,46 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
     idx, not t). attr = (nx, ny, nz, mat, 2*area) planes when attrs else ().
     Results are visit-order independent; order is a near-to-far perf hint.
 
-    kc.groups > 1 runs the WHOLE sweep independently per row group of the
-    tile ((8,128) groups = one f32 vreg): each group gates supers /
-    clusters / sub-blocks against only ITS rays, so a cluster needed by
-    one group's rays is never even slab-tested by the others, and a test
-    batch issues over 1/groups of the lanes. Bit-exact: per-lane
-    arithmetic is unchanged; skipped work would have failed its gates.
-    Measured negative on chip — see the KernelClusters.groups comment;
-    default 1 keeps the single-sweep path byte-for-byte unchanged.
+    kc.groups = G > 1 splits every per-lane plane into G row groups while
+    the scalar hierarchy traversal stays SHARED — a super/cluster/sub gate
+    fires when ANY group's rays need it — and each sub-block's triangle
+    test batch issues per group, only over groups holding a gating lane
+    (see the KernelClusters.groups comment). G=1 is the ungrouped sweep:
+    every plane is then a 1-tuple of the whole tile and the emitted ops
+    are identical to the pre-group implementation.
     """
     G = kc.groups
-    h = o[0].shape[0]
-    if G > 1 and h % G == 0:
-        gh = h // G
-        t0 = jnp.broadcast_to(t0, o[0].shape).astype(jnp.float32)
-        parts = []
-        for g in range(G):
-            sl = slice(g * gh, (g + 1) * gh)
-            parts.append(_sweep_one(
-                kc, tuple(x[sl] for x in o), tuple(x[sl] for x in d),
-                t0[sl], t_min=t_min, any_hit=any_hit, attrs=attrs))
-        t = jnp.concatenate([p[0] for p in parts], axis=0)
-        idx = jnp.concatenate([p[1] for p in parts], axis=0)
-        attr = tuple(jnp.concatenate([p[2][i] for p in parts], axis=0)
-                     for i in range(len(parts[0][2])))
-        return t, idx, attr
-    return _sweep_one(kc, o, d, t0, t_min=t_min, any_hit=any_hit,
-                      attrs=attrs)
+    H = o[0].shape[0]
+    if H % G:
+        G = 1
+    gh = H // G
+    gr = range(G)
+    split = lambda x: tuple(x[g * gh:(g + 1) * gh] for g in gr)
 
+    def gor(ms):
+        """Scalar OR of per-group jnp.any — the shared-traversal gate."""
+        r = jnp.any(ms[0])
+        for m in ms[1:]:
+            r = r | jnp.any(m)
+        return r
 
-def _sweep_one(kc: KernelClusters, o, d, t0, *, t_min, any_hit, attrs):
-    """One full hierarchical sweep over the given ray planes (a whole tile
-    or one row group of it — see cluster_sweep)."""
-    ox, oy, oz = o
-    dx, dy, dz = d
-    inv_dx = 1.0 / dx
-    inv_dy = 1.0 / dy
-    inv_dz = 1.0 / dz
+    def gsum(vals):
+        vals = list(vals)
+        r = vals[0]
+        for v in vals[1:]:
+            r = r + v
+        return r
 
-    t0 = jnp.broadcast_to(t0, ox.shape).astype(jnp.float32)
-    idx0 = jnp.zeros_like(t0) - 1.0  # f32 idx carry (no i1/i32 vector carries)
+    t0 = jnp.broadcast_to(t0, o[0].shape).astype(jnp.float32)
+    ox, oy, oz = split(o[0]), split(o[1]), split(o[2])
+    dx, dy, dz = split(d[0]), split(d[1]), split(d[2])
+    inv_dx = tuple(1.0 / v for v in dx)
+    inv_dy = tuple(1.0 / v for v in dy)
+    inv_dz = tuple(1.0 / v for v in dz)
+
+    tg0 = split(t0)
+    # f32 idx carry (no i1/i32 vector carries)
+    idx0 = tuple(jnp.zeros_like(tg) - 1.0 for tg in tg0)
     if any_hit:
         # Parked lanes (the wavefront core pushes dead / non-candidate ray
         # origins to ~1e18) count as already-satisfied (idx=0): their slab
@@ -163,9 +176,30 @@ def _sweep_one(kc: KernelClusters, o, d, t0, *, t_min, any_hit, attrs):
         # tile whose real candidates are all blocked early-exits the sweep
         # instead of visiting every remaining super-cluster. Callers gate
         # occlusion by their own candidate mask, so the fake idx is inert.
-        idx0 = jnp.where(jnp.abs(ox) >= 1e17, 0.0, idx0)
-    zero = jnp.zeros_like(t0)
-    attr0 = (zero, zero, zero, zero, zero) if attrs else ()
+        idx0 = tuple(jnp.where(jnp.abs(ox[g]) >= 1e17, 0.0, idx0[g])
+                     for g in gr)
+    if attrs:
+        attr0 = tuple(tuple(jnp.zeros_like(tg0[g]) for _ in range(5))
+                      for g in gr)
+    else:
+        attr0 = tuple(() for _ in gr)
+
+    def pack(t, idx, attr):
+        """(G t-planes, G idx-planes, per-group attr tuples) -> flat tuple
+        for lax carries."""
+        flat = tuple(t) + tuple(idx)
+        for ag in attr:
+            flat += tuple(ag)
+        return flat
+
+    def unpack(flat):
+        t, idx = flat[:G], flat[G:2 * G]
+        if attrs:
+            attr = tuple(tuple(flat[2 * G + 5 * g:2 * G + 5 * (g + 1)])
+                         for g in gr)
+        else:
+            attr = tuple(() for _ in gr)
+        return t, idx, attr
 
     def mt_sub(blk, lo, c, sub, ray_hit, t, idx, attr, d3):
         """SUB_TRIS unrolled Baldwin–Weber tests against one gate block of
@@ -174,8 +208,8 @@ def _sweep_one(kc: KernelClusters, o, d, t0, *, t_min, any_hit, attrs):
         test — ~30% fewer VPU ops than Möller-Trumbore — and the plane
         normal / material / area attrs are direct row reads. `lo` is the
         ray origin rebased to the cluster's local frame (translation
-        invariance; see the row-map comment). `d3` is the ray direction
-        (possibly a row-group slice of the tile — see kc.groups)."""
+        invariance; see the row-map comment). All per-lane args cover ONE
+        row group of the tile (the whole tile at kc.groups=1)."""
         dx, dy, dz = d3
         lox, loy, loz = lo
         if attrs:
@@ -192,7 +226,9 @@ def _sweep_one(kc: KernelClusters, o, d, t0, *, t_min, any_hit, attrs):
             # Shadow sweeps (any_hit) use the fast approximate reciprocal
             # on hardware: binary occlusion tolerates the ~2^-14 relative
             # t error (kc.approx_ok is False in interpret mode).
-            inv = pl.reciprocal(den, approx=any_hit and kc.approx_ok)
+            # kc.fast_math opts closest-hit sweeps in too.
+            inv = pl.reciprocal(
+                den, approx=(any_hit or kc.fast_math) and kc.approx_ok)
             tt = -num * inv
             px = lox + tt * dx  # cluster-local hit point
             py = loy + tt * dy
@@ -217,60 +253,69 @@ def _sweep_one(kc: KernelClusters, o, d, t0, *, t_min, any_hit, attrs):
         return t, idx, attr
 
     def mt_cluster(c, ray_hit, t, idx, attr):
-        """Cluster c's triangle tests, gated per SUB_TRIS-triangle sub-box:
-        incoherent tiles usually need only a couple of the SUBS blocks.
-        Sub-boxes live in tri rows 14-19 at (static) lane `sub` of the
-        already-loaded block."""
+        """Cluster c's triangle tests, gated per SUB_TRIS-triangle sub-box
+        AND per row group: incoherent tiles usually need only a couple of
+        the SUBS blocks, and at kc.groups>1 only the row groups whose rays
+        gate a block pay its test batch. Sub-boxes live in tri rows 14-19
+        at (static) lane `sub` of the already-loaded block."""
         base = pl.multiple_of(c * CLUSTER, CLUSTER)
         blk = kc.tri_ref[:, pl.ds(base, CLUSTER)]  # (ROWS, 128), lane-aligned
         # rebase the ray origin to the cluster's local frame once per
         # cluster (translation-invariant affine rows, see accel/clusters)
-        lo = (ox - blk[20, 0], oy - blk[20, 1], oz - blk[20, 2])
+        lo = tuple((ox[g] - blk[20, 0], oy[g] - blk[20, 1],
+                    oz[g] - blk[20, 2]) for g in gr)
+        t, idx, attr = list(t), list(idx), list(attr)
         for sub in range(SUBS):
-            t_near, t_far = _slab_vals(
-                blk[14, sub], blk[15, sub], blk[16, sub],
-                blk[17, sub], blk[18, sub], blk[19, sub],
-                ox, oy, oz, inv_dx, inv_dy, inv_dz)
-            sub_hit = ray_hit & (t_near <= t_far) & (t_far > t_min) & (t_near < t)
+            for g in gr:
+                t_near, t_far = _slab_vals(
+                    blk[14, sub], blk[15, sub], blk[16, sub],
+                    blk[17, sub], blk[18, sub], blk[19, sub],
+                    ox[g], oy[g], oz[g], inv_dx[g], inv_dy[g], inv_dz[g])
+                sub_hit = (ray_hit[g] & (t_near <= t_far)
+                           & (t_far > t_min) & (t_near < t[g]))
 
-            def hit_fn(a, _sub=sub, _sh=sub_hit):
-                t, idx, attr = a[0], a[1], a[2:]
-                t, idx, attr = mt_sub(blk, lo, c, _sub, _sh, t, idx, attr,
-                                      (dx, dy, dz))
-                return (t, idx) + attr
+                def hit_fn(a, _sub=sub, _sh=sub_hit, _g=g):
+                    tg, idxg, attrg = a[0], a[1], a[2:]
+                    tg, idxg, attrg = mt_sub(
+                        blk, lo[_g], c, _sub, _sh, tg, idxg, attrg,
+                        (dx[_g], dy[_g], dz[_g]))
+                    return (tg, idxg) + attrg
 
-            t, idx, *attr = lax.cond(jnp.any(sub_hit), hit_fn, lambda a: a,
-                                     (t, idx) + tuple(attr))
-            attr = tuple(attr)
-        return t, idx, attr
+                res = lax.cond(jnp.any(sub_hit), hit_fn, lambda a: a,
+                               (t[g], idx[g]) + tuple(attr[g]))
+                t[g], idx[g], attr[g] = res[0], res[1], tuple(res[2:])
+        return tuple(t), tuple(idx), tuple(attr)
 
-    def child(k, args, *, s):
-        t, idx, attr = args[0], args[1], args[2:]
+    def child(k, flat, *, s):
+        t, idx, attr = unpack(flat)
         c = s * SUPER + k
-        t_near, t_far = _slab(kc.boxes_ref, c, ox, oy, oz,
-                              inv_dx, inv_dy, inv_dz)
-        ray_hit = (t_near <= t_far) & (t_far > t_min) & (t_near < t)
-        if any_hit:
-            ray_hit = ray_hit & (idx < 0.0)
+        ray_hit = []
+        for g in gr:
+            t_near, t_far = _slab(kc.boxes_ref, c, ox[g], oy[g], oz[g],
+                                  inv_dx[g], inv_dy[g], inv_dz[g])
+            rh = (t_near <= t_far) & (t_far > t_min) & (t_near < t[g])
+            if any_hit:
+                rh = rh & (idx[g] < 0.0)
+            ray_hit.append(rh)
 
         def hit_fn(a):
-            t, idx, attr = a[0], a[1], a[2:]
-            t, idx, attr = mt_cluster(c, ray_hit, t, idx, attr)
-            return (t, idx) + attr
+            t, idx, attr = unpack(a)
+            t, idx, attr = mt_cluster(c, tuple(ray_hit), t, idx, attr)
+            return pack(t, idx, attr)
 
-        return lax.cond(jnp.any(ray_hit), hit_fn, lambda a: a,
-                        (t, idx) + attr)
+        return lax.cond(gor(ray_hit), hit_fn, lambda a: a, flat)
 
     # per-tile visit-order selection (closest sweeps): pick the
     # precomputed order whose reference origin is nearest the tile's mean
     # live ray origin — a handful of scalar ops + 4 plane reductions
     order_k = None
     if kc.n_orders and not any_hit:
-        live_m = (jnp.abs(ox) < 1e17).astype(jnp.float32)
-        cnt = jnp.maximum(jnp.sum(live_m), 1.0)
-        mx = jnp.sum(ox * live_m) / cnt
-        my = jnp.sum(oy * live_m) / cnt
-        mz = jnp.sum(oz * live_m) / cnt
+        live_m = tuple((jnp.abs(ox[g]) < 1e17).astype(jnp.float32)
+                       for g in gr)
+        cnt = jnp.maximum(gsum(jnp.sum(m) for m in live_m), 1.0)
+        mx = gsum(jnp.sum(ox[g] * live_m[g]) for g in gr) / cnt
+        my = gsum(jnp.sum(oy[g] * live_m[g]) for g in gr) / cnt
+        mz = gsum(jnp.sum(oz[g] * live_m[g]) for g in gr) / cnt
         best_d = jnp.float32(_INF)
         order_k = jnp.int32(0)
         for k in range(kc.n_orders):
@@ -283,37 +328,47 @@ def _sweep_one(kc: KernelClusters, o, d, t0, *, t_min, any_hit, attrs):
             order_k = jnp.where(sel, jnp.int32(k), order_k)
 
     def cond(state):
-        si, t, idx, live = state[0], state[1], state[2], state[3]
+        si, live = state[0], state[1]
         return (si < kc.n_super) & (live != 0.0)
 
     def body(state):
-        si, t, idx, live, attr = (state[0], state[1], state[2], state[3],
-                                  state[4:])
+        si, live, flat = state[0], state[1], state[2:]
+        t, idx, _ = unpack(flat)
         if order_k is None:
             s = kc.order_ref[si]  # near-to-far visit order (perf hint only)
         else:
             s = kc.orders_ref[order_k, si]
-        t_near, t_far = _slab(kc.sboxes_ref, s, ox, oy, oz,
-                              inv_dx, inv_dy, inv_dz)
-        super_hit = (t_near <= t_far) & (t_far > t_min) & (t_near < t)
-        if any_hit:
-            super_hit = super_hit & (idx < 0.0)
+        super_hit = []
+        for g in gr:
+            t_near, t_far = _slab(kc.sboxes_ref, s, ox[g], oy[g], oz[g],
+                                  inv_dx[g], inv_dy[g], inv_dz[g])
+            sh = (t_near <= t_far) & (t_far > t_min) & (t_near < t[g])
+            if any_hit:
+                sh = sh & (idx[g] < 0.0)
+            super_hit.append(sh)
 
-        t, idx, *attr = lax.cond(
-            jnp.any(super_hit),
+        flat = lax.cond(
+            gor(super_hit),
             lambda a: lax.fori_loop(0, SUPER, functools.partial(child, s=s), a),
             lambda a: a,
-            (t, idx) + tuple(attr),
+            flat,
         )
         if any_hit:
-            live = jnp.where(jnp.any(idx < 0.0), 1.0, 0.0)
-        return (si + 1, t, idx, live) + tuple(attr)
+            _, idx, _ = unpack(flat)
+            live = jnp.where(gor(tuple(ix < 0.0 for ix in idx)), 1.0, 0.0)
+        return (si + 1, live) + flat
 
     state = lax.while_loop(
-        cond, body, (jnp.int32(0), t0, idx0, jnp.float32(1.0)) + attr0
+        cond, body,
+        (jnp.int32(0), jnp.float32(1.0)) + pack(tg0, idx0, attr0),
     )
-    t, idx, attr = state[1], state[2], state[4:]
-    return t, idx, attr
+    t, idx, attr = unpack(state[2:])
+    cat = (lambda xs: xs[0]) if G == 1 else (lambda xs: jnp.concatenate(xs, 0))
+    if attrs:
+        out_attr = tuple(cat(tuple(attr[g][a] for g in gr)) for a in range(5))
+    else:
+        out_attr = ()
+    return cat(t), cat(idx), out_attr
 
 
 def _cluster_kernel(order_ref, sboxes_ref, boxes_ref, tri_ref,
@@ -377,6 +432,10 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
     the order whose reference is nearest its mean live ray origin (same
     mechanism as the megakernel's per-tile orders; closest-hit sweeps
     only). Overrides `order`. Pure perf hint; results order-independent.
+
+    groups=G > 1: row-group-gated test issue (bit-identical; see
+    KernelClusters.groups). tile_h must be divisible by G (else silently
+    runs ungrouped); tile_h // G >= 8 keeps each group vreg-aligned.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -94,7 +94,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                tile_h: int, tile_w: int, n_super: int = 0, stripes: int = 1,
                approx_ok: bool = False, has_mlt: bool = False,
                n_instances: int = 0, t_pad: int = 0, n_orders: int = 0,
-               groups: int = 1):
+               groups: int = 1, fast_math: bool = False):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
     if n_super:
@@ -119,12 +119,14 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
             bvh = KernelClusters(order_ref, sboxes_ref, cboxes_ref, ctri_ref,
                                  n_super, approx_ok=approx_ok,
                                  orders_ref=orders_ref, refs_ref=refs_ref,
-                                 n_orders=n_orders, groups=groups)
+                                 n_orders=n_orders, groups=groups,
+                                 fast_math=fast_math)
         else:
             (order_ref, sboxes_ref, cboxes_ref, ctri_ref,
              out_ref, nrays_ref) = rest
             bvh = KernelClusters(order_ref, sboxes_ref, cboxes_ref, ctri_ref,
-                                 n_super, approx_ok=approx_ok, groups=groups)
+                                 n_super, approx_ok=approx_ok, groups=groups,
+                                 fast_math=fast_math)
     else:
         out_ref, nrays_ref = rest
         bvh = None
@@ -184,11 +186,13 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
 
 @functools.partial(
     jax.jit, static_argnums=(0, 4),
-    static_argnames=("interpret", "tile", "band_h", "stripes", "groups"),
+    static_argnames=("interpret", "tile", "band_h", "stripes", "groups",
+                     "fast_math"),
 )
 def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
                    key=None, spp_offset=0, interpret=None, tile=(64, 256),
-                   bvh=None, row0=0, band_h=None, stripes=None, groups=1):
+                   bvh=None, row0=0, band_h=None, stripes=None, groups=1,
+                   fast_math=False):
     """Megakernel render: ((band_h or H, W, 3) image, nrays). rng: pcg.
 
     row0/band_h: render only a horizontal band of the image (a device band
@@ -292,7 +296,7 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         approx_ok=not interpret, has_mlt=has_mlt,
         n_instances=bvh.num_instances if instanced else 0,
         t_pad=cs.padded_tris if instanced else 0, n_orders=n_orders,
-        groups=groups,
+        groups=groups, fast_math=fast_math,
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
