@@ -58,11 +58,26 @@ def cmd_orbit(args):
     cfg = rt.RenderConfig(width=w, height=h)
     scene = rt.default_scene()
     positions, rotations = orbit_path(args.frames)
+    # --resume (PNG-dir sink only): skip frames whose file already exists.
+    # Orbit poses are a pure function of the frame index, so a resumed run
+    # produces bit-identical frames to an uninterrupted one — the
+    # animation analog of the path tracer's --checkpoint resume.
+    todo = list(range(args.frames))
+    if args.resume and not (args.y4m or args.apng):
+        todo = [i for i in todo
+                if not os.path.exists(
+                    os.path.join(args.out, f"frame_{i:04d}.png"))]
+        print(f"resume: {args.frames - len(todo)} frames already on disk, "
+              f"{len(todo)} to render")
     writer = None
     if args.y4m:
         from raytracing_engine_tpu.utils.video import VideoWriter
 
         writer = VideoWriter(args.y4m, fps=args.fps)
+    elif args.apng:
+        from raytracing_engine_tpu.utils.video import ApngWriter
+
+        writer = ApngWriter(args.apng, fps=args.fps)
     else:
         os.makedirs(args.out, exist_ok=True)
     primary, secondary = conemarch_ray_count(cfg, int(scene.light_count))
@@ -81,27 +96,28 @@ def cmd_orbit(args):
                                           n_obj=_n_obj, n_light=_n_light)
 
         cams = [Camera(position=positions[i], rotation=rotations[i])
-                for i in range(args.frames)]
+                for i in todo]
         P = jnp.asarray(np.stack([np.asarray(c.position) for c in cams]))
         Q = jnp.asarray(np.stack([np.asarray(c.quat()) for c in cams]))
-        for k0 in range(0, args.frames, args.chunk):
-            k1 = min(k0 + args.chunk, args.frames)
+        for k0 in range(0, len(todo), args.chunk):
+            k1 = min(k0 + args.chunk, len(todo))
             t0 = time.perf_counter()
             frames = render_sequence(cfg, scene, P[k0:k1], Q[k0:k1], fn=fn)
             frames = np.moveaxis(np.asarray(frames), 1, -1)
             dt = (time.perf_counter() - t0) / (k1 - k0)
             st = FrameStats(primary, secondary, dt)
-            for i, img in zip(range(k0, k1), frames):
+            for i, img in zip(todo[k0:k1], frames):
                 if writer is not None:
                     writer.add(img)
                 else:
                     write_png(os.path.join(args.out, f"frame_{i:04d}.png"),
                               img)
-            print(f"frames {k0:3d}-{k1-1:3d}: {st.seconds*1e3:7.2f} ms/frame "
+            print(f"frames {todo[k0]:3d}-{todo[k1-1]:3d}: "
+                  f"{st.seconds*1e3:7.2f} ms/frame "
                   f"{st.mrays_per_sec:8.1f} Mrays/s (chunked dispatch)")
     else:
         render = pallas_renderer.render_jit_for(cfg, scene)  # static counts
-        for i in range(args.frames):
+        for i in todo:
             cam = Camera(position=positions[i], rotation=rotations[i])
             t0 = time.perf_counter()
             img = jax.block_until_ready(render(scene, cam.position, cam.quat()))
@@ -113,7 +129,8 @@ def cmd_orbit(args):
             print(f"frame {i:3d}: {st.seconds*1e3:7.2f} ms  {st.mrays_per_sec:8.1f} Mrays/s")
     if writer is not None:
         writer.close()
-        print(f"{args.y4m}: {writer.frames} frames @ {args.fps} fps")
+        print(f"{args.y4m or args.apng}: {writer.frames} frames "
+              f"@ {args.fps} fps")
 
 
 def cmd_replay(args):
@@ -128,14 +145,19 @@ def cmd_replay(args):
     w, h = _parse_size(args.size)
     cfg = rt.RenderConfig(width=w, height=h)
     scene = rt.default_scene()
-    loop = FrameLoop(cfg, scene)
+    loop = FrameLoop(cfg, scene, monitor=_parse_size(args.monitor))
     events = load_replay(args.replay)
 
     writer = None
-    if args.y4m:
-        from raytracing_engine_tpu.utils.video import VideoWriter
+    if args.y4m or args.apng:
+        if args.y4m:
+            from raytracing_engine_tpu.utils.video import VideoWriter
 
-        writer = VideoWriter(args.y4m, fps=args.fps)
+            writer = VideoWriter(args.y4m, fps=args.fps)
+        else:
+            from raytracing_engine_tpu.utils.video import ApngWriter
+
+            writer = ApngWriter(args.apng, fps=args.fps)
 
         def sink(i, img):
             writer.add(img)
@@ -312,6 +334,12 @@ def main(argv=None):
     o.add_argument("--size", default="512x512")
     o.add_argument("--frames", type=int, default=60)
     o.add_argument("--out", default="orbit")
+    o.add_argument("--apng", default=None,
+                   help="write a lossless animated PNG instead of frames/")
+    o.add_argument("--resume", action="store_true",
+                   help="skip frames already in --out (PNG sink only; "
+                        "poses are deterministic, so resumed frames are "
+                        "bit-identical to an uninterrupted run)")
     o.add_argument("--y4m", default=None,
                    help="write a YUV4MPEG2 video instead of PNG frames")
     o.add_argument("--fps", type=int, default=30)
@@ -327,7 +355,13 @@ def main(argv=None):
     rp.add_argument("--size", default="512x512")
     rp.add_argument("--out", default="replay_out")
     rp.add_argument("--y4m", default=None)
+    rp.add_argument("--apng", default=None,
+                    help="write a lossless animated PNG instead of frames/")
     rp.add_argument("--fps", type=int, default=30)
+    rp.add_argument("--monitor", default="1920x1080",
+                    help="borderless-fullscreen resolution an F11 event "
+                         "switches to (the reference reads the real "
+                         "monitor's mode, src/main.rs:689-696)")
     rp.add_argument("--chunk", type=int, default=8,
                     help="frames per dispatch (replay events are known "
                          "ahead; 1 = per-frame dispatch)")

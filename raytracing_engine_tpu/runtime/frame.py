@@ -66,6 +66,7 @@ class FrameLoop:
         scene,
         render_fn: Optional[Callable] = None,
         camera: Optional[Camera] = None,
+        monitor: tuple = (1920, 1080),
     ):
         self.cfg = cfg
         self.scene = scene
@@ -79,7 +80,9 @@ class FrameLoop:
         self.frozen = False          # focus lost -> skip frames (:726)
         self.cursor_grabbed = True   # grabbed while focused (:711-717)
         self.fullscreen = False
-        self.monitor = (1920, 1080)  # borderless-fullscreen resolution
+        # borderless-fullscreen resolution (the reference reads the actual
+        # monitor's mode, src/main.rs:689-696; headless callers pass theirs)
+        self.monitor = monitor
         self._windowed = (cfg.width, cfg.height)
         self._last = None
 

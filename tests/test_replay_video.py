@@ -105,6 +105,50 @@ def test_y4m_roundtrip(tmp_path):
         assert np.abs(g.astype(int) - to_srgb_u8(f).astype(int)).max() <= 3
 
 
+def test_apng_roundtrip_exact(tmp_path):
+    """APNG is LOSSLESS: the u8 pixel bytes round-trip exactly (unlike
+    y4m's BT.601 quantization)."""
+    from raytracing_engine_tpu.utils.video import ApngWriter, read_apng
+    from raytracing_engine_tpu.utils.image import to_srgb_u8
+
+    path = str(tmp_path / "clip.apng")
+    rng = np.random.RandomState(1)
+    frames = [rng.rand(24, 40, 3).astype(np.float32) for _ in range(4)]
+    with ApngWriter(path, fps=25) as w:
+        for f in frames:
+            w.add(f)
+    assert w.frames == 4
+    got, fps = read_apng(path)
+    assert fps == 25
+    assert got.shape == (4, 24, 40, 3)
+    for f, g in zip(frames, got):
+        np.testing.assert_array_equal(g, to_srgb_u8(f))
+
+
+def test_apng_rejects_resize(tmp_path):
+    from raytracing_engine_tpu.utils.video import ApngWriter
+
+    w = ApngWriter(str(tmp_path / "clip.apng"))
+    w.add(np.zeros((16, 16, 3), np.uint8))
+    with pytest.raises(ValueError):
+        w.add(np.zeros((16, 32, 3), np.uint8))
+    w.close()
+
+
+def test_cli_orbit_apng(tmp_path):
+    """End-to-end: CLI orbit -> one lossless animation file."""
+    from raytracing_engine_tpu.cli import main
+    from raytracing_engine_tpu.utils.video import read_apng
+
+    path = str(tmp_path / "orbit.apng")
+    main(["orbit", "--size", "64x48", "--frames", "2", "--chunk", "2",
+          "--apng", path, "--fps", "30"])
+    frames, fps = read_apng(path)
+    assert frames.shape == (2, 48, 64, 3)
+    assert fps == 30
+    assert frames.max() > 0  # rendered something
+
+
 def test_y4m_rejects_resize(tmp_path):
     path = str(tmp_path / "clip.y4m")
     w = VideoWriter(path)
@@ -112,6 +156,36 @@ def test_y4m_rejects_resize(tmp_path):
     with pytest.raises(ValueError):
         w.add(np.zeros((16, 32, 3), np.float32))
     w.close()
+
+
+def test_cli_replay_fullscreen_focus_end_to_end(tmp_path):
+    """End-to-end window-event parity through the CLI replay path: F11
+    switches frames to the --monitor resolution and back (borderless
+    toggle, src/main.rs:689-696), focus-lost freezes frames (:711-717,
+    :726). Exercises the chunked (cfg-grouped) dispatch path too."""
+    from raytracing_engine_tpu.cli import main
+    from raytracing_engine_tpu.utils.image import read_png
+
+    rpath = str(tmp_path / "s.replay")
+    save_replay(rpath, [
+        InputEvent(move=(1.0, 0.0, 0.0), dt=0.02),   # 0: windowed 64x48
+        InputEvent(fullscreen_toggle=True),           # 1: -> monitor 96x64
+        InputEvent(focus=False),                      # frozen: no frame
+        InputEvent(focus=True, rot=(0.0, 1.0)),       # 3: still fullscreen
+        InputEvent(fullscreen_toggle=True),           # 4: -> windowed again
+    ])
+    out = str(tmp_path / "frames")
+    main(["replay", rpath, "--size", "64x48", "--monitor", "96x64",
+          "--out", out, "--chunk", "4"])
+    import os
+
+    names = sorted(os.listdir(out))
+    assert names == [f"frame_{i:04d}.png" for i in (0, 1, 3, 4)]
+    sizes = {n: read_png(os.path.join(out, n)).shape[:2] for n in names}
+    assert sizes["frame_0000.png"] == (48, 64)
+    assert sizes["frame_0001.png"] == (64, 96)
+    assert sizes["frame_0003.png"] == (64, 96)
+    assert sizes["frame_0004.png"] == (48, 64)
 
 
 def test_cli_replay_y4m(tmp_path):

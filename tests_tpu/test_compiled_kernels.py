@@ -150,6 +150,34 @@ def test_megakernel_clusters(mesh_setup):
     _assert_close(got, want, label="megakernel-cluster", frac=1e-4, atol=1e-4)
 
 
+def test_megakernel_row_groups_bit_identical_on_chip(mesh_setup):
+    """groups=2 (shared-traversal row-group-gated test issue) must be
+    bit-identical to the ungrouped sweep on REAL hardware — the CPU suite
+    only proves it in interpret mode. (Perf lever measured negative and
+    kept default-off; this pins its correctness contract on chip.)"""
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+
+    mesh, cs, _, _ = mesh_setup
+    scene = build_pt_scene(
+        spheres=[((3.0, 3.0, 3.0), 1.0, 1)],
+        triangles=mesh, tri_mats=np.zeros(mesh.shape[0], np.int32),
+        materials=[{"albedo": (0.6, 0.5, 0.4), "kind": DIFFUSE},
+                   {"albedo": (0, 0, 0), "emission": (8.0,) * 3,
+                    "kind": DIFFUSE}],
+    )
+    cfg = PTConfig(width=W, height=H, max_bounces=2, rng="pcg")
+    key = jax.random.PRNGKey(6)
+    want, n_want = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 1, key,
+                                  bvh=cs, interpret=False, tile=(16, 128))
+    got, n_got = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 1, key,
+                                bvh=cs, interpret=False, tile=(16, 128),
+                                groups=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert float(n_want) == float(n_got)
+
+
 def test_sharded_megakernel_one_device_mesh():
     """The shard_map-wrapped megakernel compiles and runs ON CHIP (the CI
     suite only ever exercises it on the CPU fake backend) and matches the
