@@ -191,7 +191,24 @@ def cmd_pt(args):
     w, h = _parse_size(args.size)
     cfg = PTConfig(width=w, height=h, max_bounces=args.bounces, rng=args.rng)
     bvh = None
-    if args.scene == "cornell":
+    if args.scene.endswith(".json"):
+        # declarative scene file (pathtracer/sceneio.py schema)
+        from raytracing_engine_tpu.pathtracer.sceneio import load_scene_json
+
+        scene, mesh, tri_mats, cam_pos, cam_quat = load_scene_json(args.scene)
+        pos, quat = jnp.asarray(cam_pos), jnp.asarray(cam_quat)
+        if mesh is not None:
+            print(f"{args.scene}: {mesh.shape[0]} triangles")
+            if args.bvh:
+                import jax as _jax
+
+                from raytracing_engine_tpu.accel import build_bvh
+                from raytracing_engine_tpu.accel.clusters import build_clusters
+
+                bvh = (build_clusters(mesh, tri_mats=tri_mats)
+                       if _jax.default_backend() == "tpu"
+                       else build_bvh(mesh))
+    elif args.scene == "cornell":
         scene = pt_scenes.cornell_box()
         pos, quat = jnp.array([0.0, 0.2, 0.0]), jnp.array([0.0, 0.0, 0.0, 1.0])
     elif args.scene == "spheres":
@@ -368,8 +385,9 @@ def main(argv=None):
     rp.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("pt", help="path-trace a scene")
-    p.add_argument("--scene", choices=["cornell", "spheres", "knot", "obj"],
-                   default="cornell")
+    p.add_argument("--scene", default="cornell",
+                   help="cornell | spheres | knot | obj | FILE.json "
+                        "(declarative scene, pathtracer/sceneio.py schema)")
     p.add_argument("--mesh", default=None,
                    help="OBJ file for --scene obj (lit by the knot-scene lights)")
     p.add_argument("--size", default="256x256")

@@ -1,0 +1,160 @@
+"""Declarative JSON scene files for the path tracer.
+
+The reference hardcodes its scene as Rust literals rebuilt per run
+(/root/reference/src/main.rs:524-601); the data-driven analog here is a
+small JSON schema that assembles the same PTScene SoA pytree a Python
+caller would build via `build_pt_scene`, so scenes are shareable files
+instead of code:
+
+```json
+{
+  "materials": [
+    {"albedo": [0.7, 0.6, 0.4]},
+    {"albedo": [0, 0, 0], "emission": [10, 10, 10]},
+    {"albedo": [0.9, 0.9, 0.9], "kind": "mirror"}
+  ],
+  "spheres": [
+    {"center": [6, 4, 6], "radius": 1.5, "mat": 1}
+  ],
+  "meshes": [
+    {"obj": "bunny.obj", "mat": 0, "scale": 2.0, "translate": [0, 8, 0]},
+    {"icosphere": {"subdivisions": 3, "radius": 1.2}, "mat": 2},
+    {"knot": {"segments": 400}, "mat": 0, "translate": [0, 8, 0]}
+  ],
+  "camera": {"position": [0, 0, 0], "quat": [0, 0, 0, 1]},
+  "mesh_lights": false
+}
+```
+
+- `kind` is "diffuse" (default) or "mirror".
+- `meshes[*]` sources: `obj` (path relative to the JSON file), `icosphere`
+  (accel.icosphere kwargs), `knot` (accel.torus_knot kwargs). `scale` and
+  `translate` post-transform vertices. Each mesh gets ONE material.
+- `camera` is optional (origin, identity quat); `cli pt --scene f.json`
+  uses it as the starting pose.
+- `mesh_lights: true` routes emissive triangles through the area-CDF
+  mesh-light sampler (required when emissive tris exceed the per-slot
+  NEE unroll limit — build_pt_scene raises loudly otherwise).
+
+Unknown top-level or per-entry keys raise: a typo that silently dropped a
+light would be a wrongness hazard, not a convenience.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, MIRROR, PTScene, build_pt_scene
+
+_KINDS = {"diffuse": DIFFUSE, "mirror": MIRROR}
+_TOP_KEYS = {"materials", "spheres", "meshes", "camera", "mesh_lights"}
+_MAT_KEYS = {"albedo", "emission", "kind"}
+_SPH_KEYS = {"center", "radius", "mat"}
+_MESH_KEYS = {"obj", "icosphere", "knot", "mat", "scale", "translate"}
+_CAM_KEYS = {"position", "quat"}
+
+
+def _check_keys(d: dict, allowed: set, what: str) -> None:
+    extra = set(d) - allowed
+    if extra:
+        raise ValueError(f"unknown {what} key(s) {sorted(extra)}; "
+                         f"allowed: {sorted(allowed)}")
+
+
+def _mesh_tris(entry: dict, base_dir: str) -> np.ndarray:
+    sources = [k for k in ("obj", "icosphere", "knot") if k in entry]
+    if len(sources) != 1:
+        raise ValueError(f"mesh entry needs exactly one of obj/icosphere/"
+                         f"knot, got {sources or 'none'}")
+    src = sources[0]
+    if src == "obj":
+        from raytracing_engine_tpu.accel import load_obj
+
+        path = entry["obj"]
+        if not os.path.isabs(path):
+            path = os.path.join(base_dir, path)
+        tris = load_obj(path)
+    elif src == "icosphere":
+        from raytracing_engine_tpu.accel import icosphere
+
+        tris = icosphere(**entry["icosphere"])
+    else:
+        from raytracing_engine_tpu.accel import torus_knot
+
+        tris = torus_knot(**entry["knot"])
+    tris = np.asarray(tris, np.float32)
+    if "scale" in entry:
+        tris = tris * np.float32(entry["scale"])
+    if "translate" in entry:
+        tris = tris + np.asarray(entry["translate"], np.float32)
+    return tris
+
+
+def load_scene_json(path: str):
+    """Load a JSON scene file.
+
+    Returns (scene: PTScene, tris: (T,3,3) f32 | None, tri_mats: (T,) i32
+    | None, cam_pos: (3,) f32, cam_quat: (4,) f32). tris/tri_mats feed
+    accel.clusters.build_clusters / accel.build_bvh for the --bvh path.
+    """
+    with open(path) as f:
+        spec = json.load(f)
+    if not isinstance(spec, dict):
+        raise ValueError(f"{path}: top level must be a JSON object")
+    _check_keys(spec, _TOP_KEYS, "scene")
+    base_dir = os.path.dirname(os.path.abspath(path))
+
+    materials = []
+    for i, m in enumerate(spec.get("materials", [])):
+        _check_keys(m, _MAT_KEYS, f"materials[{i}]")
+        kind = m.get("kind", "diffuse")
+        if kind not in _KINDS:
+            raise ValueError(f"materials[{i}].kind {kind!r} not in "
+                             f"{sorted(_KINDS)}")
+        materials.append({"albedo": tuple(m["albedo"]),
+                          "emission": tuple(m.get("emission", (0, 0, 0))),
+                          "kind": _KINDS[kind]})
+    n_mat = len(materials)
+
+    def _mat_id(j, what):
+        j = int(j)
+        if not 0 <= j < n_mat:
+            raise ValueError(f"{what}: mat {j} out of range "
+                             f"(have {n_mat} materials)")
+        return j
+
+    spheres = []
+    for i, s in enumerate(spec.get("spheres", [])):
+        _check_keys(s, _SPH_KEYS, f"spheres[{i}]")
+        spheres.append((tuple(s["center"]), float(s["radius"]),
+                        _mat_id(s["mat"], f"spheres[{i}]")))
+
+    tris = tri_mats = None
+    parts, part_mats = [], []
+    for i, m in enumerate(spec.get("meshes", [])):
+        _check_keys(m, _MESH_KEYS, f"meshes[{i}]")
+        t = _mesh_tris(m, base_dir)
+        parts.append(t)
+        part_mats.append(np.full(len(t), _mat_id(m.get("mat", 0),
+                                                 f"meshes[{i}]"), np.int32))
+    if parts:
+        tris = np.concatenate(parts, axis=0)
+        tri_mats = np.concatenate(part_mats, axis=0)
+
+    scene = build_pt_scene(
+        spheres=spheres, triangles=tris, tri_mats=tri_mats,
+        materials=materials,
+        mesh_lights=bool(spec.get("mesh_lights", False)),
+    )
+
+    cam = spec.get("camera", {})
+    _check_keys(cam, _CAM_KEYS, "camera")
+    cam_pos = np.asarray(cam.get("position", (0.0, 0.0, 0.0)), np.float32)
+    cam_quat = np.asarray(cam.get("quat", (0.0, 0.0, 0.0, 1.0)), np.float32)
+    if cam_pos.shape != (3,) or cam_quat.shape != (4,):
+        raise ValueError("camera.position must be length 3, camera.quat "
+                         "length 4")
+    return scene, tris, tri_mats, cam_pos, cam_quat
