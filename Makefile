@@ -7,6 +7,11 @@
 # the kernel suites are compile-dominated). -n auto parallelizes across
 # cores where available (each xdist worker gets its own 8-fake-device
 # backend — process-parallel safe).
+#
+# Concurrency with a chip job: on tunneled (axon) runtimes the site hook
+# in PYTHONPATH initializes the TPU plugin even under JAX_PLATFORMS=cpu,
+# so a CPU suite BLOCKS on the chip lock while test-tpu/bench runs.
+# Strip it to run both at once:  PYTHONPATH= make test-fast
 test:            ## full suite (CPU, 8 virtual devices via tests/conftest.py)
 	python -m pytest tests/ -q -n auto
 

@@ -54,7 +54,9 @@ TILE = (32, 128)   # bench kernel tile (benchmarks/run_all.py config3)
 # 1. ray-state extraction
 # ---------------------------------------------------------------------------
 
-def extract_states(size):
+def extract_states(size, bvh_method="sah"):
+    # (bvh_method threads to config3_scene so the replay can A/B tree
+    # quality: touched supers/clusters/sub-blocks per partitioner)
     """Per-bounce (closest-hit rays, NEE shadow rays) of the bench frame.
 
     The probe hook fires during tracing, so collecting the traced values
@@ -68,7 +70,7 @@ def extract_states(size):
     from raytracing_engine_tpu.ops.pallas.rng import key_to_seed
     from raytracing_engine_tpu.pathtracer.wavefront import trace_pass_soa
 
-    mesh, bvh, scene, cfg, _ = config3_scene(size=size)
+    mesh, bvh, scene, cfg, _ = config3_scene(size=size, bvh_method=bvh_method)
     key = jax.random.PRNGKey(1)
     seed0 = key_to_seed(key)
 
@@ -382,7 +384,7 @@ def vpu_peak_ops():
 # 4. measured per-sweep marginals
 # ---------------------------------------------------------------------------
 
-def measured_marginals(size):
+def measured_marginals(size, bvh_method="sah"):
     import dataclasses
 
     import jax
@@ -394,7 +396,7 @@ def measured_marginals(size):
     if jax.default_backend() != "tpu":
         return None
 
-    mesh, bvh, scene, cfg, _ = config3_scene(size=size)
+    mesh, bvh, scene, cfg, _ = config3_scene(size=size, bvh_method=bvh_method)
     quat = jnp.array([0.0, 0.0, 0.0, 1.0])
     key = jax.random.PRNGKey(1)
 
@@ -423,15 +425,18 @@ def main():
     ap.add_argument("--no-timing", action="store_true")
     ap.add_argument("--microbench", action="store_true",
                     help="also run the (RTT-limited) FMA microbench")
+    ap.add_argument("--bvh", default="sah", choices=["sah", "median"],
+                    help="BVH partitioner behind the cluster cut")
     args = ap.parse_args()
 
     print("extracting per-bounce ray states...")
     t0 = time.perf_counter()
-    cache = f"/tmp/config3_states_{args.size}.npz"
+    cache = f"/tmp/config3_states_{args.size}_{args.bvh}.npz"
     if os.path.exists(cache):
         from run_all import config3_scene
 
-        mesh, bvh, scene, cfg, _ = config3_scene(size=args.size)
+        mesh, bvh, scene, cfg, _ = config3_scene(size=args.size,
+                                                 bvh_method=args.bvh)
         z = np.load(cache)
         states = {"ray": {}, "shadow": {}}
         for k in z.files:
@@ -439,7 +444,8 @@ def main():
             states[kind].setdefault(int(b), {})[name] = z[k]
         print(f"  loaded cached states from {cache}")
     else:
-        mesh, bvh, scene, cfg, states = extract_states(args.size)
+        mesh, bvh, scene, cfg, states = extract_states(args.size,
+                                                       bvh_method=args.bvh)
         np.savez(cache, **{f"{kind}|{b}|{name}": v
                            for kind, per_b in states.items()
                            for b, d in per_b.items()
@@ -464,10 +470,11 @@ def main():
             print("VPU throughput microbench (auxiliary)...")
             peak = vpu_peak_ops()
         print("measured megakernel marginals...")
-        marg = measured_marginals(args.size)
+        marg = measured_marginals(args.size, bvh_method=args.bvh)
 
     # ---- report ----
     report = {"size": args.size, "tile": TILE, "quick": args.quick,
+              "bvh": args.bvh,
               "ops_model": {"test": OPS_TEST, "slab": OPS_SLAB},
               "vpu_peak_ops_per_s": peak, "measured_ms": marg,
               "sweeps": {}, "overlaps": overlaps}

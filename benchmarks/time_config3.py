@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--fast-math", action="store_true",
                     help="approximate reciprocal in closest-hit tests "
                          "(mega path; ~2^-14 t error)")
+    ap.add_argument("--bvh", default="sah", choices=["sah", "median"],
+                    help="BVH partitioner behind the cluster cut")
     args = ap.parse_args()
     tile = tuple(int(x) for x in args.tile.split("x"))
 
@@ -42,7 +44,8 @@ def main():
     from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
     from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
 
-    mesh, bvh, scene, cfg, _ = config3_scene(size=args.size)
+    mesh, bvh, scene, cfg, _ = config3_scene(size=args.size,
+                                             bvh_method=args.bvh)
     quat = jnp.array([0.0, 0.0, 0.0, 1.0])
     key = jax.random.PRNGKey(1)
     sort = {"none": False, "true": True}.get(args.sort, args.sort)
@@ -74,7 +77,7 @@ def main():
         best = min(best, dt)
     nrays = float(nr)
     print(f"path={args.path} sort={args.sort} groups={args.groups} "
-          f"fast_math={args.fast_math} "
+          f"fast_math={args.fast_math} bvh={args.bvh} "
           f"tile={tile} stripes={args.stripes} size={args.size}: "
           f"{best*1e3:.2f} ms/frame, {nrays/best/1e6:.2f} Mrays/s "
           f"(n={nrays:.0f})")

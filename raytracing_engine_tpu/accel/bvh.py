@@ -8,9 +8,15 @@ is implicitly ``node+1`` (its left child); every node stores a ``skip`` link
 Traversal is therefore a single while-loop with NO per-ray stack: exactly the
 control shape SIMD/TPU lanes want; per-lane state is one int32 node cursor.
 
-Build: median split on the longest centroid axis (O(N log N), numpy). The
-native C++ builder (native/) produces the same arrays faster for big meshes;
-this is the reference/fallback implementation.
+Build: ``method="sah"`` (default) is a 16-bin binned surface-area-heuristic
+split — it produces tighter subtrees than a median split, which matters
+twice here: once for traversal, and once because accel/clusters.py cuts its
+cluster boxes at BVH subtree boundaries, so tree quality directly sets how
+many clusters/sub-blocks the Pallas sweep touches per ray (the config-3
+roofline's "issued ops" axis). ``method="median"`` (longest-centroid-axis
+median split) is kept as the reference partitioner. The native C++ builder
+(native/) produces the same arrays faster for big meshes; this numpy
+implementation is the reference/fallback.
 """
 
 from __future__ import annotations
@@ -40,15 +46,22 @@ class BVH:
     perm: jax.Array       # (T,) int32 — reordered index -> original tri index
 
 
+SAH_BINS = 16
+
+
 def build_bvh(triangles: np.ndarray, leaf_size: int = LEAF_SIZE,
-              use_native: bool | None = None) -> BVH:
+              use_native: bool | None = None, method: str = "sah") -> BVH:
     """triangles: (T, 3, 3) float32 vertex array.
 
     use_native: True = require the C++ builder (native/bvh_builder.cpp),
     False = force the numpy reference builder, None = native if available.
-    Both produce the same layout (DFS preorder + skip links); the trees may
-    differ only in median tie-breaking, which traversal results don't see.
+    method: "sah" (binned surface-area heuristic, default) or "median".
+    Both builders produce the same layout (DFS preorder + skip links); for a
+    given method the trees may differ only in partition tie-breaking, which
+    traversal results don't see.
     """
+    if method not in ("sah", "median"):
+        raise ValueError(f"method must be 'sah' or 'median': {method!r}")
     tris = np.ascontiguousarray(triangles, dtype=np.float32)
     T = tris.shape[0]
 
@@ -65,7 +78,8 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = LEAF_SIZE,
             skp = np.empty((cap,), np.int32)
             perm = np.empty((T,), np.int32)
             n = lib.bvh_build(tris.reshape(T, 9), T, leaf_size, cap,
-                              bbmin, bbmax, first, cnt, skp, perm)
+                              bbmin, bbmax, first, cnt, skp, perm,
+                              1 if method == "sah" else 0)
             if n > 0:
                 rt = tris[perm]
                 return BVH(
@@ -98,6 +112,48 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = LEAF_SIZE,
         skip.append(-1)  # patched after subtree is emitted
         return len(bb_min) - 1
 
+    def split_median(ids, c, axis):
+        med = len(ids) // 2
+        part = np.argpartition(c[:, axis], med)
+        return ids[part[:med]], ids[part[med:]]
+
+    def split_sah(ids, c, axis, clo, chi):
+        """16-bin binned SAH on the longest centroid axis: min over split
+        planes of A_left*N_left + A_right*N_right (leaf/traversal constants
+        drop out — we always split while len > leaf_size, SAH only picks
+        WHERE). Falls back to median when the centroids are degenerate or
+        every candidate plane leaves one side empty."""
+        ext = chi[axis] - clo[axis]
+        if not ext > 0:
+            return split_median(ids, c, axis)
+        b = np.minimum((
+            (c[:, axis] - clo[axis]) * (SAH_BINS / ext)).astype(np.int64),
+            SAH_BINS - 1)
+        cnt_b = np.bincount(b, minlength=SAH_BINS)
+        binlo = np.full((SAH_BINS, 3), 1e30, np.float32)
+        binhi = np.full((SAH_BINS, 3), -1e30, np.float32)
+        np.minimum.at(binlo, b, lo[ids])
+        np.maximum.at(binhi, b, hi[ids])
+
+        def areas(lo_c, hi_c):
+            d = np.maximum(hi_c - lo_c, 0.0)
+            return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+        # growing unions left-to-right and right-to-left
+        llo = np.minimum.accumulate(binlo, 0)
+        lhi = np.maximum.accumulate(binhi, 0)
+        rlo = np.minimum.accumulate(binlo[::-1], 0)[::-1]
+        rhi = np.maximum.accumulate(binhi[::-1], 0)[::-1]
+        nl = np.cumsum(cnt_b)[:-1]             # split after bin i: bins <= i left
+        nr = len(ids) - nl
+        cost = (areas(llo, lhi)[:-1] * nl + areas(rlo, rhi)[1:] * nr)
+        cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
+        best = int(np.argmin(cost))
+        if not np.isfinite(cost[best]):
+            return split_median(ids, c, axis)
+        mask = b <= best
+        return ids[mask], ids[~mask]
+
     def build(ids):
         n0 = emit((lo[ids].min(0), hi[ids].max(0), -1, 0))
         if len(ids) <= leaf_size:
@@ -107,11 +163,14 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = LEAF_SIZE,
             out_order.extend(ids.tolist())
         else:
             c = centroid[ids]
-            axis = int(np.argmax(c.max(0) - c.min(0)))
-            med = len(ids) // 2
-            part = np.argpartition(c[:, axis], med)
-            build(ids[part[:med]])
-            build(ids[part[med:]])
+            clo, chi = c.min(0), c.max(0)
+            axis = int(np.argmax(chi - clo))
+            if method == "sah":
+                left, right = split_sah(ids, c, axis, clo, chi)
+            else:
+                left, right = split_median(ids, c, axis)
+            build(left)
+            build(right)
         skip[n0] = len(bb_min)  # next preorder index after this subtree
         return n0
 

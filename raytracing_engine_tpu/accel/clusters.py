@@ -135,7 +135,7 @@ def _subtree_ranges(bvh: BVH, max_tris: int):
 
 def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
                    tri_mats: np.ndarray | None = None,
-                   align: str = "subtree") -> ClusterSet:
+                   align: str = "subtree", method: str = "sah") -> ClusterSet:
     """triangles: (T, 3, 3). Uses the BVH leaf order for spatial coherence
     (builds one if not given), pads to a CLUSTER multiple with degenerate
     triangles (zero rows -> never hit) inside NaN never-hit boxes.
@@ -145,6 +145,8 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     align: "subtree" cuts clusters at BVH subtree boundaries (tight boxes,
     some intra-cluster padding — see _subtree_ranges); "fixed" packs the
     leaf order into exactly-128 chunks (full clusters, looser boxes).
+    method: BVH partitioner when building one here ("sah" or "median") —
+    SAH subtrees are tighter, so the sweep touches fewer sub-blocks.
 
     Prefer bvh=None here on tunneled backends: fetching device-resident BVH
     arrays back to host has shown ~100 s stalls; the in-process build is
@@ -152,7 +154,7 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     tris = np.asarray(triangles, np.float32)
     T = tris.shape[0]
     if bvh is None:
-        bvh = build_bvh(tris)
+        bvh = build_bvh(tris, method=method)
     perm = np.asarray(bvh.perm)
     ordered = tris[perm]
 

@@ -16,9 +16,12 @@
 
 namespace {
 
+constexpr int kSahBins = 16;
+
 struct BuildCtx {
   const float* tris;  // (T, 9): v0 v1 v2
   int leaf_size;
+  int method;         // 0 = median, 1 = binned SAH
   // outputs
   float* bb_min;      // (cap, 3)
   float* bb_max;      // (cap, 3)
@@ -73,12 +76,77 @@ int64_t build(BuildCtx& c, int32_t* ids, int64_t n) {
     for (int k = 1; k < 3; ++k)
       if (chi[k] - clo[k] > best) { best = chi[k] - clo[k]; axis = k; }
 
-    int64_t med = n / 2;
-    std::nth_element(ids, ids + med, ids + n, [&](int32_t a, int32_t b) {
-      return c.cen[3 * a + axis] < c.cen[3 * b + axis];
-    });
-    if (build(c, ids, med) < 0) return -1;
-    if (build(c, ids + med, n - med) < 0) return -1;
+    // left-count after partitioning; default = median split
+    int64_t nl = -1;
+    if (c.method == 1 && best > 0.0f) {
+      // binned SAH on the longest centroid axis: min over split planes of
+      // A_left*N_left + A_right*N_right (always splitting while
+      // n > leaf_size, so leaf/traversal constants drop out)
+      const float scale = (float)kSahBins / best;
+      int64_t cnt[kSahBins] = {0};
+      float blo[kSahBins][3], bhi[kSahBins][3];
+      for (int b = 0; b < kSahBins; ++b)
+        for (int k = 0; k < 3; ++k) { blo[b][k] = 1e30f; bhi[b][k] = -1e30f; }
+      auto bin_of = [&](int32_t id) {
+        int b = (int)((c.cen[3 * id + axis] - clo[axis]) * scale);
+        return b < 0 ? 0 : (b >= kSahBins ? kSahBins - 1 : b);
+      };
+      for (int64_t i = 0; i < n; ++i) {
+        int b = bin_of(ids[i]);
+        ++cnt[b];
+        for (int k = 0; k < 3; ++k) {
+          blo[b][k] = std::min(blo[b][k], c.tlo[3 * ids[i] + k]);
+          bhi[b][k] = std::max(bhi[b][k], c.thi[3 * ids[i] + k]);
+        }
+      }
+      auto half_area = [](const float* l, const float* h) {
+        float d0 = std::max(h[0] - l[0], 0.0f);
+        float d1 = std::max(h[1] - l[1], 0.0f);
+        float d2 = std::max(h[2] - l[2], 0.0f);
+        return d0 * d1 + d1 * d2 + d2 * d0;
+      };
+      // suffix (right-side) union areas per split plane
+      float rarea[kSahBins] = {0};
+      {
+        float rl[3] = {1e30f, 1e30f, 1e30f}, rh[3] = {-1e30f, -1e30f, -1e30f};
+        for (int b = kSahBins - 1; b >= 1; --b) {
+          for (int k = 0; k < 3; ++k) {
+            rl[k] = std::min(rl[k], blo[b][k]);
+            rh[k] = std::max(rh[k], bhi[b][k]);
+          }
+          rarea[b] = half_area(rl, rh);
+        }
+      }
+      double best_cost = 1e300;
+      int best_plane = -1;  // split between bin b and b+1
+      float ll[3] = {1e30f, 1e30f, 1e30f}, lh[3] = {-1e30f, -1e30f, -1e30f};
+      int64_t cl = 0;
+      for (int b = 0; b < kSahBins - 1; ++b) {
+        for (int k = 0; k < 3; ++k) {
+          ll[k] = std::min(ll[k], blo[b][k]);
+          lh[k] = std::max(lh[k], bhi[b][k]);
+        }
+        cl += cnt[b];
+        int64_t cr = n - cl;
+        if (cl == 0 || cr == 0) continue;
+        double cost = (double)half_area(ll, lh) * cl + (double)rarea[b + 1] * cr;
+        if (cost < best_cost) { best_cost = cost; best_plane = b; }
+      }
+      if (best_plane >= 0) {
+        int32_t* mid = std::partition(ids, ids + n, [&](int32_t id) {
+          return bin_of(id) <= best_plane;
+        });
+        nl = mid - ids;
+      }
+    }
+    if (nl <= 0 || nl >= n) {  // median fallback (degenerate centroids)
+      nl = n / 2;
+      std::nth_element(ids, ids + nl, ids + n, [&](int32_t a, int32_t b) {
+        return c.cen[3 * a + axis] < c.cen[3 * b + axis];
+      });
+    }
+    if (build(c, ids, nl) < 0) return -1;
+    if (build(c, ids + nl, n - nl) < 0) return -1;
   }
   c.skip[node] = (int32_t)c.n_nodes;
   return node;
@@ -89,12 +157,14 @@ int64_t build(BuildCtx& c, int32_t* ids, int64_t n) {
 extern "C" {
 
 // Returns number of nodes, or -1 if node capacity `cap` was insufficient.
+// method: 0 = median split, 1 = binned SAH (16 bins, longest centroid axis).
 int64_t bvh_build(const float* tris, int64_t T, int leaf_size, int64_t cap,
                   float* bb_min, float* bb_max, int32_t* first,
-                  int32_t* count, int32_t* skip, int32_t* perm) {
+                  int32_t* count, int32_t* skip, int32_t* perm, int method) {
   BuildCtx c;
   c.tris = tris;
   c.leaf_size = leaf_size;
+  c.method = method;
   c.cap = cap;
   c.bb_min = bb_min;
   c.bb_max = bb_max;

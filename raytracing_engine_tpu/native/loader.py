@@ -66,6 +66,7 @@ def get_bvh_lib():
             npc.ndpointer(np.int32, flags="C_CONTIGUOUS"),     # count
             npc.ndpointer(np.int32, flags="C_CONTIGUOUS"),     # skip
             npc.ndpointer(np.int32, flags="C_CONTIGUOUS"),     # perm
+            ctypes.c_int,                                      # method
         ]
         lib._configured = True
     return lib

@@ -41,6 +41,25 @@ def test_cluster_layout(setup):
             <= boxes[:, 3:6][np.isfinite(boxes[:, 0])] + 1e-6).all()
 
 
+def test_cluster_method_invariance(setup):
+    """SAH-ordered and median-ordered cluster sets must agree on every hit:
+    the partitioner only changes WHICH clusters exist, never what the sweep
+    returns (closest hit is order-independent)."""
+    mesh, _ = setup
+    o, d = _ray_grid(16, 128, seed=2)
+    cs_med = build_clusters(mesh, method="median")
+    cs_sah = build_clusters(mesh, method="sah")
+    t_m, idx_m = cluster_intersect(cs_med, o, d, jnp.inf, interpret=True)
+    t_s, idx_s = cluster_intersect(cs_sah, o, d, jnp.inf, interpret=True)
+    np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_m),
+                               rtol=1e-5, atol=1e-6)
+    # hit the same original triangle wherever the hit is unambiguous
+    pm = np.asarray(cs_med.perm)[np.asarray(idx_m).ravel()]
+    ps = np.asarray(cs_sah.perm)[np.asarray(idx_s).ravel()]
+    agree = (pm == ps).mean()
+    assert agree > 0.99, f"only {agree:.4f} of hit ids agree"
+
+
 def test_cluster_matches_bruteforce(setup):
     mesh, cs = setup
     o, d = _ray_grid(16, 128)
