@@ -117,7 +117,8 @@ def config2_spheres(results, spp=4):  # megakernel
     }
 
 
-def config3_scene(size=512, segments=1100, bvh_method="sah"):
+def config3_scene(size=512, segments=1100, bvh_method="sah", descend=None,
+                  align="subtree", dp_kc=0.25):
     """The config-3 bench scene: (mesh, ClusterSet, PTScene, PTConfig,
     cluster build seconds). Shared with benchmarks/time_config3.py so the
     standalone timer can never drift from what results.json reports."""
@@ -129,7 +130,8 @@ def config3_scene(size=512, segments=1100, bvh_method="sah"):
     mesh = torus_knot(segments=segments, sides=32, center=(0.0, 8.0, 0.0))
     t0 = time.perf_counter()
     bvh = build_clusters(mesh, tri_mats=np.zeros(mesh.shape[0], np.int32),
-                         method=bvh_method)
+                         method=bvh_method, descend=descend, align=align,
+                         dp_kc=dp_kc)
     build_s = time.perf_counter() - t0
     mats = [
         {"albedo": (0.7, 0.6, 0.4), "kind": DIFFUSE},

@@ -34,6 +34,14 @@ def main():
                          "(mega path; ~2^-14 t error)")
     ap.add_argument("--bvh", default="sah", choices=["sah", "median"],
                     help="BVH partitioner behind the cluster cut")
+    ap.add_argument("--descend", type=int, default=None,
+                    help="subtree-pack descend depth (default max_tris//2)")
+    ap.add_argument("--align", default="subtree",
+                    choices=["subtree", "fixed", "dp"],
+                    help="cluster cut: subtree boundaries, fixed 128s, or "
+                         "DP-optimal partition under the lane-ops model")
+    ap.add_argument("--dp-kc", type=float, default=0.25,
+                    help="per-cluster constant for --align dp")
     args = ap.parse_args()
     tile = tuple(int(x) for x in args.tile.split("x"))
 
@@ -45,7 +53,10 @@ def main():
     from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
 
     mesh, bvh, scene, cfg, _ = config3_scene(size=args.size,
-                                             bvh_method=args.bvh)
+                                             bvh_method=args.bvh,
+                                             descend=args.descend,
+                                             align=args.align,
+                                             dp_kc=args.dp_kc)
     quat = jnp.array([0.0, 0.0, 0.0, 1.0])
     key = jax.random.PRNGKey(1)
     sort = {"none": False, "true": True}.get(args.sort, args.sort)
@@ -78,6 +89,7 @@ def main():
     nrays = float(nr)
     print(f"path={args.path} sort={args.sort} groups={args.groups} "
           f"fast_math={args.fast_math} bvh={args.bvh} "
+          f"descend={args.descend} align={args.align} "
           f"tile={tile} stripes={args.stripes} size={args.size}: "
           f"{best*1e3:.2f} ms/frame, {nrays/best/1e6:.2f} Mrays/s "
           f"(n={nrays:.0f})")

@@ -87,19 +87,19 @@ class ClusterSet:
         return self.tri.shape[1]
 
 
-def _subtree_ranges(bvh: BVH, max_tris: int):
+def _subtree_ranges(bvh: BVH, max_tris: int, descend: int | None = None):
     """DFS-ordered (start, end) triangle ranges, each a whole BVH subtree
     of <= max_tris triangles, greedily merging adjacent small subtrees.
 
     A fixed 128-chunk of the leaf order can straddle a major BVH split and
     get a box spanning disjoint geometry; cutting at subtree boundaries
     keeps every cluster box as tight as the tree itself. Descends to
-    subtrees of <= max_tris//2 before packing: the median-split tree makes
-    sibling subtrees near-equal, so stopping at <= max_tris strands pairs
-    like 69+69 that cannot merge under the cap (measured 55% fill, and the
-    doubled cluster count cost more than the tighter boxes saved);
-    half-size chunks repack to ~85%+ fill while a merged box is still the
-    union of 2-3 adjacent siblings."""
+    subtrees of <= ``descend`` (default max_tris//2) before packing: the
+    median-split tree makes sibling subtrees near-equal, so stopping at
+    <= max_tris strands pairs like 69+69 that cannot merge under the cap
+    (measured 55% fill, and the doubled cluster count cost more than the
+    tighter boxes saved); half-size chunks repack to ~85%+ fill while a
+    merged box is still the union of 2-3 adjacent siblings."""
     first = np.asarray(bvh.first_tri)
     cnt = np.asarray(bvh.tri_count)
     skip = np.asarray(bvh.skip)
@@ -113,7 +113,8 @@ def _subtree_ranges(bvh: BVH, max_tris: int):
 
     ranges = []
     stack = [0]
-    descend = max(max_tris // 2, 1)
+    if descend is None:
+        descend = max(max_tris // 2, 1)
     while stack:
         i = stack.pop()
         s, e = int(nxt[i]), int(nxt[min(int(skip[i]), N)])
@@ -133,9 +134,87 @@ def _subtree_ranges(bvh: BVH, max_tris: int):
     return [tuple(r) for r in merged]
 
 
+def _dp_ranges(ordered: np.ndarray, max_tris: int, kc: float = 0.25):
+    """Optimal contiguous partition of the BVH leaf order into segments of
+    <= max_tris, minimizing the sweep's expected lane-ops under the
+    touch-probability ~ box-half-area model (the same model the committed
+    roofline fit validated at r^2=0.999).
+
+    Any BVH subtree covers a contiguous DFS leaf range, so this search
+    space strictly contains every subtree-aligned cut — the DP can only do
+    better than ``_subtree_ranges`` under the cost model. Per candidate
+    segment [s, s+w):
+
+      cost = 4*OPS_SLAB * A(s, w)                  # sub gates when touched
+           + 32*OPS_TEST * sum_k A(sub_k)          # tests: full 32-lane
+                                                   #   issue per touched sub
+           + kc * Abar                             # per-cluster constant:
+                                                   #   cluster gate + scalar
+                                                   #   traversal step
+
+    where A = box half-area (relative touch probability), sub_k the
+    32-triangle sub-windows (a partial sub still issues 32 lanes — the
+    model penalizes fragmentation exactly like the hardware does), and
+    Abar = mean leaf-window area normalizer so ``kc`` is dimensionless.
+    O(T * max_tris) via incremental window min/max; ~1-3 s at 70k tris.
+    """
+    OPS_TEST, OPS_SLAB, SUB = 30.0, 28.0, 32
+    T = ordered.shape[0]
+    lmin = ordered.min(axis=1).astype(np.float64)  # (T, 3) per-tri box
+    lmax = ordered.max(axis=1).astype(np.float64)
+
+    def half_area(mn, mx):
+        d = mx - mn
+        return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 0] * d[:, 2]
+
+    # area[w][s] = half-area of window [s, s+w), built incrementally
+    area = np.full((max_tris + 1, T), np.inf)
+    wmin, wmax = lmin.copy(), lmax.copy()
+    area[1][:] = half_area(wmin, wmax)
+    for w in range(2, max_tris + 1):
+        wmin = np.minimum(wmin[: T - w + 1], lmin[w - 1:])
+        wmax = np.maximum(wmax[: T - w + 1], lmax[w - 1:])
+        area[w][: T - w + 1] = half_area(wmin, wmax)
+
+    abar = float(np.mean(area[min(SUB, max_tris)][: max(T - SUB + 1, 1)]))
+    const = kc * abar * (32 * OPS_TEST)  # in lane-op*area units
+
+    # seg_cost[w-1][s] = cost of cluster [s, s+w)
+    seg = np.full((max_tris, T), np.inf)
+    for w in range(1, max_tris + 1):
+        q, r = divmod(w, SUB)
+        sub_sum = np.zeros(T)
+        for k in range(q):
+            sub_sum[: T - w + 1] += area[SUB][k * SUB: k * SUB + T - w + 1]
+        if r:
+            sub_sum[: T - w + 1] += area[r][q * SUB: q * SUB + T - w + 1]
+        seg[w - 1] = 4 * OPS_SLAB * area[w] + 32 * OPS_TEST * sub_sum + const
+
+    best = np.full(T + 1, np.inf)
+    best[0] = 0.0
+    take = np.zeros(T + 1, np.int32)
+    ws = np.arange(1, max_tris + 1)
+    for e in range(1, T + 1):
+        k = min(e, max_tris)
+        w = ws[:k]
+        c = best[e - w] + seg[w - 1, e - w]
+        j = int(np.argmin(c))
+        best[e] = c[j]
+        take[e] = j + 1
+    ranges = []
+    e = T
+    while e > 0:
+        s = e - int(take[e])
+        ranges.append((s, e))
+        e = s
+    return ranges[::-1]
+
+
 def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
                    tri_mats: np.ndarray | None = None,
-                   align: str = "subtree", method: str = "sah") -> ClusterSet:
+                   align: str = "subtree", method: str = "sah",
+                   descend: int | None = None,
+                   dp_kc: float = 0.25) -> ClusterSet:
     """triangles: (T, 3, 3). Uses the BVH leaf order for spatial coherence
     (builds one if not given), pads to a CLUSTER multiple with degenerate
     triangles (zero rows -> never hit) inside NaN never-hit boxes.
@@ -159,12 +238,15 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     ordered = tris[perm]
 
     if align == "subtree":
-        ranges = _subtree_ranges(bvh, CLUSTER)
+        ranges = _subtree_ranges(bvh, CLUSTER, descend=descend)
     elif align == "fixed":
         ranges = [(k * CLUSTER, min((k + 1) * CLUSTER, T))
                   for k in range(-(-T // CLUSTER))]
+    elif align == "dp":
+        ranges = _dp_ranges(ordered, CLUSTER, kc=dp_kc)
     else:
-        raise ValueError(f"align must be 'subtree' or 'fixed': {align!r}")
+        raise ValueError(
+            f"align must be 'subtree', 'fixed' or 'dp': {align!r}")
 
     # pad the cluster count to a SUPER multiple (tail clusters are NaN
     # never-hit boxes) so the hierarchical sweep's inner loop is rectangular

@@ -213,6 +213,62 @@ def test_subtree_ranges_partition_and_fill():
     assert (perm_s[hit] != perm_f[hit]).mean() <= 5e-3
 
 
+def test_descend_depth_partitions_and_agrees():
+    """The subtree-pack descend knob (how deep to cut before repacking)
+    changes cluster count/fill but must still exactly partition the mesh
+    and return identical intersections."""
+    from raytracing_engine_tpu.accel.clusters import _subtree_ranges
+
+    mesh = icosphere(subdivisions=3, radius=1.2, center=(0.0, 5.0, 0.0))
+    bvh = build_bvh(mesh)
+    for descend in (CLUSTER // 4, CLUSTER // 2, CLUSTER):
+        ranges = sorted(_subtree_ranges(bvh, CLUSTER, descend=descend))
+        assert ranges[0][0] == 0 and ranges[-1][1] == mesh.shape[0]
+        assert all(ranges[i][1] == ranges[i + 1][0]
+                   for i in range(len(ranges) - 1))
+        assert all(0 < e - s <= CLUSTER for s, e in ranges)
+
+    cs_half = build_clusters(mesh, bvh=bvh)  # default descend = CLUSTER//2
+    cs_full = build_clusters(mesh, bvh=bvh, descend=CLUSTER)
+    o, d = _ray_grid(8, 128, seed=17)
+    t_h, i_h = cluster_intersect(cs_half, o, d, jnp.inf, interpret=True)
+    t_f, i_f = cluster_intersect(cs_full, o, d, jnp.inf, interpret=True)
+    np.testing.assert_allclose(np.asarray(t_f), np.asarray(t_h),
+                               rtol=1e-5, atol=1e-5)
+    hit = np.asarray(i_h) >= 0
+    p_h = np.asarray(cs_half.perm)[np.maximum(np.asarray(i_h), 0)]
+    p_f = np.asarray(cs_full.perm)[np.maximum(np.asarray(i_f), 0)]
+    assert (p_h[hit] != p_f[hit]).mean() <= 5e-3
+
+
+def test_dp_partition_and_agrees():
+    """align='dp' (optimal contiguous partition of the leaf order under
+    the lane-ops cost model) must exactly partition the mesh into <=128
+    segments and return identical intersections to the subtree packing."""
+    from raytracing_engine_tpu.accel.clusters import _dp_ranges
+
+    mesh = icosphere(subdivisions=3, radius=1.2, center=(0.0, 5.0, 0.0))
+    bvh = build_bvh(mesh)
+    ordered = np.asarray(mesh)[np.asarray(bvh.perm)]
+    ranges = _dp_ranges(ordered, CLUSTER)
+    assert ranges[0][0] == 0 and ranges[-1][1] == mesh.shape[0]
+    assert all(ranges[i][1] == ranges[i + 1][0]
+               for i in range(len(ranges) - 1))
+    assert all(0 < e - s <= CLUSTER for s, e in ranges)
+
+    cs_sub = build_clusters(mesh, bvh=bvh)
+    cs_dp = build_clusters(mesh, bvh=bvh, align="dp")
+    o, d = _ray_grid(8, 128, seed=17)
+    t_s, i_s = cluster_intersect(cs_sub, o, d, jnp.inf, interpret=True)
+    t_d, i_d = cluster_intersect(cs_dp, o, d, jnp.inf, interpret=True)
+    np.testing.assert_allclose(np.asarray(t_d), np.asarray(t_s),
+                               rtol=1e-5, atol=1e-5)
+    hit = np.asarray(i_s) >= 0
+    p_s = np.asarray(cs_sub.perm)[np.maximum(np.asarray(i_s), 0)]
+    p_d = np.asarray(cs_dp.perm)[np.maximum(np.asarray(i_d), 0)]
+    assert (p_s[hit] != p_d[hit]).mean() <= 5e-3
+
+
 def test_translation_invariance_of_intersection():
     """The Baldwin–Weber rows are rebased to each cluster's box center, so
     intersecting a far-from-origin copy of a scene (camera translated
