@@ -189,7 +189,8 @@ def cmd_pt(args):
     from raytracing_engine_tpu.utils import write_png
 
     w, h = _parse_size(args.size)
-    cfg = PTConfig(width=w, height=h, max_bounces=args.bounces, rng=args.rng)
+    cfg = PTConfig(width=w, height=h, max_bounces=args.bounces, rng=args.rng,
+                   aperture=args.aperture, focus_dist=args.focus)
     bvh = None
     if args.scene.endswith(".json"):
         # declarative scene file (pathtracer/sceneio.py schema)
@@ -208,8 +209,8 @@ def cmd_pt(args):
                 bvh = (build_clusters(mesh, tri_mats=tri_mats)
                        if _jax.default_backend() == "tpu"
                        else build_bvh(mesh))
-    elif args.scene == "cornell":
-        scene = pt_scenes.cornell_box()
+    elif args.scene in ("cornell", "glass"):
+        scene = pt_scenes.cornell_box(glass=args.scene == "glass")
         pos, quat = jnp.array([0.0, 0.2, 0.0]), jnp.array([0.0, 0.0, 0.0, 1.0])
     elif args.scene == "spheres":
         scene = pt_scenes.material_spheres()
@@ -386,13 +387,18 @@ def main(argv=None):
 
     p = sub.add_parser("pt", help="path-trace a scene")
     p.add_argument("--scene", default="cornell",
-                   help="cornell | spheres | knot | obj | FILE.json "
+                   help="cornell | glass (cornell w/ a dielectric ball) | "
+                        "spheres | knot | obj | FILE.json "
                         "(declarative scene, pathtracer/sceneio.py schema)")
     p.add_argument("--mesh", default=None,
                    help="OBJ file for --scene obj (lit by the knot-scene lights)")
     p.add_argument("--size", default="256x256")
     p.add_argument("--spp", type=int, default=16)
     p.add_argument("--bounces", type=int, default=4)
+    p.add_argument("--aperture", type=float, default=0.0,
+                   help="thin-lens radius, world units (0 = pinhole)")
+    p.add_argument("--focus", type=float, default=10.0,
+                   help="focus distance along the view axis (with --aperture)")
     p.add_argument("--rng", choices=["threefry", "pcg", "pallas"], default="pcg")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bvh", action="store_true")

@@ -53,7 +53,7 @@ def pack_pt_scene(scene: PTScene):
          scene.tri_mat[:, None].astype(f32), jnp.zeros((T, 2), f32)], axis=1)
     mat = jnp.concatenate(
         [scene.mat_albedo, scene.mat_emission,
-         scene.mat_kind[:, None].astype(f32), jnp.zeros((M, 1), f32)], axis=1)
+         scene.mat_kind[:, None].astype(f32), scene.mat_ior[:, None]], axis=1)
     light = jnp.concatenate(
         [scene.light_kind[:, None].astype(f32),
          scene.light_prim[:, None].astype(f32),
@@ -65,10 +65,12 @@ def pack_pt_scene(scene: PTScene):
     return sph, tri, mat, light, counts
 
 
-def _unpack_scene(sph, tri, mat, light, counts) -> PTScene:
+def _unpack_scene(sph, tri, mat, light, counts,
+                  has_dielectric=False) -> PTScene:
     """Rebuild a PTScene view (of in-kernel arrays) from the packed tables."""
     i32 = jnp.int32
     return PTScene(
+        has_dielectric=has_dielectric,
         sph_pos=sph[:, 0:3],
         sph_radius=sph[:, 3],
         sph_mat=sph[:, 4].astype(i32),
@@ -81,6 +83,7 @@ def _unpack_scene(sph, tri, mat, light, counts) -> PTScene:
         mat_albedo=mat[:, 0:3],
         mat_emission=mat[:, 3:6],
         mat_kind=mat[:, 6].astype(i32),
+        mat_ior=mat[:, 7],
         light_kind=light[:, 0].astype(i32),
         light_prim=light[:, 1].astype(i32),
         light_area=light[:, 2],
@@ -94,7 +97,8 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                tile_h: int, tile_w: int, n_super: int = 0, stripes: int = 1,
                approx_ok: bool = False, has_mlt: bool = False,
                n_instances: int = 0, t_pad: int = 0, n_orders: int = 0,
-               groups: int = 1, fast_math: bool = False):
+               groups: int = 1, fast_math: bool = False,
+               has_diel: bool = False):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
     if n_super:
@@ -152,7 +156,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
 
     scene = _unpack_scene(sph_ref[:], tri_ref[:], mat_ref[:], light_ref[:],
                           (counts_ref[0], counts_ref[1], counts_ref[2],
-                           counts_ref[3]))
+                           counts_ref[3]), has_dielectric=has_diel)
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
 
@@ -297,6 +301,7 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         n_instances=bvh.num_instances if instanced else 0,
         t_pad=cs.padded_tris if instanced else 0, n_orders=n_orders,
         groups=groups, fast_math=fast_math,
+        has_diel=scene.has_dielectric,
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [

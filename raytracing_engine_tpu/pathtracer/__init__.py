@@ -14,6 +14,7 @@ from raytracing_engine_tpu.pathtracer.scene import (  # noqa: F401
     DIFFUSE,
     MIRROR,
     EMISSIVE,
+    DIELECTRIC,
 )
 from raytracing_engine_tpu.pathtracer.integrator import (  # noqa: F401
     render_pt,

@@ -101,7 +101,9 @@ def compacted_trace(cfg, scene, cam_pos, cam_quat, key, spp=1):
                          else v.reshape(n)) for k, v in isect.items()}
             alive_b = st["alive"] != 0.0
             hit = isect["hit"] & alive_b
-            albedo, emission, kind = wf._mat_lookup(scene, isect["mat_id"])
+            # (ior unused: this demonstration path scatters diffuse/mirror
+            # only — glass scenes belong to the production integrators)
+            albedo, emission, kind, _ = wf._mat_lookup(scene, isect["mat_id"])
             nrm = isect["n"]
             p = isect["p"]
 

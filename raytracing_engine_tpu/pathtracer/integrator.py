@@ -25,7 +25,12 @@ from jax import lax, random
 
 from raytracing_engine_tpu.pathtracer import sampler
 from raytracing_engine_tpu.pathtracer.intersect import ray_sphere, ray_triangle
-from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, MIRROR, PTScene
+from raytracing_engine_tpu.pathtracer.scene import (
+    DIELECTRIC,
+    DIFFUSE,
+    MIRROR,
+    PTScene,
+)
 
 INF = jnp.float32(jnp.inf)
 _PI = float(jnp.pi)
@@ -40,6 +45,11 @@ class PTConfig:
     t_min: float = 1e-3
     eps: float = 1e-3          # shadow/scatter origin offset along the normal
     use_nee: bool = True
+    # thin-lens depth of field: aperture = lens radius in world units
+    # (0 = pinhole, the default — zero cost, bit-identical streams);
+    # focus_dist = distance of the sharp plane along the view axis
+    aperture: float = 0.0
+    focus_dist: float = 10.0
     # RNG implementation for the SoA integrator:
     #   "threefry" — jax.random; portable, matches the reference integrator
     #                bit-for-bit (the default for reproducible tests)
@@ -108,10 +118,11 @@ def intersect_scene(scene: PTScene, o3, d3, t_min, bvh=None):
     n3 = n3 / jnp.maximum(
         jnp.linalg.norm(n3, axis=-1, keepdims=True), 1e-20
     )
-    # two-sided shading: orient against the incoming ray
-    n3 = jnp.where(
-        (jnp.sum(n3 * d3, axis=-1) > 0.0)[..., None], -n3, n3
-    )
+    # two-sided shading: orient against the incoming ray; `front` records
+    # whether the GEOMETRIC normal already faced the ray (entering a closed
+    # primitive) — the dielectric scatter needs it to orient eta
+    flip = jnp.sum(n3 * d3, axis=-1) > 0.0
+    n3 = jnp.where(flip[..., None], -n3, n3)
 
     mat_id = jnp.where(use_tri, scene.tri_mat[i_t], scene.sph_mat[i_s])
 
@@ -126,6 +137,7 @@ def intersect_scene(scene: PTScene, o3, d3, t_min, bvh=None):
         n3=n3,
         mat_id=mat_id,
         light_area=light_area,
+        front=~flip,
     )
 
 
@@ -205,10 +217,13 @@ def sample_light_point(scene: PTScene, u_sel, u1, u2):
 # the integrator
 # ---------------------------------------------------------------------------
 
-def camera_rays(cfg: PTConfig, cam_pos, cam_quat, u1, u2, row0=0):
+def camera_rays(cfg: PTConfig, cam_pos, cam_quat, u1, u2, row0=0, lens=None):
     """Jittered primary rays using the engine's NDC mapping
     (compute.glsl:71-77 with a sub-pixel offset for anti-aliasing).
-    u1/u2 may be a row band of the image; row0 is its first global row."""
+    u1/u2 may be a row band of the image; row0 is its first global row.
+    lens=(u3, u4) + cfg.aperture>0: thin-lens depth of field (sample a
+    sensor-plane disk, aim at the pixel's point on the y=focus_dist
+    camera-space plane) — same model as wavefront._camera_rays."""
     from raytracing_engine_tpu.ops.quaternion import quat_rotate
 
     bh, w = u1.shape
@@ -218,9 +233,20 @@ def camera_rays(cfg: PTConfig, cam_pos, cam_quat, u1, u2, row0=0):
     ncx = ((ix + u1) * 2.0 / w - 1.0) * cfg.ratio[0]
     ncy = ((iy + u2) * 2.0 / h - 1.0) * cfg.ratio[1]
     vdir = jnp.stack([ncx, jnp.ones_like(ncx), ncy], axis=-1)
+    off3 = None
+    if lens is not None and cfg.aperture > 0.0:
+        r = cfg.aperture * jnp.sqrt(lens[0])
+        phi = (2.0 * _PI) * lens[1]
+        lx, lz = r * jnp.cos(phi), r * jnp.sin(phi)
+        off3 = quat_rotate(
+            cam_quat, jnp.stack([lx, jnp.zeros_like(lx), lz], axis=-1))
+        vdir = vdir * cfg.focus_dist - jnp.stack(
+            [lx, jnp.zeros_like(lx), lz], axis=-1)
     vdir = quat_rotate(cam_quat, vdir)
     vdir = vdir / jnp.linalg.norm(vdir, axis=-1, keepdims=True)
     o3 = jnp.broadcast_to(cam_pos, vdir.shape)
+    if off3 is not None:
+        o3 = o3 + off3
     return o3, vdir
 
 
@@ -244,8 +270,13 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         return lax.dynamic_slice_in_dim(full, row0, band_h, axis=1)
 
     kj = random.fold_in(key, 0)
-    u = draw(kj, 2)
-    o3, d3 = camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0)
+    if cfg.aperture > 0.0:  # static: +2 lens randoms only when DOF is on
+        u = draw(kj, 4)
+        o3, d3 = camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0,
+                             lens=(u[2], u[3]))
+    else:
+        u = draw(kj, 2)
+        o3, d3 = camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0)
 
     # all carries derived from the (device-varying) ray DIRECTIONS so their
     # varying-axis types are loop-invariant under shard_map (o3 alone is a
@@ -338,6 +369,30 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         is_mirror = kind == MIRROR
         new_d3 = jnp.where(is_mirror[..., None], mirr_d3, diff_d3)
         new_o3 = p3 + n3 * cfg.eps
+        if scene.has_dielectric:  # static: glass-free scenes pay nothing
+            # dielectric: exact unpolarized Fresnel split between reflection
+            # and Snell refraction; selecting reflect w.p. R cancels the
+            # Fresnel factor from throughput (see scene.py DIELECTRIC)
+            ior = scene.mat_ior[mat_id]
+            eta = jnp.where(isect["front"], 1.0 / ior, ior)
+            cosi = -jnp.sum(st["d3"] * n3, axis=-1)  # n faces the ray: >= 0
+            k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+            cost = jnp.sqrt(jnp.maximum(k, 0.0))
+            rs = (eta * cosi - cost) / jnp.maximum(eta * cosi + cost, 1e-20)
+            rp = (eta * cost - cosi) / jnp.maximum(eta * cost + cosi, 1e-20)
+            refl_p = jnp.where(k <= 0.0, 1.0, 0.5 * (rs * rs + rp * rp))
+            refr_d3 = (eta[..., None] * st["d3"]
+                       + (eta * cosi - cost)[..., None] * n3)
+            # u[0] doubles as the R/T coin: a dielectric lane never consumes
+            # its cosine-hemisphere sample, so the streams never collide
+            reflect = u[0] < refl_p
+            is_diel = kind == DIELECTRIC
+            new_d3 = jnp.where(is_diel[..., None],
+                               jnp.where(reflect[..., None], mirr_d3,
+                                         refr_d3), new_d3)
+            # refracted rays continue THROUGH the surface: offset inward
+            off = jnp.where(is_diel & ~reflect, -cfg.eps, cfg.eps)
+            new_o3 = p3 + n3 * off[..., None]
         new_thr = st["throughput"] * albedo  # diffuse: f*cos/pdf = albedo; mirror: albedo
 
         cont = hit & (jnp.max(new_thr, axis=-1) > 0.0)

@@ -5,8 +5,18 @@ and emission, per the north star (BASELINE.json): SoA arrays, static padded
 shapes, host-built light table for next-event estimation.
 
 Material model (BASELINE config 2: diffuse/specular/emissive):
-    kind 0 = DIFFUSE  — Lambertian, albedo/π BRDF, cosine-sampled
-    kind 1 = MIRROR   — perfect specular reflection (delta; skipped by NEE)
+    kind 0 = DIFFUSE    — Lambertian, albedo/π BRDF, cosine-sampled
+    kind 1 = MIRROR     — perfect specular reflection (delta; skipped by NEE)
+    kind 3 = DIELECTRIC — smooth glass: exact (unpolarized) Fresnel split
+                          between reflection and Snell refraction, total
+                          internal reflection, one-sample R/(1-R) selection
+                          so the Fresnel factor cancels from throughput
+                          (energy-exact: a clear dielectric passes the
+                          furnace test). `ior` per material (default 1.5).
+                          Delta; skipped by NEE. The radiance eta^2
+                          compression factor is deliberately omitted (it
+                          cancels on enter/exit pairs of closed objects) —
+                          consistent across all three integrators.
     emission is a per-material RGB; any primitive with a nonzero-emission
     material is a light for NEE.
 """
@@ -22,6 +32,7 @@ import jax.numpy as jnp
 DIFFUSE = 0
 MIRROR = 1
 EMISSIVE = 2  # alias: a diffuse surface whose emission dominates
+DIELECTRIC = 3
 
 # Triangle slots the plane-native integrators unroll into scalar selects
 # (wavefront._tri_hits_unrolled / _sample_light). Bigger meshes ride the
@@ -62,6 +73,7 @@ class PTScene:
     mat_albedo: jax.Array   # (M, 3)
     mat_emission: jax.Array # (M, 3)
     mat_kind: jax.Array     # (M,) int32
+    mat_ior: jax.Array      # (M,) f32 — refraction index (DIELECTRIC only)
     # NEE light table (host-built from emissive primitives)
     light_kind: jax.Array   # (L,) int32 — 0 sphere, 1 triangle, 2 mesh
     light_prim: jax.Array   # (L,) int32 — index into the primitive arrays
@@ -77,6 +89,10 @@ class PTScene:
     mesh_light_tri: jax.Array | None = None   # (E, 12): v0, e1, e2, Le
     mesh_light_cdf: jax.Array | None = None   # (E,) normalized area CDF
     mesh_light_area: jax.Array | None = None  # () total emissive area
+    # static (trace-time) flag: scenes without glass skip the dielectric
+    # scatter planes entirely — no per-bounce cost for configs 2/3/4
+    has_dielectric: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     @property
     def num_sphere_slots(self) -> int:
@@ -145,10 +161,15 @@ def build_pt_scene(
     mat_albedo = np.zeros((M, 3), np.float32)
     mat_emission = np.zeros((M, 3), np.float32)
     mat_kind = np.zeros((M,), np.int32)
+    mat_ior = np.ones((M,), np.float32)
     for i, m in enumerate(materials):
-        mat_albedo[i] = m.get("albedo", (0.0, 0.0, 0.0))
-        mat_emission[i] = m.get("emission", (0.0, 0.0, 0.0))
         mat_kind[i] = m.get("kind", DIFFUSE)
+        # a clear dielectric tints nothing: albedo defaults to 1 there
+        # (0 would kill the path at the throughput gate)
+        default_albedo = (1.0,) * 3 if mat_kind[i] == DIELECTRIC else (0.0,) * 3
+        mat_albedo[i] = m.get("albedo", default_albedo)
+        mat_emission[i] = m.get("emission", (0.0, 0.0, 0.0))
+        mat_ior[i] = m.get("ior", 1.5)
 
     # --- light table: all primitives whose material emits -----------------
     lk, lp, la, le = [], [], [], []
@@ -222,6 +243,7 @@ def build_pt_scene(
         mat_albedo=jnp.asarray(mat_albedo),
         mat_emission=jnp.asarray(mat_emission),
         mat_kind=jnp.asarray(mat_kind),
+        mat_ior=jnp.asarray(mat_ior),
         light_kind=jnp.asarray(light_kind),
         light_prim=jnp.asarray(light_prim),
         light_area=jnp.asarray(light_area),
@@ -230,6 +252,7 @@ def build_pt_scene(
         mesh_light_tri=None if mesh_tri is None else jnp.asarray(mesh_tri),
         mesh_light_cdf=None if mesh_cdf is None else jnp.asarray(mesh_cdf),
         mesh_light_area=None if mesh_area is None else jnp.float32(mesh_area),
+        has_dielectric=bool((mat_kind == DIELECTRIC).any()),
     )
 
 

@@ -26,7 +26,9 @@ instead of code:
 }
 ```
 
-- `kind` is "diffuse" (default) or "mirror".
+- `kind` is "diffuse" (default), "mirror", or "dielectric" (smooth glass;
+  optional `ior`, default 1.5; `albedo` is optional there and defaults to
+  [1,1,1] — a clear glass tints nothing).
 - `meshes[*]` sources: `obj` (path relative to the JSON file), `icosphere`
   (accel.icosphere kwargs), `knot` (accel.torus_knot kwargs). `scale` and
   `translate` post-transform vertices. Each mesh gets ONE material.
@@ -47,11 +49,13 @@ import os
 
 import numpy as np
 
-from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, MIRROR, PTScene, build_pt_scene
+from raytracing_engine_tpu.pathtracer.scene import (
+    DIELECTRIC, DIFFUSE, MIRROR, PTScene, build_pt_scene)
 
-_KINDS = {"diffuse": DIFFUSE, "mirror": MIRROR}
+_KINDS = {"diffuse": DIFFUSE, "mirror": MIRROR,
+          "dielectric": DIELECTRIC}
 _TOP_KEYS = {"materials", "spheres", "meshes", "camera", "mesh_lights"}
-_MAT_KEYS = {"albedo", "emission", "kind"}
+_MAT_KEYS = {"albedo", "emission", "kind", "ior"}
 _SPH_KEYS = {"center", "radius", "mat"}
 _MESH_KEYS = {"obj", "icosphere", "knot", "mat", "scale", "translate"}
 _CAM_KEYS = {"position", "quat"}
@@ -114,9 +118,14 @@ def load_scene_json(path: str):
         if kind not in _KINDS:
             raise ValueError(f"materials[{i}].kind {kind!r} not in "
                              f"{sorted(_KINDS)}")
-        materials.append({"albedo": tuple(m["albedo"]),
-                          "emission": tuple(m.get("emission", (0, 0, 0))),
-                          "kind": _KINDS[kind]})
+        mat = {"emission": tuple(m.get("emission", (0, 0, 0))),
+               "kind": _KINDS[kind], "ior": float(m.get("ior", 1.5))}
+        if "albedo" in m:
+            mat["albedo"] = tuple(m["albedo"])
+        elif kind != "dielectric":
+            raise ValueError(f"materials[{i}]: albedo is required for "
+                             f"kind {kind!r}")
+        materials.append(mat)
     n_mat = len(materials)
 
     def _mat_id(j, what):

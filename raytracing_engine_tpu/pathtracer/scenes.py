@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 
 from raytracing_engine_tpu.pathtracer.scene import (
+    DIELECTRIC,
     DIFFUSE,
     MIRROR,
     build_pt_scene,
@@ -35,17 +36,22 @@ def quad(p0, p1, p2, p3):
     return [np.array([p0, p1, p2], np.float32), np.array([p0, p2, p3], np.float32)]
 
 
-def cornell_box():
+def cornell_box(glass=False):
     """Cornell-style box (Z-up, camera looks +Y): red left wall, green right,
     white floor/ceiling/back, area light at the ceiling, one diffuse and one
-    mirror sphere. The NEE/area-light benchmark scene (BASELINE config 4)."""
+    mirror sphere. The NEE/area-light benchmark scene (BASELINE config 4).
+
+    glass=True swaps the mirror sphere for a clear ior-1.5 dielectric (the
+    classic glass-ball Cornell: refracted color bleed + a caustic spot under
+    the ball). Default False keeps the benchmark scene byte-identical."""
     W_, WHITE, RED, GREEN, LIGHT, MIRR, DIFF = 2.0, 0, 1, 2, 3, 4, 5
     mats = [
         {"albedo": (0.73, 0.73, 0.73), "kind": DIFFUSE},
         {"albedo": (0.65, 0.05, 0.05), "kind": DIFFUSE},
         {"albedo": (0.12, 0.45, 0.15), "kind": DIFFUSE},
         {"albedo": (0.0, 0.0, 0.0), "emission": (15.0, 15.0, 15.0), "kind": DIFFUSE},
-        {"albedo": (0.9, 0.9, 0.9), "kind": MIRROR},
+        ({"kind": DIELECTRIC, "ior": 1.5} if glass
+         else {"albedo": (0.9, 0.9, 0.9), "kind": MIRROR}),
         {"albedo": (0.5, 0.5, 0.8), "kind": DIFFUSE},
     ]
     W = W_

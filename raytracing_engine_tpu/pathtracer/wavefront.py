@@ -25,6 +25,7 @@ from raytracing_engine_tpu.ops import vec3 as v3
 from raytracing_engine_tpu.pathtracer import sampler
 from raytracing_engine_tpu.pathtracer.integrator import PTConfig
 from raytracing_engine_tpu.pathtracer.scene import (
+    DIELECTRIC,
     DIFFUSE,
     LIGHT_MESH,
     MIRROR,
@@ -49,7 +50,12 @@ def _sel(idx, table_col, n):
 
 
 def _camera_rays(cfg: PTConfig, cam_pos, cam_quat, u1, u2, row0=0, col0=0,
-                 coords=None):
+                 coords=None, lens=None):
+    """Primary rays; `lens=(u3, u4)` plus cfg.aperture>0 turns the pinhole
+    into a thin lens: sample a disk of radius `aperture` on the sensor
+    plane and aim every lens point at the pixel's focal point on the
+    y=focus_dist camera-space plane — objects on that plane stay sharp,
+    blur radius grows ∝ aperture * |depth - focus| / depth."""
     bh, bw = u1.shape
     if coords is not None:  # explicit global pixel-coordinate planes
         iy, ix = (coords[0].astype(jnp.float32), coords[1].astype(jnp.float32))
@@ -61,15 +67,31 @@ def _camera_rays(cfg: PTConfig, cam_pos, cam_quat, u1, u2, row0=0, col0=0,
     ncy = ((iy + u2) * 2.0 / cfg.height - 1.0) * cfg.ratio[1]
     qx, qy, qz, qw = cam_quat[0], cam_quat[1], cam_quat[2], cam_quat[3]
     vx, vy, vz = ncx, jnp.ones_like(ncx), ncy
-    tx = qy * vz - qz * vy + qw * vx
-    ty = qz * vx - qx * vz + qw * vy
-    tz = qx * vy - qy * vx + qw * vz
-    dx = vx + 2.0 * (qy * tz - qz * ty)
-    dy = vy + 2.0 * (qz * tx - qx * tz)
-    dz = vz + 2.0 * (qx * ty - qy * tx)
+    lx = lz = None
+    if lens is not None and cfg.aperture > 0.0:
+        r = cfg.aperture * jnp.sqrt(lens[0])
+        phi = (2.0 * _PI) * lens[1]
+        lx, lz = r * jnp.cos(phi), r * jnp.sin(phi)
+        fd = jnp.float32(cfg.focus_dist)
+        vx, vy, vz = ncx * fd - lx, jnp.zeros_like(ncx) + fd, ncy * fd - lz
+
+    def rot(vx, vy, vz):
+        tx = qy * vz - qz * vy + qw * vx
+        ty = qz * vx - qx * vz + qw * vy
+        tz = qx * vy - qy * vx + qw * vz
+        return (vx + 2.0 * (qy * tz - qz * ty),
+                vy + 2.0 * (qz * tx - qx * tz),
+                vz + 2.0 * (qx * ty - qy * tx))
+
+    dx, dy, dz = rot(vx, vy, vz)
     n = jnp.sqrt(dx * dx + dy * dy + dz * dz)
     d = (dx / n, dy / n, dz / n)
-    o = (cam_pos[0] + dx * 0.0, cam_pos[1] + dy * 0.0, cam_pos[2] + dz * 0.0)
+    if lx is not None:
+        ox, oy, oz = rot(lx, jnp.zeros_like(lx), lz)
+        o = (cam_pos[0] + ox, cam_pos[1] + oy, cam_pos[2] + oz)
+    else:
+        o = (cam_pos[0] + dx * 0.0, cam_pos[1] + dy * 0.0,
+             cam_pos[2] + dz * 0.0)
     return o, d
 
 
@@ -191,7 +213,8 @@ def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
     n = v3.where(use_tri, (cnx, cny, cnz), n_sph)
     nlen = jnp.maximum(v3.length(n), 1e-20)
     n = v3.scale(n, 1.0 / nlen)
-    n = v3.where(v3.dot(n, d) > 0.0, v3.neg(n), n)  # two-sided
+    flip = v3.dot(n, d) > 0.0
+    n = v3.where(flip, v3.neg(n), n)  # two-sided; `front` = geometric side
 
     sph_mat = _sel(si, scene.sph_mat, S)
     mat_id = jnp.where(use_tri, cmat.astype(jnp.int32), sph_mat)
@@ -201,7 +224,7 @@ def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
     light_area = jnp.where(use_tri, carea, sph_area)
 
     return dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
-                is_tri=use_tri)
+                is_tri=use_tri, front=~flip)
 
 
 def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
@@ -346,7 +369,8 @@ def _intersect_instanced(scene: PTScene, o, d, t_min, bvh):
     n = v3.where(use_tri, (cnx, cny, cnz), n_sph)
     nlen = jnp.maximum(v3.length(n), 1e-20)
     n = v3.scale(n, 1.0 / nlen)
-    n = v3.where(v3.dot(n, d) > 0.0, v3.neg(n), n)  # two-sided
+    flip = v3.dot(n, d) > 0.0
+    n = v3.where(flip, v3.neg(n), n)  # two-sided; `front` = geometric side
 
     sph_mat = _sel(si, scene.sph_mat, S)
     mat_id = jnp.where(use_tri, inst_mat.astype(jnp.int32), sph_mat)
@@ -356,7 +380,7 @@ def _intersect_instanced(scene: PTScene, o, d, t_min, bvh):
     light_area = jnp.where(use_tri, 1.0, sph_area)
 
     return dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
-                is_tri=use_tri)
+                is_tri=use_tri, front=~flip)
 
 
 def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
@@ -390,7 +414,8 @@ def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
     n = v3.where(use_tri, n_tri, n_sph)
     nlen = jnp.maximum(v3.length(n), 1e-20)
     n = v3.scale(n, 1.0 / nlen)
-    n = v3.where(v3.dot(n, d) > 0.0, v3.neg(n), n)  # two-sided
+    flip = v3.dot(n, d) > 0.0
+    n = v3.where(flip, v3.neg(n), n)  # two-sided; `front` = geometric side
 
     sph_mat = _sel(si, scene.sph_mat, S)
     T = scene.tri_v0.shape[0]
@@ -406,7 +431,7 @@ def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
     light_area = jnp.where(use_tri, tri_area, sph_area)
 
     return dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
-                is_tri=use_tri)
+                is_tri=use_tri, front=~flip)
 
 
 def _occluded(scene: PTScene, o, d, max_t, t_min, bvh, packet=None):
@@ -586,7 +611,8 @@ def _mat_lookup(scene: PTScene, mat_id):
                 _sel(mat_id, scene.mat_emission[:, 1], M),
                 _sel(mat_id, scene.mat_emission[:, 2], M))
     kind = _sel(mat_id, scene.mat_kind, M)
-    return albedo, emission, kind
+    ior = _sel(mat_id, scene.mat_ior, M)
+    return albedo, emission, kind, ior
 
 
 def _scene_bbox(cs):
@@ -779,9 +805,14 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         if sort is True:
             bbox_lo, bbox_hi = _scene_bbox(bvh)
 
-    u = draw_b(0, 2)
-    o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0,
-                        col0=col0, coords=pix)
+    if cfg.aperture > 0.0:  # static: +2 lens randoms only when DOF is on
+        u = draw_b(0, 4)
+        o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0,
+                            col0=col0, coords=pix, lens=(u[2], u[3]))
+    else:
+        u = draw_b(0, 2)
+        o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0,
+                            col0=col0, coords=pix)
 
     zero = d[0] * 0.0
     o = v3.add(o, v3.scale(d, 0.0))  # make o device-varying like d
@@ -813,7 +844,7 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         isect = _intersect(scene, st["o"], st["d"], cfg.t_min, bvh, packet)
         alive_b = st["alive"] != 0.0
         hit = isect["hit"] & alive_b
-        albedo, emission, kind = _mat_lookup(scene, isect["mat_id"])
+        albedo, emission, kind, ior = _mat_lookup(scene, isect["mat_id"])
         n = isect["n"]
         p = isect["p"]
 
@@ -878,9 +909,33 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         # --- scatter ----------------------------------------------------------
         diff_d, pdf_cos = sampler.cosine_hemisphere(u[0], u[1], n)
         mirr_d = v3.sub(st["d"], v3.scale(n, 2.0 * v3.dot(st["d"], n)))
+
         is_mirror = kind == MIRROR
         new_d = v3.where(is_mirror, mirr_d, diff_d)
         new_o = v3.add(p, v3.scale(n, cfg.eps))
+        if scene.has_dielectric:  # static: glass-free scenes pay nothing
+            # dielectric: exact unpolarized Fresnel split between reflection
+            # and Snell refraction; one-sample R/(1-R) selection cancels the
+            # Fresnel factor from throughput (see scene.py DIELECTRIC; same
+            # math as integrator.py — the three integrators must agree)
+            eta = jnp.where(isect["front"], 1.0 / ior, ior)
+            cosi = -v3.dot(st["d"], n)  # n faces the ray: >= 0
+            kk = 1.0 - eta * eta * (1.0 - cosi * cosi)
+            cost = jnp.sqrt(jnp.maximum(kk, 0.0))
+            rs = (eta * cosi - cost) / jnp.maximum(eta * cosi + cost, 1e-20)
+            rp = (eta * cost - cosi) / jnp.maximum(eta * cost + cosi, 1e-20)
+            refl_p = jnp.where(kk <= 0.0, 1.0, 0.5 * (rs * rs + rp * rp))
+            refr_d = v3.add(v3.scale(st["d"], eta),
+                            v3.scale(n, eta * cosi - cost))
+            # u[0] doubles as the R/T coin: a dielectric lane never consumes
+            # its cosine-hemisphere sample, so the streams never collide
+            reflect = u[0] < refl_p
+            is_diel = kind == DIELECTRIC
+            new_d = v3.where(is_diel, v3.where(reflect, mirr_d, refr_d),
+                             new_d)
+            # refracted rays continue THROUGH the surface: offset inward
+            off = jnp.where(is_diel & ~reflect, -cfg.eps, cfg.eps)
+            new_o = v3.add(p, v3.scale(n, off))
         new_thr = v3.mul(st["thr"], albedo)
 
         cont = hit & (
