@@ -66,11 +66,12 @@ def pack_pt_scene(scene: PTScene):
 
 
 def _unpack_scene(sph, tri, mat, light, counts,
-                  has_dielectric=False) -> PTScene:
+                  has_dielectric=False, env=None) -> PTScene:
     """Rebuild a PTScene view (of in-kernel arrays) from the packed tables."""
     i32 = jnp.int32
     return PTScene(
         has_dielectric=has_dielectric,
+        env=env,
         sph_pos=sph[:, 0:3],
         sph_radius=sph[:, 3],
         sph_mat=sph[:, 4].astype(i32),
@@ -98,9 +99,10 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                approx_ok: bool = False, has_mlt: bool = False,
                n_instances: int = 0, t_pad: int = 0, n_orders: int = 0,
                groups: int = 1, fast_math: bool = False,
-               has_diel: bool = False):
+               has_diel: bool = False, has_env: bool = False):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
+    env_ref = rest.pop(0) if has_env else None
     if n_super:
         from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
             KernelClusters,
@@ -156,7 +158,8 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
 
     scene = _unpack_scene(sph_ref[:], tri_ref[:], mat_ref[:], light_ref[:],
                           (counts_ref[0], counts_ref[1], counts_ref[2],
-                           counts_ref[3]), has_dielectric=has_diel)
+                           counts_ref[3]), has_dielectric=has_diel,
+                          env=env_ref[:, :3] if has_env else None)
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
 
@@ -301,7 +304,7 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         n_instances=bvh.num_instances if instanced else 0,
         t_pad=cs.padded_tris if instanced else 0, n_orders=n_orders,
         groups=groups, fast_math=fast_math,
-        has_diel=scene.has_dielectric,
+        has_diel=scene.has_dielectric, has_env=scene.has_env,
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
@@ -324,6 +327,12 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
             [rows, jnp.zeros((spp, 3), jnp.float32)], axis=1)
         in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
         args += [mlt_tab]
+    if scene.has_env:
+        # (2, 8) zero-padded [bottom, top] gradient-sky rows
+        env_tab = jnp.concatenate(
+            [scene.env, jnp.zeros((2, 5), jnp.float32)], axis=1)
+        in_specs += [full()]
+        args += [env_tab]
     if bvh is not None:
         from raytracing_engine_tpu.accel.clusters import visit_order
 

@@ -331,6 +331,16 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
                           st["throughput"] * emission * w_bsdf[..., None], 0.0)
         st["radiance"] = st["radiance"] + add_e
 
+        if scene.env is not None:  # static: env-free scenes pay nothing
+            # escaped rays read the gradient sky at FULL weight (the env is
+            # never NEE-sampled — see scene.py `env`); the lane then dies
+            # via cont = hit & ..., so this adds exactly once
+            esc = st["alive"] & ~isect["hit"]
+            tz = 0.5 * (st["d3"][..., 2] + 1.0)
+            env3 = scene.env[0] + (scene.env[1] - scene.env[0]) * tz[..., None]
+            st["radiance"] = st["radiance"] + jnp.where(
+                esc[..., None], st["throughput"] * env3, 0.0)
+
         # --- NEE from diffuse surfaces ------------------------------------
         if cfg.use_nee:
             lp3, ln3, le, pdf_area = sample_light_point(scene, u[2], u[3], u[4])

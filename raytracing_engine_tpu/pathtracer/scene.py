@@ -89,6 +89,12 @@ class PTScene:
     mesh_light_tri: jax.Array | None = None   # (E, 12): v0, e1, e2, Le
     mesh_light_cdf: jax.Array | None = None   # (E,) normalized area CDF
     mesh_light_area: jax.Array | None = None  # () total emissive area
+    # environment light: (2, 3) [bottom, top] radiance rows, linearly
+    # interpolated on the ray direction's z (Z-up gradient sky; equal rows
+    # = constant sky). Escaped rays add throughput * env(d) at FULL weight:
+    # the env is BSDF-sampling-only (never in the NEE light table), which
+    # is unbiased — put bright small suns in the scene as area lights.
+    env: jax.Array | None = None
     # static (trace-time) flag: scenes without glass skip the dielectric
     # scatter planes entirely — no per-bounce cost for configs 2/3/4
     has_dielectric: bool = dataclasses.field(
@@ -106,6 +112,13 @@ class PTScene:
     def has_mesh_light(self) -> bool:
         return self.mesh_light_tri is not None
 
+    @property
+    def has_env(self) -> bool:
+        # None-ness is part of the pytree structure, so this is a
+        # trace-time (static) predicate: env-free scenes compile the
+        # exact pre-env program
+        return self.env is not None
+
 
 def build_pt_scene(
     spheres=(),          # sequence of (center(3,), radius, mat_id)
@@ -117,6 +130,7 @@ def build_pt_scene(
     light_pad: int | None = None,
     mesh_lights: bool = False,
     allow_many_tri_lights: bool = False,
+    env=None,            # (3,) constant sky, or ((3,), (3,)) = (bottom, top)
 ) -> PTScene:
     """Host-side scene assembly: pads SoA arrays, derives the light table.
 
@@ -252,8 +266,22 @@ def build_pt_scene(
         mesh_light_tri=None if mesh_tri is None else jnp.asarray(mesh_tri),
         mesh_light_cdf=None if mesh_cdf is None else jnp.asarray(mesh_cdf),
         mesh_light_area=None if mesh_area is None else jnp.float32(mesh_area),
+        env=_env_rows(env),
         has_dielectric=bool((mat_kind == DIELECTRIC).any()),
     )
+
+
+def _env_rows(env):
+    """Normalize the env argument to (2, 3) [bottom, top] rows (or None)."""
+    if env is None:
+        return None
+    e = np.asarray(env, np.float32)
+    if e.shape == (3,):
+        e = np.stack([e, e])
+    if e.shape != (2, 3):
+        raise ValueError(f"env must be (3,) or (2, 3) [bottom, top]: "
+                         f"shape {e.shape}")
+    return jnp.asarray(e)
 
 
 def mesh_light_rows(scene: PTScene, seed, gpass):

@@ -34,6 +34,9 @@ instead of code:
   `translate` post-transform vertices. Each mesh gets ONE material.
 - `camera` is optional (origin, identity quat); `cli pt --scene f.json`
   uses it as the starting pose.
+- `env`: gradient-sky environment light — `[r, g, b]` (constant) or
+  `{"bottom": [r,g,b], "top": [r,g,b]}` (lerped on the ray's z). Escaped
+  rays read it at full weight (BSDF-sampling-only, never NEE-sampled).
 - `mesh_lights: true` routes emissive triangles through the area-CDF
   mesh-light sampler (required when emissive tris exceed the per-slot
   NEE unroll limit — build_pt_scene raises loudly otherwise).
@@ -54,7 +57,8 @@ from raytracing_engine_tpu.pathtracer.scene import (
 
 _KINDS = {"diffuse": DIFFUSE, "mirror": MIRROR,
           "dielectric": DIELECTRIC}
-_TOP_KEYS = {"materials", "spheres", "meshes", "camera", "mesh_lights"}
+_TOP_KEYS = {"materials", "spheres", "meshes", "camera", "mesh_lights",
+             "env"}
 _MAT_KEYS = {"albedo", "emission", "kind", "ior"}
 _SPH_KEYS = {"center", "radius", "mat"}
 _MESH_KEYS = {"obj", "icosphere", "knot", "mat", "scale", "translate"}
@@ -153,10 +157,18 @@ def load_scene_json(path: str):
         tris = np.concatenate(parts, axis=0)
         tri_mats = np.concatenate(part_mats, axis=0)
 
+    env = spec.get("env")
+    if isinstance(env, dict):
+        extra = set(env) - {"bottom", "top"}
+        if extra:
+            raise ValueError(f"env: unknown keys {sorted(extra)}")
+        env = (tuple(env.get("bottom", (0, 0, 0))),
+               tuple(env.get("top", (0, 0, 0))))
     scene = build_pt_scene(
         spheres=spheres, triangles=tris, tri_mats=tri_mats,
         materials=materials,
         mesh_lights=bool(spec.get("mesh_lights", False)),
+        env=env,
     )
 
     cam = spec.get("camera", {})

@@ -869,6 +869,18 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         gate = jnp.where(hit & emissive, w_b, 0.0)
         st["rad"] = v3.add(st["rad"], v3.mul(st["thr"], v3.scale(emission, gate)))
 
+        if scene.env is not None:  # static: env-free scenes pay nothing
+            # escaped rays read the gradient sky at FULL weight (the env is
+            # never NEE-sampled — see scene.py `env`); the lane then dies
+            # via cont = hit & ..., so this adds exactly once
+            esc = jnp.where(alive_b & ~isect["hit"], 1.0, 0.0)
+            tz = 0.5 * (st["d"][2] + 1.0)
+            env = tuple(
+                scene.env[0, c] + (scene.env[1, c] - scene.env[0, c]) * tz
+                for c in range(3))
+            st["rad"] = v3.add(st["rad"],
+                               v3.mul(st["thr"], v3.scale(env, esc)))
+
         # --- NEE ------------------------------------------------------------
         if cfg.use_nee:
             lp, ln, le, pdf_area = _sample_light(scene, u[2], u[3], u[4],
