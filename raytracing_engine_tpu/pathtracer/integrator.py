@@ -50,6 +50,11 @@ class PTConfig:
     # focus_dist = distance of the sharp plane along the view axis
     aperture: float = 0.0
     focus_dist: float = 10.0
+    # Russian roulette: from bounce index rr_start on, continue with
+    # probability p = clamp(max(throughput), 0.05, 1) and divide the
+    # throughput by p — unbiased path termination that prunes dim deep
+    # paths. 0 (default) = off: fixed path length, bit-identical streams.
+    rr_start: int = 0
     # RNG implementation for the SoA integrator:
     #   "threefry" — jax.random; portable, matches the reference integrator
     #                bit-for-bit (the default for reproducible tests)
@@ -300,7 +305,7 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
 
     def bounce(b, st):
         kb = random.fold_in(key, b + 1)
-        u = draw(kb, 5)
+        u = draw(kb, 6 if cfg.rr_start > 0 else 5)  # [5] = roulette coin
 
         st = dict(st)
         st["nrays"] += jnp.sum(st["alive"])
@@ -406,6 +411,13 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         new_thr = st["throughput"] * albedo  # diffuse: f*cos/pdf = albedo; mirror: albedo
 
         cont = hit & (jnp.max(new_thr, axis=-1) > 0.0)
+        if cfg.rr_start > 0:  # static: RR-off keeps the 5-plane stream
+            # Russian roulette: survive w.p. p, divide throughput by p —
+            # E[thr] is unchanged (unbiased), dim deep paths terminate
+            p_c = jnp.clip(jnp.max(new_thr, axis=-1), 0.05, 1.0)
+            rr_on = b >= cfg.rr_start
+            cont = cont & (~rr_on | (u[5] < p_c))
+            new_thr = jnp.where(rr_on, new_thr / p_c[..., None], new_thr)
         st["throughput"] = jnp.where(cont[..., None], new_thr, 0.0)
         st["o3"] = jnp.where(cont[..., None], new_o3, st["o3"])
         st["d3"] = jnp.where(cont[..., None], new_d3, st["d3"])

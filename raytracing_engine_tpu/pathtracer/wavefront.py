@@ -835,10 +835,11 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         st = dict(st)
         if probe is not None:  # instrumentation: pre-sweep ray state
             probe("ray", b, dict(o=st["o"], d=st["d"], alive=st["alive"]))
+        nu = 6 if cfg.rr_start > 0 else 5  # [5] = roulette coin
         if sort:
-            u = uniform_pcg_coords(seed0, b + 1, 5, st["px"], st["py"])
+            u = uniform_pcg_coords(seed0, b + 1, nu, st["px"], st["py"])
         else:
-            u = draw_b(b + 1, 5)
+            u = draw_b(b + 1, nu)
         st["nrays"] = st["nrays"] + jnp.sum(st["alive"])
 
         isect = _intersect(scene, st["o"], st["d"], cfg.t_min, bvh, packet)
@@ -953,6 +954,16 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         cont = hit & (
             jnp.maximum(new_thr[0], jnp.maximum(new_thr[1], new_thr[2])) > 0.0
         )
+        if cfg.rr_start > 0:  # static: RR-off keeps the 5-plane stream
+            # Russian roulette: survive w.p. p, divide throughput by p —
+            # E[thr] unchanged (unbiased); same math as integrator.py
+            p_c = jnp.clip(
+                jnp.maximum(new_thr[0],
+                            jnp.maximum(new_thr[1], new_thr[2])), 0.05, 1.0)
+            rr_on = b >= cfg.rr_start
+            cont = cont & (~rr_on | (u[5] < p_c))
+            inv_p = jnp.where(rr_on, 1.0 / p_c, 1.0)
+            new_thr = v3.scale(new_thr, inv_p)
         st["thr"] = v3.where(cont, new_thr, (zero, zero, zero))
         # park dead rays far away with an all-positive direction: every slab
         # test then fails (all t < 0), so dead lanes stop dragging cluster /
