@@ -294,6 +294,22 @@ def cmd_pt(args):
     out = args.out or f"{args.scene}_{args.spp}spp.png"
     write_png(out, np.asarray(img))
     print(f"{out}  {dt:.1f}s  ({float(nrays)/1e6:.1f} Mrays)")
+    if args.aov:
+        from raytracing_engine_tpu.pathtracer.aov import render_aovs
+
+        aovs = jax.block_until_ready(
+            render_aovs(cfg, scene, pos, quat, min(args.spp, 16), key,
+                        bvh=bvh))
+        stem = out[:-4] if out.endswith(".png") else out
+        write_png(f"{stem}_albedo.png", np.asarray(aovs["albedo"]))
+        # normals in [-1,1] -> visualize in [0,1]
+        write_png(f"{stem}_normal.png",
+                  np.asarray(aovs["normal"]) * 0.5 + 0.5)
+        dep = np.asarray(aovs["depth"])
+        lo, hi = dep[dep > 0].min() if (dep > 0).any() else 0.0, dep.max()
+        dvis = np.where(dep > 0, 1.0 - (dep - lo) / max(hi - lo, 1e-6), 0.0)
+        write_png(f"{stem}_depth.png", np.repeat(dvis[..., None], 3, -1))
+        print(f"{stem}_{{albedo,normal,depth}}.png  (denoiser guide planes)")
 
 
 def cmd_instanced(args):
@@ -403,6 +419,9 @@ def main(argv=None):
     p.add_argument("--rr", type=int, default=0, metavar="BOUNCE",
                    help="Russian-roulette path termination from this bounce "
                         "on (0 = off); unbiased, prunes dim deep paths")
+    p.add_argument("--aov", action="store_true",
+                   help="also write first-hit albedo/normal/depth PNGs "
+                        "(denoiser guide planes)")
     p.add_argument("--rng", choices=["threefry", "pcg", "pallas"], default="pcg")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bvh", action="store_true")
