@@ -292,8 +292,22 @@ def cmd_pt(args):
         img = np.asarray(jax.block_until_ready(img))
     dt = time.perf_counter() - t0
     out = args.out or f"{args.scene}_{args.spp}spp.png"
+    if args.denoise:
+        from raytracing_engine_tpu.pathtracer import denoise, render_aovs
+
+        aovs_d = render_aovs(cfg, scene, pos, quat, min(args.spp, 16), key,
+                             bvh=bvh)
+        img = jax.block_until_ready(
+            denoise(jnp.asarray(img), aovs_d["albedo"], aovs_d["normal"],
+                    aovs_d["depth"]))
+    if args.tonemap != "none" or args.exposure != 1.0 or args.gamma != 1.0:
+        from raytracing_engine_tpu.utils import tonemap
+
+        img = tonemap(np.asarray(img), args.tonemap, args.exposure,
+                      args.gamma)
     write_png(out, np.asarray(img))
-    print(f"{out}  {dt:.1f}s  ({float(nrays)/1e6:.1f} Mrays)")
+    print(f"{out}  {dt:.1f}s  ({float(nrays)/1e6:.1f} Mrays)"
+          + ("  [denoised]" if args.denoise else ""))
     if args.aov:
         from raytracing_engine_tpu.pathtracer.aov import render_aovs
 
@@ -422,6 +436,17 @@ def main(argv=None):
     p.add_argument("--aov", action="store_true",
                    help="also write first-hit albedo/normal/depth PNGs "
                         "(denoiser guide planes)")
+    p.add_argument("--denoise", action="store_true",
+                   help="AOV-guided a-trous denoise of the beauty pass "
+                        "(the low-spp real-time pattern)")
+    p.add_argument("--tonemap", default="none",
+                   choices=["none", "reinhard", "aces"],
+                   help="HDR->display curve for the beauty PNG")
+    p.add_argument("--exposure", type=float, default=1.0,
+                   help="linear radiance scale before tonemapping")
+    p.add_argument("--gamma", type=float, default=1.0,
+                   help="final 1/gamma encode (2.2 for sRGB-ish output; "
+                        "default 1.0 = the reference's linear UNORM present)")
     p.add_argument("--rng", choices=["threefry", "pcg", "pallas"], default="pcg")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bvh", action="store_true")

@@ -23,6 +23,7 @@ from raytracing_engine_tpu.pathtracer.integrator import (  # noqa: F401
 from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast  # noqa: F401
 from raytracing_engine_tpu.pathtracer.sceneio import load_scene_json  # noqa: F401
 from raytracing_engine_tpu.pathtracer.aov import render_aovs  # noqa: F401
+from raytracing_engine_tpu.pathtracer.denoise import denoise  # noqa: F401
 
 
 def render_pt_mega(*args, **kwargs):

@@ -24,6 +24,30 @@ def to_srgb_u8(img: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(np.clip(img, 0.0, 1.0) * 255.0), 0, 255).astype(np.uint8)
 
 
+def tonemap(img: np.ndarray, mode: str = "none", exposure: float = 1.0,
+            gamma: float = 1.0) -> np.ndarray:
+    """HDR → display mapping for PNG output (the renderers emit linear
+    radiance; a bright light clips to white under the UNORM clamp).
+
+    mode: "none" (clamp only — the reference's UNORM semantics),
+    "reinhard" (x/(1+x), asymptote 1), or "aces" (Narkowicz's ACES
+    filmic fit — the common real-time approximation). exposure scales
+    linear radiance first; gamma applies a final 1/gamma encode (set 2.2
+    for sRGB-ish displays; default 1.0 preserves the reference's linear
+    present)."""
+    x = np.asarray(img, np.float32) * np.float32(exposure)
+    if mode == "reinhard":
+        x = x / (1.0 + x)
+    elif mode == "aces":
+        a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+        x = np.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
+    elif mode != "none":
+        raise ValueError(f"tonemap mode {mode!r}: none | reinhard | aces")
+    if gamma != 1.0:
+        x = np.clip(x, 0.0, 1.0) ** np.float32(1.0 / gamma)
+    return x
+
+
 def write_png(path: str, img: np.ndarray) -> None:
     """Write (H, W, 3) u8 or linear-float image to an RGB PNG."""
     if img.dtype != np.uint8:
