@@ -105,3 +105,35 @@ def test_refuses_emissive_instances():
                           mats=np.array([1], np.int32))  # emissive material
     with pytest.raises(ValueError, match="emissive"):
         make_instanced_clusters(inst, cs, scene=_scene())
+
+
+def test_instanced_glass_material():
+    """A glass (DIELECTRIC) INSTANCE refracts: per-instance material ids
+    flow through the two-level sweep into the shared scatter, and the
+    instanced render must match the single-mesh ClusterSet render on the
+    identity instance (same geometry, same glass)."""
+    from raytracing_engine_tpu.pathtracer.scene import DIELECTRIC
+
+    mats = _MATS + [{"kind": DIELECTRIC, "ior": 1.5}]
+    mesh = _mesh() + np.array([0.0, 6.0, 0.0], np.float32)
+    # the XLA ClusterSet path gathers materials from scene.tri_mat (the
+    # scene carries the mesh); the instanced path reads per-instance mats
+    scene = build_pt_scene(
+        spheres=[((3.0, 5.0, 4.0), 1.0, 1), ((0.0, 6.0, -52.0), 50.0, 2)],
+        triangles=mesh, tri_mats=np.full(mesh.shape[0], 3, np.int32),
+        materials=mats, env=(0.2, 0.25, 0.3))
+    cs = build_clusters(mesh, tri_mats=np.full(mesh.shape[0], 3, np.int32))
+    bvh = build_bvh(mesh)
+    inst = make_instances(bvh, [(np.eye(3, dtype=np.float32),
+                                 np.zeros(3, np.float32), 1.0)],
+                          mats=np.full(1, 3, np.int32))
+    ic = make_instanced_clusters(inst, cs, scene=scene)
+
+    cfg = PTConfig(width=24, height=16, max_bounces=4, rng="pcg")
+    pos, quat = _cam()
+    key = jax.random.PRNGKey(4)
+    img_single, _ = render_pt_fast(cfg, scene, pos, quat, 2, key, bvh=cs)
+    img_inst, _ = render_pt_fast(cfg, scene, pos, quat, 2, key, bvh=ic)
+    np.testing.assert_allclose(np.asarray(img_inst), np.asarray(img_single),
+                               rtol=1e-5, atol=1e-5)
+    assert float(jnp.max(img_single)) > 0.0

@@ -150,3 +150,37 @@ def test_progressive_sharded_resume_across_mesh_shapes(setup, tmp_path):
     assert state.spp_done == 8
     np.testing.assert_allclose(state.image, np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_glass_env_dof_matches_single():
+    """Round-3 features (dielectric + env light + DOF + RR) compose with
+    tile/sample sharding: the sharded render equals the single-device one
+    (the front-face and env planes are ordinary device-varying planes
+    under shard_map; the lens/roulette randoms are drawn image-wide and
+    sliced)."""
+    from raytracing_engine_tpu.pathtracer.scene import (
+        DIELECTRIC,
+        DIFFUSE,
+        build_pt_scene,
+    )
+
+    mats = [
+        {"albedo": (0.6, 0.6, 0.6), "kind": DIFFUSE},
+        {"kind": DIELECTRIC, "ior": 1.5},
+        {"albedo": (0, 0, 0), "emission": (10.0,) * 3, "kind": DIFFUSE},
+    ]
+    scene = build_pt_scene(
+        spheres=[((0.0, 6.0, -101.5), 100.0, 0),
+                 ((0.0, 6.0, 0.0), 1.0, 1),
+                 ((3.0, 4.0, 4.0), 0.8, 2)],
+        materials=mats, env=((0.1, 0.1, 0.2), (0.5, 0.6, 0.9)))
+    cfg = PTConfig(width=32, height=24, max_bounces=4, aperture=0.2,
+                   focus_dist=6.0, rr_start=2)
+    pos = jnp.zeros(3)
+    quat = jnp.array([0.0, 0.0, 0.0, 1.0])
+    want, want_rays = render_pt(cfg, scene, pos, quat, 8, KEY)
+    got, nrays = render_pt_sharded(cfg, scene, pos, quat, 8, KEY,
+                                   make_mesh(4, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    assert abs(float(nrays) - float(want_rays)) < 1e-3
