@@ -53,7 +53,9 @@ def pack_pt_scene(scene: PTScene):
          scene.tri_mat[:, None].astype(f32), jnp.zeros((T, 2), f32)], axis=1)
     mat = jnp.concatenate(
         [scene.mat_albedo, scene.mat_emission,
-         scene.mat_kind[:, None].astype(f32), scene.mat_ior[:, None]], axis=1)
+         scene.mat_kind[:, None].astype(f32), scene.mat_ior[:, None]]
+        + ([scene.mat_albedo2, scene.mat_tex_scale[:, None],
+            jnp.zeros((M, 3), f32)] if scene.has_texture else []), axis=1)
     light = jnp.concatenate(
         [scene.light_kind[:, None].astype(f32),
          scene.light_prim[:, None].astype(f32),
@@ -66,12 +68,15 @@ def pack_pt_scene(scene: PTScene):
 
 
 def _unpack_scene(sph, tri, mat, light, counts,
-                  has_dielectric=False, env=None) -> PTScene:
+                  has_dielectric=False, env=None,
+                  has_texture=False) -> PTScene:
     """Rebuild a PTScene view (of in-kernel arrays) from the packed tables."""
     i32 = jnp.int32
     return PTScene(
         has_dielectric=has_dielectric,
         env=env,
+        mat_albedo2=mat[:, 8:11] if has_texture else None,
+        mat_tex_scale=mat[:, 11] if has_texture else None,
         sph_pos=sph[:, 0:3],
         sph_radius=sph[:, 3],
         sph_mat=sph[:, 4].astype(i32),
@@ -99,7 +104,8 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                approx_ok: bool = False, has_mlt: bool = False,
                n_instances: int = 0, t_pad: int = 0, n_orders: int = 0,
                groups: int = 1, fast_math: bool = False,
-               has_diel: bool = False, has_env: bool = False):
+               has_diel: bool = False, has_env: bool = False,
+               has_tex: bool = False):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
     env_ref = rest.pop(0) if has_env else None
@@ -159,7 +165,8 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
     scene = _unpack_scene(sph_ref[:], tri_ref[:], mat_ref[:], light_ref[:],
                           (counts_ref[0], counts_ref[1], counts_ref[2],
                            counts_ref[3]), has_dielectric=has_diel,
-                          env=env_ref[:, :3] if has_env else None)
+                          env=env_ref[:, :3] if has_env else None,
+                          has_texture=has_tex)
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
 
@@ -305,6 +312,7 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         t_pad=cs.padded_tris if instanced else 0, n_orders=n_orders,
         groups=groups, fast_math=fast_math,
         has_diel=scene.has_dielectric, has_env=scene.has_env,
+        has_tex=scene.has_texture,
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [

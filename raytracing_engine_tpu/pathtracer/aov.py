@@ -29,6 +29,7 @@ from raytracing_engine_tpu.pathtracer.wavefront import (
     _camera_rays,
     _intersect,
     _mat_lookup,
+    _textured_albedo,
 )
 
 
@@ -53,6 +54,9 @@ def render_aovs(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         hit = isect["hit"]
         gate = jnp.where(hit, 1.0, 0.0)
         albedo, _, _, _ = _mat_lookup(scene, isect["mat_id"])
+        if scene.has_texture:  # checker albedo — the denoiser demodulates
+            albedo = _textured_albedo(scene, isect["mat_id"], albedo,
+                                      isect["p"])
         alb, nrm, dep = acc
         alb = v3.add(alb, v3.scale(albedo, gate))
         nrm = v3.add(nrm, v3.scale(isect["n"], gate))

@@ -318,6 +318,13 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         kind = scene.mat_kind[mat_id]
         n3 = isect["n3"]
         p3 = isect["p3"]
+        if scene.has_texture:  # static: untextured scenes pay nothing
+            # world-space checker (same math as wavefront._textured_albedo)
+            s = scene.mat_tex_scale[mat_id]
+            cells = jnp.floor(p3 * s[..., None]).sum(-1)
+            use2 = (s > 0.0) & (jnp.mod(cells, 2.0) >= 1.0)
+            albedo = jnp.where(use2[..., None], scene.mat_albedo2[mat_id],
+                               albedo)
 
         # --- emission on hit (MIS-weighted against NEE) -------------------
         emissive = jnp.any(emission > 0.0, axis=-1)

@@ -89,6 +89,13 @@ class PTScene:
     mesh_light_tri: jax.Array | None = None   # (E, 12): v0, e1, e2, Le
     mesh_light_cdf: jax.Array | None = None   # (E,) normalized area CDF
     mesh_light_area: jax.Array | None = None  # () total emissive area
+    # procedural world-space checker texture: cells of size 1/scale
+    # alternate between mat_albedo and mat_albedo2; scale 0 = untextured.
+    # Mesh geometry has no UVs — world-space procedural is the TPU-cheap
+    # texture model: pure elementwise math at the hit point, no gathers.
+    # None = no material textures anywhere (static; zero cost).
+    mat_albedo2: jax.Array | None = None    # (M, 3)
+    mat_tex_scale: jax.Array | None = None  # (M,) f32 — 0 = flat
     # environment light: (2, 3) [bottom, top] radiance rows, linearly
     # interpolated on the ray direction's z (Z-up gradient sky; equal rows
     # = constant sky). Escaped rays add throughput * env(d) at FULL weight:
@@ -111,6 +118,11 @@ class PTScene:
     @property
     def has_mesh_light(self) -> bool:
         return self.mesh_light_tri is not None
+
+    @property
+    def has_texture(self) -> bool:
+        # None-ness is pytree structure -> static predicate (like has_env)
+        return self.mat_tex_scale is not None
 
     @property
     def has_env(self) -> bool:
@@ -176,6 +188,8 @@ def build_pt_scene(
     mat_emission = np.zeros((M, 3), np.float32)
     mat_kind = np.zeros((M,), np.int32)
     mat_ior = np.ones((M,), np.float32)
+    mat_albedo2 = np.zeros((M, 3), np.float32)
+    mat_tex_scale = np.zeros((M,), np.float32)
     for i, m in enumerate(materials):
         mat_kind[i] = m.get("kind", DIFFUSE)
         # a clear dielectric tints nothing: albedo defaults to 1 there
@@ -184,6 +198,10 @@ def build_pt_scene(
         mat_albedo[i] = m.get("albedo", default_albedo)
         mat_emission[i] = m.get("emission", (0.0, 0.0, 0.0))
         mat_ior[i] = m.get("ior", 1.5)
+        if "checker" in m:  # {"color": (3,), "scale": cells-per-unit}
+            mat_albedo2[i] = m["checker"].get("color", (0.0, 0.0, 0.0))
+            mat_tex_scale[i] = m["checker"].get("scale", 1.0)
+    textured = bool((mat_tex_scale > 0).any())
 
     # --- light table: all primitives whose material emits -----------------
     lk, lp, la, le = [], [], [], []
@@ -258,6 +276,8 @@ def build_pt_scene(
         mat_emission=jnp.asarray(mat_emission),
         mat_kind=jnp.asarray(mat_kind),
         mat_ior=jnp.asarray(mat_ior),
+        mat_albedo2=jnp.asarray(mat_albedo2) if textured else None,
+        mat_tex_scale=jnp.asarray(mat_tex_scale) if textured else None,
         light_kind=jnp.asarray(light_kind),
         light_prim=jnp.asarray(light_prim),
         light_area=jnp.asarray(light_area),

@@ -29,6 +29,8 @@ instead of code:
 - `kind` is "diffuse" (default), "mirror", or "dielectric" (smooth glass;
   optional `ior`, default 1.5; `albedo` is optional there and defaults to
   [1,1,1] — a clear glass tints nothing).
+- `checker`: optional per-material world-space checker texture
+  `{"color": [r,g,b], "scale": cells-per-unit}` alternating with `albedo`.
 - `meshes[*]` sources: `obj` (path relative to the JSON file), `icosphere`
   (accel.icosphere kwargs), `knot` (accel.torus_knot kwargs). `scale` and
   `translate` post-transform vertices. Each mesh gets ONE material.
@@ -59,7 +61,7 @@ _KINDS = {"diffuse": DIFFUSE, "mirror": MIRROR,
           "dielectric": DIELECTRIC}
 _TOP_KEYS = {"materials", "spheres", "meshes", "camera", "mesh_lights",
              "env"}
-_MAT_KEYS = {"albedo", "emission", "kind", "ior"}
+_MAT_KEYS = {"albedo", "emission", "kind", "ior", "checker"}
 _SPH_KEYS = {"center", "radius", "mat"}
 _MESH_KEYS = {"obj", "icosphere", "knot", "mat", "scale", "translate"}
 _CAM_KEYS = {"position", "quat"}
@@ -124,6 +126,14 @@ def load_scene_json(path: str):
                              f"{sorted(_KINDS)}")
         mat = {"emission": tuple(m.get("emission", (0, 0, 0))),
                "kind": _KINDS[kind], "ior": float(m.get("ior", 1.5))}
+        if "checker" in m:  # {"color": [r,g,b], "scale": cells-per-unit}
+            extra = set(m["checker"]) - {"color", "scale"}
+            if extra:
+                raise ValueError(f"materials[{i}].checker: unknown keys "
+                                 f"{sorted(extra)}")
+            mat["checker"] = {"color": tuple(m["checker"].get(
+                "color", (0, 0, 0))), "scale": float(m["checker"].get(
+                    "scale", 1.0))}
         if "albedo" in m:
             mat["albedo"] = tuple(m["albedo"])
         elif kind != "dielectric":

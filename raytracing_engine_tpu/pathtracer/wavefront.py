@@ -615,6 +615,19 @@ def _mat_lookup(scene: PTScene, mat_id):
     return albedo, emission, kind, ior
 
 
+def _textured_albedo(scene: PTScene, mat_id, albedo, p):
+    """World-space checker: cells of size 1/scale alternate albedo and
+    mat_albedo2 (scale 0 = flat). Pure elementwise math — kernel-safe."""
+    M = scene.mat_albedo.shape[0]
+    s = _sel(mat_id, scene.mat_tex_scale, M)
+    a2 = (_sel(mat_id, scene.mat_albedo2[:, 0], M),
+          _sel(mat_id, scene.mat_albedo2[:, 1], M),
+          _sel(mat_id, scene.mat_albedo2[:, 2], M))
+    cells = (jnp.floor(p[0] * s) + jnp.floor(p[1] * s) + jnp.floor(p[2] * s))
+    odd = jnp.mod(cells, 2.0) >= 1.0  # mod handles negative cells
+    return v3.where((s > 0.0) & odd, a2, albedo)
+
+
 def _scene_bbox(cs):
     """Finite union AABB of a ClusterSet's super boxes (lo V3, hi V3)."""
     sb = cs.super_boxes
@@ -848,6 +861,8 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         albedo, emission, kind, ior = _mat_lookup(scene, isect["mat_id"])
         n = isect["n"]
         p = isect["p"]
+        if scene.has_texture:  # static: untextured scenes pay nothing
+            albedo = _textured_albedo(scene, isect["mat_id"], albedo, p)
 
         # --- emission (MIS vs NEE of the previous vertex) ------------------
         emissive = (emission[0] > 0.0) | (emission[1] > 0.0) | (emission[2] > 0.0)
