@@ -289,3 +289,63 @@ def test_instanced_pt_megakernel_on_chip(mesh_setup):
     want, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 1, key, bvh=ic,
                              interpret=True)
     _assert_close(got, want, label="instanced-pt", frac=1e-3, atol=1e-3)
+
+
+def test_megakernel_round3_shading_on_chip():
+    """Round-3 shading surface compiled on chip: dielectric + env light +
+    checker texture + DOF + RR through the megakernel, compiled vs
+    interpret parity on identical inputs."""
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scene import (
+        DIELECTRIC,
+        DIFFUSE,
+        build_pt_scene,
+    )
+
+    mats = [
+        {"albedo": (0.7, 0.6, 0.5), "kind": DIFFUSE,
+         "checker": {"color": (0.2, 0.25, 0.35), "scale": 0.5}},
+        {"kind": DIELECTRIC, "ior": 1.5},
+        {"albedo": (0, 0, 0), "emission": (12.0,) * 3, "kind": DIFFUSE},
+    ]
+    scene = build_pt_scene(
+        spheres=[((0.0, 8.0, -1001.0), 1000.0, 0),
+                 ((0.0, 6.0, 0.2), 1.2, 1),
+                 ((4.0, 3.0, 4.0), 0.8, 2)],
+        materials=mats, env=((0.15, 0.15, 0.2), (0.5, 0.65, 0.95)))
+    cfg = PTConfig(width=W, height=H, max_bounces=4, rng="pcg",
+                   aperture=0.1, focus_dist=6.0, rr_start=2)
+    key = jax.random.PRNGKey(7)
+    got, n_g = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                              interpret=False)
+    want, n_w = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                               interpret=True)
+    _assert_close(got, want, label="round3-shading", frac=1e-4, atol=1e-4)
+    assert float(n_g) == float(n_w)
+
+
+def test_denoise_compiles_on_chip():
+    """The denoiser is plain XLA (no Pallas) but gets a compiled-on-chip
+    smoke run: AOVs + denoise on a real render, finite output, and the
+    flat-region fixed point holds under TPU float semantics."""
+    from raytracing_engine_tpu.pathtracer import (
+        PTConfig,
+        denoise,
+        render_aovs,
+        render_pt_fast,
+    )
+    from raytracing_engine_tpu.pathtracer.scenes import cornell_box
+
+    cfg = PTConfig(width=64, height=64, max_bounces=3, rng="pcg")
+    pos = jnp.array([0.0, 0.2, 0.0])
+    key = jax.random.PRNGKey(9)
+    img, _ = render_pt_fast(cfg, cornell_box(), pos, QUAT, 2, key)
+    aovs = render_aovs(cfg, cornell_box(), pos, QUAT, 2, key)
+    out = jax.block_until_ready(
+        denoise(img, aovs["albedo"], aovs["normal"], aovs["depth"]))
+    assert bool(jnp.isfinite(out).all())
+    flat = denoise(jnp.full((16, 16, 3), 0.3), jnp.full((16, 16, 3), 0.6),
+                   jnp.zeros((16, 16, 3)).at[..., 2].set(1.0),
+                   jnp.full((16, 16), 5.0), iterations=2)
+    np.testing.assert_allclose(np.asarray(flat), 0.3, rtol=1e-5)
