@@ -191,7 +191,7 @@ def cmd_pt(args):
     w, h = _parse_size(args.size)
     cfg = PTConfig(width=w, height=h, max_bounces=args.bounces, rng=args.rng,
                    aperture=args.aperture, focus_dist=args.focus,
-                   rr_start=args.rr)
+                   rr_start=args.rr, sampler=args.sampler)
     bvh = None
     if args.scene.endswith(".json"):
         # declarative scene file (pathtracer/sceneio.py schema)
@@ -430,6 +430,9 @@ def main(argv=None):
                    help="thin-lens radius, world units (0 = pinhole)")
     p.add_argument("--focus", type=float, default=10.0,
                    help="focus distance along the view axis (with --aperture)")
+    p.add_argument("--sampler", default="random", choices=["random", "r2"],
+                   help="r2 = low-discrepancy camera/NEE sampling "
+                        "(faster convergence; needs --rng pcg)")
     p.add_argument("--rr", type=int, default=0, metavar="BOUNCE",
                    help="Russian-roulette path termination from this bounce "
                         "on (0 = off); unbiased, prunes dim deep paths")

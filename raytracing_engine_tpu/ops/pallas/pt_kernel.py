@@ -182,7 +182,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
             cfg, scene, cam, quat, None, bvh=bvh,
             band_h=tile_h, packet=False,
             band_w=tile_w, seed0=seed_pass, pix=(py, px),
-            mesh_light=mlt,
+            mesh_light=mlt, gpass=offset + s, seed_base=base,
         )
         return (ar + rad[0], ag + rad[1], ab + rad[2], nr + n)
 

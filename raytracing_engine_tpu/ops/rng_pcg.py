@@ -81,6 +81,44 @@ def uniform_pcg(seed, ctr: jax.Array | int, n: int, h: int, w: int,
     return tuple(planes[:n])
 
 
+# additive-recurrence (quasirandom "R_d") alphas, Roberts 2018 — stored as
+# exact uint32 fractions so i*alpha mod 1 is computed exactly in wrapping
+# uint32 arithmetic (float accumulation would lose the low bits by i~10^4)
+_R2_ALPHAS = {
+    1: (0.6180339887498949,),
+    2: (0.7548776662466927, 0.5698402909980532),
+    3: (0.8191725133961645, 0.6710436067037893, 0.5497004779019703),
+    4: (0.8566748838545029, 0.7338918566271259,
+        0.6287067210378087, 0.5385972572236101),
+}
+_R2_U32 = {n: tuple(np.uint32(int(round(a * 2.0**32)) & 0xFFFFFFFF)
+                    for a in al) for n, al in _R2_ALPHAS.items()}
+
+
+def r2_planes(seed, gpass, n: int, px, py, channel=0x52AD1A7E):
+    """n low-discrepancy unit planes for GLOBAL pass index `gpass`.
+
+    Per-pixel Cranley-Patterson rotation (pcg4d hash of the pixel coords,
+    `channel` selects an independent stream) plus the d-dimensional R_d
+    additive recurrence i*alpha — pixels are mutually decorrelated while
+    each pixel's pass sequence is quasirandom (star discrepancy O(log i/i)
+    instead of random's O(sqrt(log log i / i))): AA edges, lens bokeh and
+    area-light penumbras converge near-linearly in spp. Counter-based on
+    (pixel, gpass, seed) like uniform_pcg — tiling/sharding/chunk
+    invariant by the same construction."""
+    if n not in _R2_U32:
+        raise ValueError(f"r2_planes supports 1-4 dims, got {n}")
+    shape = px.shape
+    px_u = px.astype(jnp.uint32)
+    py_u = py.astype(jnp.uint32)
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    i = jnp.asarray(gpass).astype(jnp.uint32)
+    zz = jnp.broadcast_to(jnp.uint32(channel), shape)
+    ww = jnp.broadcast_to(seed, shape)
+    rots = pcg4d(px_u, py_u, zz, ww)
+    return tuple(_to_unit(rots[k] + i * _R2_U32[n][k]) for k in range(n))
+
+
 def uniform_pcg_coords(seed, ctr, n: int, px, py):
     """Like uniform_pcg, but keyed by EXPLICIT int32 coordinate planes.
 

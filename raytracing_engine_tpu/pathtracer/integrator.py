@@ -55,6 +55,14 @@ class PTConfig:
     # throughput by p — unbiased path termination that prunes dim deep
     # paths. 0 (default) = off: fixed path length, bit-identical streams.
     rr_start: int = 0
+    # "random" (default) or "r2": low-discrepancy (R_d additive
+    # recurrence + per-pixel Cranley-Patterson rotation) sampling of the
+    # camera dims (AA jitter + lens) and the bounce-0 NEE light dims —
+    # the pixel-space integrals where quasirandom sequences converge
+    # near-linearly in spp. Production (rng="pcg") paths only; the
+    # stacked reference integrator raises (it is the random-sampling
+    # cross-check). See ops/rng_pcg.r2_planes.
+    sampler: str = "random"
     # RNG implementation for the SoA integrator:
     #   "threefry" — jax.random; portable, matches the reference integrator
     #                bit-for-bit (the default for reproducible tests)
@@ -266,6 +274,11 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
             "the stacked reference integrator samples per-slot lights and "
             "cannot use a mesh-light scene; build the cross-check scene "
             "with allow_many_tri_lights=True instead of mesh_lights=True")
+    if cfg.sampler == "r2":
+        raise ValueError(
+            "sampler='r2' is a production-path (rng='pcg') feature — the "
+            "stacked reference integrator stays purely random as the "
+            "cross-check estimator; use render_pt_fast / render_pt_mega")
     h, w = (band_h or cfg.height), cfg.width
 
     def draw(k, n):

@@ -724,7 +724,7 @@ def _permute_state(st, perm, h, w):
 def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
                 bvh=None, row0=0, band_h=None, packet=None,
                 col0=0, band_w=None, seed0=None, sort=False, pix=None,
-                probe=None, mesh_light=None):
+                probe=None, mesh_light=None, gpass=None, seed_base=None):
     """One sample per pixel, plane layout. Returns (rad V3 planes, nrays).
 
     pix: optional (py, px) int32 GLOBAL pixel-coordinate planes (rng='pcg'
@@ -818,14 +818,29 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         if sort is True:
             bbox_lo, bbox_hi = _scene_bbox(bvh)
 
-    if cfg.aperture > 0.0:  # static: +2 lens randoms only when DOF is on
-        u = draw_b(0, 4)
-        o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0,
-                            col0=col0, coords=pix, lens=(u[2], u[3]))
-    else:
-        u = draw_b(0, 2)
-        o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0,
-                            col0=col0, coords=pix)
+    use_r2 = cfg.sampler == "r2"
+    if use_r2:
+        if cfg.rng != "pcg" or gpass is None:
+            raise ValueError(
+                "sampler='r2' needs rng='pcg' and a global pass index "
+                "(render via render_pt_fast / render_pt_mega)")
+        from raytracing_engine_tpu.ops.rng_pcg import r2_planes
+
+        if pix is not None:
+            r2py, r2px = pix[0], pix[1]
+        else:
+            r2px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + col0
+            r2py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row0
+        _r2_seed = seed_base if seed_base is not None else seed0
+
+        def draw_r2(n, channel):
+            return r2_planes(_r2_seed, gpass, n, r2px, r2py, channel=channel)
+
+    n_cam = 4 if cfg.aperture > 0.0 else 2  # +2 lens dims when DOF is on
+    u = draw_r2(n_cam, 0x52AD1A7E) if use_r2 else draw_b(0, n_cam)
+    o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0,
+                        col0=col0, coords=pix,
+                        lens=(u[2], u[3]) if n_cam == 4 else None)
 
     zero = d[0] * 0.0
     o = v3.add(o, v3.scale(d, 0.0))  # make o device-varying like d
@@ -853,6 +868,14 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             u = uniform_pcg_coords(seed0, b + 1, nu, st["px"], st["py"])
         else:
             u = draw_b(b + 1, nu)
+        if use_r2 and cfg.use_nee:
+            # bounce-0 NEE light dims (area-light penumbras — the direct-
+            # lighting integral): 3D R_d sequence on an independent
+            # rotation channel; deeper bounces stay random
+            r2u = draw_r2(3, 0x1D0C0FFE)
+            first = b == 0
+            u = tuple(jnp.where(first, r2u[k - 2], u[k]) if 2 <= k <= 4
+                      else u[k] for k in range(nu))
         st["nrays"] = st["nrays"] + jnp.sum(st["alive"])
 
         isect = _intersect(scene, st["o"], st["d"], cfg.t_min, bvh, packet)
@@ -1032,12 +1055,13 @@ def trace_window_planes(*args, **kwargs):
 def trace_pass_soa(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
                    bvh=None, row0=0, band_h=None, packet=None,
                    col0=0, band_w=None, seed0=None, sort=False, probe=None,
-                   mesh_light=None):
+                   mesh_light=None, gpass=None, seed_base=None):
     """One sample per pixel. Returns ((h, w, 3) image, nrays) — see
     _trace_core for the window semantics."""
     rad, nrays = _trace_core(cfg, scene, cam_pos, cam_quat, key, bvh, row0,
                              band_h, packet, col0, band_w, seed0, sort,
-                             probe=probe, mesh_light=mesh_light)
+                             probe=probe, mesh_light=mesh_light,
+                             gpass=gpass, seed_base=seed_base)
     return jnp.stack([rad[0], rad[1], rad[2]], axis=-1), nrays
 
 
@@ -1076,7 +1100,8 @@ def render_pt_fast(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
             seed_pass = base + (spp_offset + i) * jnp.int32(-1640531527)
             img, nr = trace_pass_soa(cfg, scene, cam_pos, cam_quat, None,
                                      bvh=bvh, packet=packet, seed0=seed_pass,
-                                     sort=sort, mesh_light=_mlt(i))
+                                     sort=sort, mesh_light=_mlt(i),
+                                     gpass=spp_offset + i, seed_base=base)
             return acc + img, nrays + nr
     else:
         if sort:
