@@ -285,7 +285,7 @@ def cmd_pt(args):
             raise SystemExit("--mega needs a ClusterSet (runs on TPU)")
         img, nrays = render_pt_mega(
             dataclasses.replace(cfg, rng="pcg"), scene, pos, quat,
-            args.spp, key, bvh=bvh)
+            args.spp, key, bvh=bvh, adaptive_tol=args.adaptive)
         img = np.asarray(jax.block_until_ready(img))
     else:
         img, nrays = render_pt_fast(cfg, scene, pos, quat, args.spp, key, bvh=bvh)
@@ -436,6 +436,10 @@ def main(argv=None):
     p.add_argument("--rr", type=int, default=0, metavar="BOUNCE",
                    help="Russian-roulette path termination from this bounce "
                         "on (0 = off); unbiased, prunes dim deep paths")
+    p.add_argument("--adaptive", type=float, default=0.0, metavar="TOL",
+                   help="per-tile adaptive sampling tolerance (--mega "
+                        "only): tiles stop at this relative noise level "
+                        "instead of always taking --spp passes")
     p.add_argument("--aov", action="store_true",
                    help="also write first-hit albedo/normal/depth PNGs "
                         "(denoiser guide planes)")

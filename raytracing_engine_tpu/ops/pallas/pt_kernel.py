@@ -105,10 +105,12 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                n_instances: int = 0, t_pad: int = 0, n_orders: int = 0,
                groups: int = 1, fast_math: bool = False,
                has_diel: bool = False, has_env: bool = False,
-               has_tex: bool = False):
+               has_tex: bool = False, adaptive_tol: float = 0.0,
+               adaptive_min: int = 8):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
     env_ref = rest.pop(0) if has_env else None
+    spp_ref = rest.pop() if adaptive_tol > 0.0 else None  # trailing output
     if n_super:
         from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
             KernelClusters,
@@ -170,43 +172,92 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
 
-    def body(s, carry):
-        ar, ag, ab, nr = carry
+    def one_pass(s):
         seed_pass = base + (offset + s) * _PRIME
         # per-pass mesh-light row: scalar reads at dynamic SUBLANE index s
         # (supported in SMEM) — the TPU-native stand-in for a per-lane
         # emissive-triangle gather
         mlt = (tuple(mlt_ref[s, c] for c in range(13))
                if has_mlt else None)
-        rad, n = trace_window_planes(
+        return trace_window_planes(
             cfg, scene, cam, quat, None, bvh=bvh,
             band_h=tile_h, packet=False,
             band_w=tile_w, seed0=seed_pass, pix=(py, px),
             mesh_light=mlt, gpass=offset + s, seed_base=base,
         )
-        return (ar + rad[0], ag + rad[1], ab + rad[2], nr + n)
 
-    ar, ag, ab, nr = lax.fori_loop(
-        0, spp, body, (zero, zero, zero, jnp.float32(0.0))
-    )
-    inv = jnp.float32(1.0 / spp)
+    if adaptive_tol <= 0.0:
+        def body(s, carry):
+            ar, ag, ab, nr = carry
+            rad, n = one_pass(s)
+            return (ar + rad[0], ag + rad[1], ab + rad[2], nr + n)
+
+        ar, ag, ab, nr = lax.fori_loop(
+            0, spp, body, (zero, zero, zero, jnp.float32(0.0))
+        )
+        taken = jnp.float32(spp)
+    else:
+        # adaptive per-tile sampling: grid cells run SEQUENTIALLY on TPU,
+        # so every pass a converged tile skips is real wall-clock saved —
+        # the path-tracing analog of the cone-march per-tile early exit.
+        # Welford-track each PIXEL's across-pass luminance (mean + M2
+        # planes in VMEM); the tile stops when the tile-average relative
+        # standard error of the per-pixel means, mean(sqrt(var_px/s)) /
+        # mean(lum), drops under adaptive_tol (or at spp). Tile-mean
+        # luminance alone is useless here — averaging the tile's lanes
+        # hides exactly the per-pixel noise the tolerance is about.
+        # The stopping rule correlates sample count with sample values —
+        # the standard, slightly biased construction (tested < tolerance
+        # against the fixed-spp render); passes consume GLOBAL pass
+        # indices, so the prefix taken is chunk/shard invariant.
+        min_spp = min(adaptive_min, spp)
+
+        def cond(carry):
+            s, ar, ag, ab, nr, mean_px, m2_px = carry
+            sf = s.astype(jnp.float32)
+            var_px = m2_px / jnp.maximum(sf - 1.0, 1.0)
+            se = jnp.mean(jnp.sqrt(jnp.maximum(
+                var_px / jnp.maximum(sf, 1.0), 0.0)))
+            rel = se / jnp.maximum(jnp.mean(mean_px), 1e-4)
+            return (s < min_spp) | ((s < spp) & (rel > adaptive_tol))
+
+        def body(carry):
+            s, ar, ag, ab, nr, mean_px, m2_px = carry
+            rad, n = one_pass(s)
+            x = 0.2126 * rad[0] + 0.7152 * rad[1] + 0.0722 * rad[2]
+            sf = (s + 1).astype(jnp.float32)
+            d = x - mean_px
+            mean_px = mean_px + d / sf
+            m2_px = m2_px + d * (x - mean_px)
+            return (s + 1, ar + rad[0], ag + rad[1], ab + rad[2], nr + n,
+                    mean_px, m2_px)
+
+        s, ar, ag, ab, nr, _, _ = lax.while_loop(
+            cond, body, (jnp.int32(0), zero, zero, zero, jnp.float32(0.0),
+                         zero, zero))
+        taken = s.astype(jnp.float32)
+    inv = 1.0 / taken
     out_ref[0] = ar * inv
     out_ref[1] = ag * inv
     out_ref[2] = ab * inv
-    # whole (grid_h, grid_w) counter table in SMEM; each grid step (they run
-    # sequentially on TPU) writes its own cell
+    # whole (grid_h, grid_w) counter tables in SMEM; each grid step (they
+    # run sequentially on TPU) writes its own cell
     nrays_ref[i, j] = nr
+    if adaptive_tol > 0.0:
+        spp_ref[i, j] = taken
 
 
 @functools.partial(
     jax.jit, static_argnums=(0, 4),
     static_argnames=("interpret", "tile", "band_h", "stripes", "groups",
-                     "fast_math"),
+                     "fast_math", "adaptive_tol", "adaptive_min",
+                     "return_spp"),
 )
 def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
                    key=None, spp_offset=0, interpret=None, tile=(64, 256),
                    bvh=None, row0=0, band_h=None, stripes=None, groups=1,
-                   fast_math=False):
+                   fast_math=False, adaptive_tol=0.0, adaptive_min=8,
+                   return_spp=False):
     """Megakernel render: ((band_h or H, W, 3) image, nrays). rng: pcg.
 
     row0/band_h: render only a horizontal band of the image (a device band
@@ -226,6 +277,15 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
     the hierarchical sweep's gates are not the bottleneck there — but the
     knob matters when per-tile cluster counts grow (bigger meshes, tighter
     geometry), so it is kept and tested. Default 1.
+
+    adaptive_tol: > 0 turns on per-tile adaptive sampling — each VMEM
+    tile keeps taking passes (while_loop; grid cells run sequentially, so
+    skipped passes are real wall-clock) until the relative standard error
+    of its mean luminance drops under the tolerance or spp is reached;
+    at least adaptive_min passes always run. Slightly biased (stopping
+    rule correlates with samples — standard production tradeoff, tested
+    close to the fixed-spp render); return_spp=True appends the per-tile
+    passes-taken table to the return.
 
     bvh: optional accel.clusters.ClusterSet — the whole bounce loop
     (intersection + NEE shadow sweeps included) then runs in-kernel via the
@@ -312,7 +372,8 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         t_pad=cs.padded_tris if instanced else 0, n_orders=n_orders,
         groups=groups, fast_math=fast_math,
         has_diel=scene.has_dielectric, has_env=scene.has_env,
-        has_tex=scene.has_texture,
+        has_tex=scene.has_texture, adaptive_tol=float(adaptive_tol),
+        adaptive_min=int(adaptive_min),
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
@@ -381,22 +442,29 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
             in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),  # orders
                          pl.BlockSpec(memory_space=pltpu.SMEM)]  # refs
             args += [orders, refs4]
-    out, nrays = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((3, grid[0] * tile_h, grid[1] * tile_w),
+                             jnp.float32),
+        jax.ShapeDtypeStruct(grid, jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # whole counter table
+    ]
+    if adaptive_tol > 0.0:  # per-tile passes-taken table
+        out_shape.append(jax.ShapeDtypeStruct(grid, jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    res = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((3, grid[0] * tile_h, grid[1] * tile_w),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct(grid, jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         grid=grid,
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((3, tile_h, tile_w), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole counter table
-        ),
+        out_specs=tuple(out_specs),
         interpret=interpret,
     )(*args)
+    out, nrays = res[0], res[1]
+    spp_map = res[2] if adaptive_tol > 0.0 else None
     if stripes > 1:
         # un-permute the striped tiles back to row-major pixels: tile (i,j)
         # holds pixel block (i, j) as `stripes` vertical stripes laid side
@@ -405,4 +473,8 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         out = out.reshape(3, grid[0], tile_h, grid[1], stripes, sub_w)
         out = out.transpose(0, 1, 4, 2, 3, 5)
         out = out.reshape(3, h, w)
+    if return_spp:
+        if adaptive_tol <= 0.0:
+            spp_map = jnp.full(grid, float(spp), jnp.float32)
+        return jnp.moveaxis(out, 0, -1), jnp.sum(nrays), spp_map
     return jnp.moveaxis(out, 0, -1), jnp.sum(nrays)

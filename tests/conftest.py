@@ -18,12 +18,24 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # Persistent XLA compile cache: the interpret-mode kernel suites are
 # dominated by compile time (measured: test_clusters.py 152 s cold ->
-# 61 s warm), and the cache is keyed by HLO so it is always safe. Opt out
-# with JAX_COMPILATION_CACHE_DIR="" .
+# 61 s warm). The cache key does NOT cover the host CPU's feature set for
+# XLA:CPU AOT results — loading artifacts compiled on a machine with e.g.
+# wider AVX-512 support SEGFAULTS on a lesser host (observed: xdist
+# worker "Fatal Python error: Segmentation fault" after cpu_aot_loader
+# feature-mismatch warnings) — so the directory is keyed by a hash of
+# this host's cpuinfo flags. Opt out with JAX_COMPILATION_CACHE_DIR="" .
 if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _flags = next((ln for ln in _f if ln.startswith("flags")), "")
+    except OSError:
+        _flags = ""
+    _tag = hashlib.sha1(_flags.encode()).hexdigest()[:12]
     os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache",
+        ".jax_cache", _tag,
     )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
