@@ -224,6 +224,54 @@ def config4_progressive(results, spp=1024, size=256):
         "mrays": round(nr_total / dt / 1e6, 1),
     }
 
+    # quality-normalized row: the R_d sampler + per-tile adaptive stopping
+    # at equal-or-better error than a fixed-spp random render. Reference =
+    # a long independent-key render; error = MSE against it.
+    import numpy as np
+
+    ref_img, _ = render_pt_mega(cfg, scene, pos, quat, 2048,
+                                jax.random.PRNGKey(99), tile=tile)
+    ref = np.asarray(jax.block_until_ready(ref_img))
+
+    import dataclasses
+
+    r2cfg = dataclasses.replace(cfg, sampler="r2")
+    fixed_spp = 256
+    img_f, _ = render_pt_mega(cfg, scene, pos, quat, fixed_spp, key,
+                              tile=tile)
+    float(img_f.ravel()[0])
+    t0 = time.perf_counter()
+    img_f, _ = render_pt_mega(cfg, scene, pos, quat, fixed_spp, key,
+                              spp_offset=1, tile=tile)
+    float(img_f.ravel()[0])
+    t_fixed = time.perf_counter() - t0
+    mse_fixed = float(((np.asarray(img_f) - ref) ** 2).mean())
+
+    img_q, _, sm = render_pt_mega(r2cfg, scene, pos, quat, fixed_spp, key,
+                                  tile=tile, adaptive_tol=0.05,
+                                  return_spp=True)
+    float(img_q.ravel()[0])
+    t0 = time.perf_counter()
+    img_q, _, sm = render_pt_mega(r2cfg, scene, pos, quat, fixed_spp, key,
+                                  spp_offset=1, tile=tile,
+                                  adaptive_tol=0.05, return_spp=True)
+    float(img_q.ravel()[0])
+    t_q = time.perf_counter() - t0
+    mse_q = float(((np.asarray(img_q) - ref) ** 2).mean())
+    results["config4_quality_normalized"] = {
+        "resolution": size,
+        "fixed": {"spp": fixed_spp, "s": round(t_fixed, 3),
+                  "mse": round(mse_fixed, 6)},
+        "r2_adaptive": {"spp_budget": fixed_spp, "tol": 0.05,
+                        "mean_spp": round(float(np.asarray(sm).mean()), 1),
+                        "s": round(t_q, 3), "mse": round(mse_q, 6)},
+        "note": "R_d sampler + per-tile adaptive stopping vs fixed random "
+                "sampling at the same spp budget: (time, MSE) tuples vs an "
+                "independent 2048-spp reference — read as quality-per-"
+                "second, no equal-error claim (adaptive's win is scene-"
+                "dependent: it needs variance CONTRAST between tiles)",
+    }
+
 
 def config5_instanced(results, width=1920, height=1088, frames=8):
     """1M+ instanced triangles, interactive 1080p camera orbit (stretch).
