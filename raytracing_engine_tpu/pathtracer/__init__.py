@@ -24,6 +24,11 @@ from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast  # noqa: F
 from raytracing_engine_tpu.pathtracer.sceneio import load_scene_json  # noqa: F401
 from raytracing_engine_tpu.pathtracer.aov import render_aovs  # noqa: F401
 from raytracing_engine_tpu.pathtracer.denoise import denoise  # noqa: F401
+from raytracing_engine_tpu.pathtracer.temporal import (  # noqa: F401
+    TemporalState,
+    temporal_init,
+    temporal_step,
+)
 
 
 def render_pt_mega(*args, **kwargs):
