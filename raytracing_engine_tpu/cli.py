@@ -179,6 +179,90 @@ def cmd_replay(args):
         print("0 frames replayed")
 
 
+def _pt_orbit(args, cfg, scene, bvh, key):
+    """Path-traced camera orbit: N low-spp frames around --orbit-target,
+    optionally temporal-reprojection accumulated (--temporal — each frame
+    inherits the history of the previous poses, the real-time serving
+    pattern) and tonemapped; sink = --apng or a PNG directory (--out)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from raytracing_engine_tpu.camera import orbit_path
+    from raytracing_engine_tpu.ops.quaternion import (
+        quat_from_rotation_x,
+        quat_from_rotation_z,
+        quat_mul,
+    )
+    from raytracing_engine_tpu.pathtracer import render_pt_fast
+    from raytracing_engine_tpu.utils import tonemap, write_png
+
+    positions, rotations = orbit_path(
+        args.orbit, radius=args.orbit_radius, height=args.orbit_height,
+        target=tuple(args.orbit_target))
+    use_mega = args.mega
+    if use_mega:
+        from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+        cfg = dataclasses.replace(cfg, rng="pcg")
+
+    tstate = None
+    if args.temporal:
+        from raytracing_engine_tpu.pathtracer import (
+            render_aovs,
+            temporal_init,
+            temporal_step,
+        )
+
+        tstate = temporal_init(cfg)
+
+    writer = None
+    if args.apng:
+        from raytracing_engine_tpu.utils.video import ApngWriter
+
+        writer = ApngWriter(args.apng, fps=args.fps)
+    else:
+        os.makedirs(args.out or "pt_orbit", exist_ok=True)
+
+    t0 = time.perf_counter()
+    for i in range(args.orbit):
+        yaw, pitch = float(rotations[i][0]), float(rotations[i][1])
+        quat = quat_mul(quat_from_rotation_z(jnp.float32(-yaw)),
+                        quat_from_rotation_x(jnp.float32(pitch)))
+        pos = jnp.asarray(positions[i])
+        fkey = jax.random.fold_in(key, i)
+        if use_mega:
+            img, _ = render_pt_mega(cfg, scene, pos, quat, args.spp, fkey,
+                                    bvh=bvh, adaptive_tol=args.adaptive)
+        else:
+            img, _ = render_pt_fast(cfg, scene, pos, quat, args.spp, fkey,
+                                    bvh=bvh)
+        if args.temporal:
+            aovs = render_aovs(cfg, scene, pos, quat,
+                               min(args.spp, 8), fkey, bvh=bvh)
+            tstate, img = temporal_step(cfg, tstate, img, aovs, pos, quat)
+        frame = np.asarray(jax.block_until_ready(img))
+        if args.tonemap != "none" or args.exposure != 1.0 or args.gamma != 1.0:
+            frame = tonemap(frame, args.tonemap, args.exposure, args.gamma)
+        if writer is not None:
+            writer.add(frame)
+        else:
+            write_png(os.path.join(args.out or "pt_orbit",
+                                   f"frame_{i:04d}.png"), frame)
+        if i % 8 == 0:
+            print(f"  frame {i}/{args.orbit}")
+    if writer is not None:
+        writer.close()
+        sink = args.apng
+    else:
+        sink = args.out or "pt_orbit"
+    dt = time.perf_counter() - t0
+    print(f"{sink}  {args.orbit} frames in {dt:.1f}s "
+          f"({dt / args.orbit * 1e3:.0f} ms/frame"
+          + (", temporal" if args.temporal else "") + ")")
+
+
 def cmd_pt(args):
     import jax
     import numpy as np
@@ -255,6 +339,8 @@ def cmd_pt(args):
 
     key = jax.random.PRNGKey(args.seed)
     t0 = time.perf_counter()
+    if args.orbit:
+        return _pt_orbit(args, cfg, scene, bvh, key)
     if args.checkpoint:
         from raytracing_engine_tpu.runtime.checkpoint import (
             ProgressiveState,
@@ -436,6 +522,18 @@ def main(argv=None):
     p.add_argument("--rr", type=int, default=0, metavar="BOUNCE",
                    help="Russian-roulette path termination from this bounce "
                         "on (0 = off); unbiased, prunes dim deep paths")
+    p.add_argument("--orbit", type=int, default=0, metavar="FRAMES",
+                   help="render a path-traced camera orbit instead of one "
+                        "frame (sink: --apng or --out dir)")
+    p.add_argument("--orbit-radius", type=float, default=10.0)
+    p.add_argument("--orbit-height", type=float, default=2.0)
+    p.add_argument("--orbit-target", type=float, nargs=3,
+                   default=(0.0, 6.0, 0.0))
+    p.add_argument("--temporal", action="store_true",
+                   help="temporal reprojection accumulation across orbit "
+                        "frames (low-spp frames inherit history)")
+    p.add_argument("--apng", default=None, metavar="FILE")
+    p.add_argument("--fps", type=int, default=30)
     p.add_argument("--adaptive", type=float, default=0.0, metavar="TOL",
                    help="per-tile adaptive sampling tolerance (--mega "
                         "only): tiles stop at this relative noise level "
