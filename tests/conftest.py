@@ -33,9 +33,14 @@ if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
     except OSError:
         _flags = ""
     _tag = hashlib.sha1(_flags.encode()).hexdigest()[:12]
+    # one subdir per xdist worker: concurrent cache WRITES from parallel
+    # workers into one directory have segfaulted inside
+    # compilation_cache.put_executable_and_time (zstd serialization) —
+    # observed twice, only under -n auto; serial runs never crash
+    _worker = os.environ.get("PYTEST_XDIST_WORKER", "main")
     os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache", _tag,
+        ".jax_cache", _tag, _worker,
     )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
