@@ -60,7 +60,9 @@ def pack_pt_scene(scene: PTScene):
         [scene.light_kind[:, None].astype(f32),
          scene.light_prim[:, None].astype(f32),
          scene.light_area[:, None], scene.light_le,
-         jnp.zeros((L, 2), f32)], axis=1)
+         scene.light_pick[:, None], scene.light_cdf[:, None],
+         jnp.broadcast_to(scene.light_total_power, (L, 1)),
+         jnp.zeros((L, 3), f32)], axis=1)
     counts = jnp.stack(
         [scene.sph_count, scene.tri_count, jnp.int32(M), scene.light_count]
     )
@@ -95,6 +97,9 @@ def _unpack_scene(sph, tri, mat, light, counts,
         light_area=light[:, 2],
         light_le=light[:, 3:6],
         light_count=counts[3],
+        light_pick=light[:, 6],
+        light_cdf=light[:, 7],
+        light_total_power=light[0, 8],
     )
 
 
@@ -177,7 +182,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
         # per-pass mesh-light row: scalar reads at dynamic SUBLANE index s
         # (supported in SMEM) — the TPU-native stand-in for a per-lane
         # emissive-triangle gather
-        mlt = (tuple(mlt_ref[s, c] for c in range(13))
+        mlt = (tuple(mlt_ref[s, c] for c in range(14))
                if has_mlt else None)
         return trace_window_planes(
             cfg, scene, cam, quat, None, bvh=bvh,
@@ -391,9 +396,9 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         # an SMEM scalar table, padded to 16 columns
         gpass = jnp.asarray(spp_offset, jnp.int32) + jnp.arange(
             spp, dtype=jnp.int32)
-        rows = mesh_light_rows(scene, base, gpass)  # (spp, 13)
+        rows = mesh_light_rows(scene, base, gpass)  # (spp, 14)
         mlt_tab = jnp.concatenate(
-            [rows, jnp.zeros((spp, 3), jnp.float32)], axis=1)
+            [rows, jnp.zeros((spp, 2), jnp.float32)], axis=1)
         in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
         args += [mlt_tab]
     if scene.has_env:

@@ -63,6 +63,12 @@ class PTConfig:
     # stacked reference integrator raises (it is the random-sampling
     # cross-check). See ops/rng_pcg.r2_planes.
     sampler: str = "random"
+    # NEE light selection: "power" (default) picks lights with probability
+    # proportional to area * luminance(Le) — a dim big light stops eating
+    # samples a bright small one needs; "uniform" is the classic 1/count.
+    # Both are unbiased (the MIS pdfs follow the selection); single-light
+    # scenes are identical either way.
+    light_sampling: str = "power"
     # RNG implementation for the SoA integrator:
     #   "threefry" — jax.random; portable, matches the reference integrator
     #                bit-for-bit (the default for reproducible tests)
@@ -182,14 +188,22 @@ def occluded(scene: PTScene, o3, d3, max_t, t_min, bvh=None):
 # NEE light sampling
 # ---------------------------------------------------------------------------
 
-def sample_light_point(scene: PTScene, u_sel, u1, u2):
-    """Pick a light uniformly, sample a uniform-area point on it.
+def sample_light_point(scene: PTScene, u_sel, u1, u2, uniform=False):
+    """Pick a light (power-weighted by default, uniform with uniform=True),
+    sample a uniform-area point on it.
 
     Returns (point (...,3), normal (...,3), Le (...,3), pdf_area (...,),
     any_light bool scalar). pdf_area includes the selection probability.
     """
     count = jnp.maximum(scene.light_count, 1)
-    idx = jnp.minimum((u_sel * count).astype(jnp.int32), count - 1)
+    if uniform:
+        idx = jnp.minimum((u_sel * count).astype(jnp.int32), count - 1)
+    else:
+        # inclusive-CDF walk (padded slots pinned to 1 -> never chosen);
+        # same formula as the plane-native sampler for parity
+        idx = jnp.zeros(jnp.shape(u_sel), jnp.int32)
+        for k in range(scene.light_cdf.shape[0] - 1):
+            idx = idx + (u_sel >= scene.light_cdf[k]).astype(jnp.int32)
     kind = scene.light_kind[idx]
     prim = scene.light_prim[idx]
     area = scene.light_area[idx]
@@ -222,7 +236,11 @@ def sample_light_point(scene: PTScene, u_sel, u1, u2):
     mat = jnp.where(kind == 1, mat_t, mat_s)
     le = scene.mat_emission[mat]
 
-    pdf_area = 1.0 / (area * count)
+    if uniform:
+        pdf_area = 1.0 / (area * count)
+    else:
+        pick = scene.light_pick[idx]
+        pdf_area = pick / jnp.maximum(area, 1e-20)
     return point, normal, le, pdf_area
 
 
@@ -342,11 +360,16 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         # --- emission on hit (MIS-weighted against NEE) -------------------
         emissive = jnp.any(emission > 0.0, axis=-1)
         cos_l = jnp.abs(jnp.sum(n3 * st["d3"], axis=-1))
-        pdf_light_w = (
-            (1.0 / jnp.maximum(isect["light_area"] * jnp.maximum(scene.light_count, 1), 1e-20))
-            * isect["t"] ** 2
-            / jnp.maximum(cos_l, 1e-6)
-        )
+        if cfg.light_sampling == "uniform":
+            sel_density = 1.0 / jnp.maximum(
+                isect["light_area"] * jnp.maximum(scene.light_count, 1),
+                1e-20)
+        else:
+            # pick/area = lum(Le)/total_power — no table walk on the hit
+            lum_e = (0.2126 * emission[..., 0] + 0.7152 * emission[..., 1]
+                     + 0.0722 * emission[..., 2])
+            sel_density = lum_e / jnp.maximum(scene.light_total_power, 1e-20)
+        pdf_light_w = sel_density * isect["t"] ** 2 / jnp.maximum(cos_l, 1e-6)
         w_bsdf = jnp.where(
             st["prev_did_nee"],
             sampler.power_heuristic(st["prev_pdf"], pdf_light_w),
@@ -368,7 +391,9 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
 
         # --- NEE from diffuse surfaces ------------------------------------
         if cfg.use_nee:
-            lp3, ln3, le, pdf_area = sample_light_point(scene, u[2], u[3], u[4])
+            lp3, ln3, le, pdf_area = sample_light_point(
+                scene, u[2], u[3], u[4],
+                uniform=cfg.light_sampling == "uniform")
             to_l = lp3 - p3
             dist = jnp.linalg.norm(to_l, axis=-1)
             wi3 = to_l / jnp.maximum(dist[..., None], 1e-20)

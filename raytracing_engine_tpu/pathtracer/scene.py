@@ -46,6 +46,9 @@ LIGHT_SPHERE = 0
 LIGHT_TRI = 1
 LIGHT_MESH = 2   # pseudo-slot: the whole emissive mesh, one light
 
+# Rec.709 luminance weights — the "power" in power-weighted light selection
+_LUM = np.array([0.2126, 0.7152, 0.0722], np.float64)
+
 
 def _pad(a, n, fill=0.0):
     a = np.asarray(a, np.float32)
@@ -80,6 +83,14 @@ class PTScene:
     light_area: jax.Array   # (L,) f32   — surface area (uniform-area pdf)
     light_le: jax.Array     # (L, 3) f32 — emitted radiance (precomputed)
     light_count: jax.Array  # () int32
+    # power-weighted NEE light selection (PTConfig.light_sampling="power"):
+    # pick probability per slot ∝ area * luminance(Le) (for the mesh
+    # pseudo-slot: sum over its triangles), its inclusive CDF (padded
+    # slots pinned to 1 so they are never chosen), and the total power —
+    # the hit-side MIS pdf needs lum(emission)/total without a table walk
+    light_pick: jax.Array   # (L,) f32 — selection probabilities
+    light_cdf: jax.Array    # (L,) f32 — inclusive cumulative of the above
+    light_total_power: jax.Array  # () f32 — sum(area * lum(Le))
     # mesh light (mesh_lights=True): ALL emissive triangles, any count.
     # Sampled per PASS: one area-weighted triangle per global pass index
     # (scalar), per-lane barycentric jitter — the marginal point pdf is
@@ -89,6 +100,7 @@ class PTScene:
     mesh_light_tri: jax.Array | None = None   # (E, 12): v0, e1, e2, Le
     mesh_light_cdf: jax.Array | None = None   # (E,) normalized area CDF
     mesh_light_area: jax.Array | None = None  # () total emissive area
+    mesh_light_pick: jax.Array | None = None  # () the mesh slot's pick prob
     # procedural world-space checker texture: cells of size 1/scale
     # alternate between mat_albedo and mat_albedo2; scale 0 = untextured.
     # Mesh geometry has no UVs — world-space procedural is the TPU-cheap
@@ -231,6 +243,8 @@ def build_pt_scene(
         mesh_cdf = np.cumsum(areas / total).astype(np.float32)
         mesh_cdf[-1] = 1.0  # guard fp drift: last bin must cover u -> 1
         mesh_area = np.float32(total)
+        mesh_lum = mat_emission[tri_mats[idxs]] @ _LUM  # per-tri luminance
+        mesh_power = float((areas * mesh_lum).sum())
         lk.append(LIGHT_MESH)
         lp.append(-1)
         la.append(total)          # slot area = TOTAL area -> the uniform
@@ -262,6 +276,21 @@ def build_pt_scene(
     if L:
         light_le[:L] = np.stack(le)
 
+    # power-weighted selection table: power = area * lum(Le) per slot
+    # (mesh pseudo-slot: sum over its triangles, computed above)
+    powers = np.zeros((light_pad,), np.float64)
+    for k in range(L):
+        powers[k] = (mesh_power if lk[k] == LIGHT_MESH
+                     else la[k] * float(np.dot(le[k], _LUM)))
+    total_power = float(powers.sum())
+    light_pick = (powers / total_power if total_power > 0
+                  else powers).astype(np.float32)
+    light_cdf = np.minimum(np.cumsum(light_pick), 1.0).astype(np.float32)
+    light_cdf[max(L - 1, 0):] = 1.0  # padded slots are never selected
+    mesh_pick = None
+    if mesh_tri is not None and total_power > 0:
+        mesh_pick = np.float32(mesh_power / total_power)
+
     return PTScene(
         sph_pos=jnp.asarray(sph_pos),
         sph_radius=jnp.asarray(sph_radius),
@@ -283,9 +312,13 @@ def build_pt_scene(
         light_area=jnp.asarray(light_area),
         light_le=jnp.asarray(light_le),
         light_count=jnp.int32(L),
+        light_pick=jnp.asarray(light_pick),
+        light_cdf=jnp.asarray(light_cdf),
+        light_total_power=jnp.float32(total_power),
         mesh_light_tri=None if mesh_tri is None else jnp.asarray(mesh_tri),
         mesh_light_cdf=None if mesh_cdf is None else jnp.asarray(mesh_cdf),
         mesh_light_area=None if mesh_area is None else jnp.float32(mesh_area),
+        mesh_light_pick=None if mesh_pick is None else jnp.float32(mesh_pick),
         env=_env_rows(env),
         has_dielectric=bool((mat_kind == DIELECTRIC).any()),
     )
@@ -305,8 +338,8 @@ def _env_rows(env):
 
 
 def mesh_light_rows(scene: PTScene, seed, gpass):
-    """Per-pass mesh-light rows: (N, 13) f32 = [v0, e1, e2, Le, total_area]
-    for int32 pass indices `gpass` (scalar or (N,)).
+    """Per-pass mesh-light rows: (N, 14) f32 = [v0, e1, e2, Le, total_area,
+    pick] for int32 pass indices `gpass` (scalar or (N,)).
 
     One area-weighted emissive triangle is selected per GLOBAL pass index
     by a counter-based hash, so the selection is invariant to chunking,
@@ -329,4 +362,7 @@ def mesh_light_rows(scene: PTScene, seed, gpass):
     e = jnp.minimum(e, scene.mesh_light_cdf.shape[0] - 1)
     rows = scene.mesh_light_tri[e]  # (N, 12)
     area = jnp.broadcast_to(scene.mesh_light_area, (rows.shape[0], 1))
-    return jnp.concatenate([rows, area], axis=1)
+    pick = jnp.broadcast_to(
+        scene.mesh_light_pick if scene.mesh_light_pick is not None
+        else jnp.float32(1.0), (rows.shape[0], 1))
+    return jnp.concatenate([rows, area, pick], axis=1)

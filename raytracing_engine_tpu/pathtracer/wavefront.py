@@ -523,18 +523,27 @@ def _occluded(scene: PTScene, o, d, max_t, t_min, bvh, packet=None):
     return blocked
 
 
-def _sample_light(scene: PTScene, u_sel, u1, u2, mesh_light=None):
+def _sample_light(scene: PTScene, u_sel, u1, u2, mesh_light=None,
+                  uniform=False):
     """Plane-native NEE light sample (see integrator.sample_light_point).
 
-    mesh_light: optional tuple of 13 SCALARS [v0(3), e1(3), e2(3), Le(3),
-    total_area] — this pass's area-weighted emissive-mesh triangle (see
-    scene.mesh_light_rows). Slots with kind==LIGHT_MESH sample a point on
-    it with per-lane barycentric jitter; the pseudo-slot's stored area is
-    the TOTAL emissive area, so pdf_area = 1/(area*count) is already the
-    marginal pdf of the whole scheme."""
+    mesh_light: optional tuple of 14 SCALARS [v0(3), e1(3), e2(3), Le(3),
+    total_area, pick] — this pass's area-weighted emissive-mesh triangle
+    (see scene.mesh_light_rows). Slots with kind==LIGHT_MESH sample a
+    point on it with per-lane barycentric jitter; the pseudo-slot's
+    stored area is the TOTAL emissive area, so pick/area (or
+    1/(area*count) for uniform selection) is already the marginal pdf of
+    the whole scheme."""
     L = scene.light_kind.shape[0]
     count = jnp.maximum(scene.light_count, 1)
-    idx = jnp.minimum((u_sel * count).astype(jnp.int32), count - 1)
+    if uniform:
+        idx = jnp.minimum((u_sel * count).astype(jnp.int32), count - 1)
+    else:
+        # power-weighted: inclusive-CDF walk, unrolled over the static
+        # slot count (padded slots pinned to 1 -> never chosen)
+        idx = jnp.zeros(jnp.shape(u_sel), jnp.int32)
+        for k in range(L - 1):
+            idx = idx + (u_sel >= scene.light_cdf[k]).astype(jnp.int32)
 
     kind = _sel(idx, scene.light_kind, L)
     prim = _sel(idx, scene.light_prim, L)
@@ -598,7 +607,11 @@ def _sample_light(scene: PTScene, u_sel, u1, u2, mesh_light=None):
               jnp.where(is_mesh, mle[1], le[1]),
               jnp.where(is_mesh, mle[2], le[2]))
 
-    pdf_area = 1.0 / (area * count)
+    if uniform:
+        pdf_area = 1.0 / (area * count)
+    else:
+        pick = _sel(idx, scene.light_pick, L)
+        pdf_area = pick / jnp.maximum(area, 1e-20)
     return point, normal, le, pdf_area
 
 
@@ -890,16 +903,30 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         # --- emission (MIS vs NEE of the previous vertex) ------------------
         emissive = (emission[0] > 0.0) | (emission[1] > 0.0) | (emission[2] > 0.0)
         cos_l = jnp.abs(v3.dot(n, st["d"]))
-        light_area = isect["light_area"]
-        if mesh_light is not None:
-            # emissive triangle hits belong to the mesh light: MIS must use
-            # the same MARGINAL pdf the sampler used, 1/(total_area*count)
-            light_area = jnp.where(isect["is_tri"], mesh_light[12],
-                                   light_area)
-        pdf_light_w = (
-            1.0 / jnp.maximum(light_area * jnp.maximum(scene.light_count, 1), 1e-20)
-            * isect["t"] ** 2 / jnp.maximum(cos_l, 1e-6)
-        )
+        if cfg.light_sampling == "uniform":
+            light_area = isect["light_area"]
+            if mesh_light is not None:
+                # emissive mesh-tri hits: MIS must use the same MARGINAL
+                # pdf the sampler used, 1/(total_area*count)
+                light_area = jnp.where(isect["is_tri"], mesh_light[12],
+                                       light_area)
+            sel_density = 1.0 / jnp.maximum(
+                light_area * jnp.maximum(scene.light_count, 1), 1e-20)
+        else:
+            # power-weighted selection: pick/area = lum(Le)/total_power
+            # for slot lights; the mesh pseudo-slot's marginal is its
+            # pick over its TOTAL area (per-tri selection is area-CDF)
+            lum_e = (0.2126 * emission[0] + 0.7152 * emission[1]
+                     + 0.0722 * emission[2])
+            sel_density = lum_e / jnp.maximum(scene.light_total_power,
+                                              1e-20)
+            if mesh_light is not None:
+                sel_density = jnp.where(
+                    isect["is_tri"],
+                    mesh_light[13] / jnp.maximum(mesh_light[12], 1e-20),
+                    sel_density)
+        pdf_light_w = (sel_density * isect["t"] ** 2
+                       / jnp.maximum(cos_l, 1e-6))
         w_b = jnp.where(
             st["prev_did_nee"] != 0.0,
             sampler.power_heuristic(st["prev_pdf"], pdf_light_w),
@@ -922,8 +949,9 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
 
         # --- NEE ------------------------------------------------------------
         if cfg.use_nee:
-            lp, ln, le, pdf_area = _sample_light(scene, u[2], u[3], u[4],
-                                                 mesh_light=mesh_light)
+            lp, ln, le, pdf_area = _sample_light(
+                scene, u[2], u[3], u[4], mesh_light=mesh_light,
+                uniform=cfg.light_sampling == "uniform")
             to_l = v3.sub(lp, p)
             dist = v3.length(to_l)
             wi = v3.scale(to_l, 1.0 / jnp.maximum(dist, 1e-20))
@@ -1088,7 +1116,7 @@ def render_pt_fast(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         from raytracing_engine_tpu.pathtracer.scene import mesh_light_rows
 
         row = mesh_light_rows(scene, key_to_seed(key), spp_offset + i)[0]
-        return tuple(row[c] for c in range(13))
+        return tuple(row[c] for c in range(14))
 
     if cfg.rng == "pcg":
         # derive one base seed; pass i's stream = base + global_pass * prime
