@@ -191,7 +191,27 @@ def test_render_sequence_matches_per_frame(scene):
 def test_frameloop_chunked_run_matches_per_frame(scene):
     """run(chunk=K) — batched replay serving — produces the same frames at
     the same event indices as the per-frame loop, across a resize (cfg
-    change = chunk-group boundary)."""
+    change = chunk-group boundary).
+
+    The persistent compile cache is disabled for this test: serializing
+    THIS test's executables for the cache dies inside jaxlib's XLA:CPU
+    AOT export ("Fatal Python error: Segmentation fault/Aborted" in
+    compilation_cache.put_executable_and_time — reproduced three times,
+    always this test, killing the whole xdist worker). Every other test
+    keeps the cache.
+    """
+    import jax
+    import numpy as np
+    from raytracing_engine_tpu.runtime import FrameLoop, InputEvent
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        _run_chunked_case(scene)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
+
+
+def _run_chunked_case(scene):
     import numpy as np
     from raytracing_engine_tpu.runtime import FrameLoop, InputEvent
 
