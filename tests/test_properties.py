@@ -165,7 +165,24 @@ def test_progressive_accumulate_donation(scene):
 
 
 def test_render_sequence_matches_per_frame(scene):
-    """One-dispatch K-frame serving equals K individual renders."""
+    """One-dispatch K-frame serving equals K individual renders.
+
+    Compile cache off for the same reason as the chunked-run test below:
+    the chained conemarch-sequence executables crash jaxlib's XLA:CPU AOT
+    cache path — observed on WRITE (put_executable_and_time, 3x) and on
+    READ of a sibling artifact (get_executable_and_time) — taking the
+    xdist worker down with a fatal signal.
+    """
+    import jax
+
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        _render_sequence_case(scene)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
+
+
+def _render_sequence_case(scene):
     import jax.numpy as jnp
     import numpy as np
     from raytracing_engine_tpu.models import conemarch
