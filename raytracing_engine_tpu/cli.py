@@ -386,6 +386,10 @@ def cmd_pt(args):
         img = jax.block_until_ready(
             denoise(jnp.asarray(img), aovs_d["albedo"], aovs_d["normal"],
                     aovs_d["depth"]))
+    if args.bloom > 0.0:
+        from raytracing_engine_tpu.utils import bloom
+
+        img = bloom(np.asarray(img), strength=args.bloom)
     if args.tonemap != "none" or args.exposure != 1.0 or args.gamma != 1.0:
         from raytracing_engine_tpu.utils import tonemap
 
@@ -544,6 +548,8 @@ def main(argv=None):
     p.add_argument("--denoise", action="store_true",
                    help="AOV-guided a-trous denoise of the beauty pass "
                         "(the low-spp real-time pattern)")
+    p.add_argument("--bloom", type=float, default=0.0, metavar="STRENGTH",
+                   help="HDR bloom before tonemapping (0 = off)")
     p.add_argument("--tonemap", default="none",
                    choices=["none", "reinhard", "aces"],
                    help="HDR->display curve for the beauty PNG")

@@ -48,6 +48,33 @@ def tonemap(img: np.ndarray, mode: str = "none", exposure: float = 1.0,
     return x
 
 
+def bloom(img: np.ndarray, threshold: float = 1.0, radius: int = 8,
+          strength: float = 0.5) -> np.ndarray:
+    """HDR bloom: radiance above `threshold` is blurred by a separable
+    Gaussian (sigma = radius/2, kernel width 2*radius+1, edge-clamped)
+    and added back scaled by `strength`. Apply BEFORE tonemapping — bloom
+    models sensor/lens scatter of linear HDR energy; blooming tonemapped
+    values just fogs the image."""
+    x = np.asarray(img, np.float32)
+    bright = np.maximum(x - threshold, 0.0)
+    sigma = max(radius / 2.0, 1e-3)
+    k = np.exp(-0.5 * (np.arange(-radius, radius + 1) / sigma) ** 2)
+    k = (k / k.sum()).astype(np.float32)
+
+    def blur_axis(a, axis):
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (radius, radius)
+        ap = np.pad(a, pad, mode="edge")
+        out = np.zeros_like(a)
+        for i, w in enumerate(k):
+            sl = [slice(None)] * a.ndim
+            sl[axis] = slice(i, i + a.shape[axis])
+            out += w * ap[tuple(sl)]
+        return out
+
+    return x + strength * blur_axis(blur_axis(bright, 0), 1)
+
+
 def write_png(path: str, img: np.ndarray) -> None:
     """Write (H, W, 3) u8 or linear-float image to an RGB PNG."""
     if img.dtype != np.uint8:
