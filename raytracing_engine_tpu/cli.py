@@ -281,7 +281,8 @@ def cmd_pt(args):
         # declarative scene file (pathtracer/sceneio.py schema)
         from raytracing_engine_tpu.pathtracer.sceneio import load_scene_json
 
-        scene, mesh, tri_mats, cam_pos, cam_quat = load_scene_json(args.scene)
+        (scene, mesh, tri_mats, cam_pos, cam_quat,
+         instanced) = load_scene_json(args.scene)
         pos, quat = jnp.asarray(cam_pos), jnp.asarray(cam_quat)
         if mesh is not None:
             print(f"{args.scene}: {mesh.shape[0]} triangles")
@@ -294,6 +295,28 @@ def cmd_pt(args):
                 bvh = (build_clusters(mesh, tri_mats=tri_mats)
                        if _jax.default_backend() == "tpu"
                        else build_bvh(mesh))
+        if instanced is not None:
+            import numpy as onp
+
+            from raytracing_engine_tpu.accel import build_bvh
+            from raytracing_engine_tpu.accel.clusters import build_clusters
+            from raytracing_engine_tpu.accel.instancing import (
+                make_instanced_clusters,
+                make_instances,
+            )
+
+            n_inst = len(instanced["transforms"])
+            print(f"{args.scene}: {instanced['mesh'].shape[0]} tris x "
+                  f"{n_inst} instances (two-level)")
+            bvh_i = build_bvh(instanced["mesh"])
+            cs_i = build_clusters(
+                instanced["mesh"], bvh=bvh_i,
+                tri_mats=onp.full(instanced["mesh"].shape[0],
+                                  instanced["mat"], onp.int32))
+            inst = make_instances(bvh_i, instanced["transforms"],
+                                  mats=onp.full(n_inst, instanced["mat"],
+                                                onp.int32))
+            bvh = make_instanced_clusters(inst, cs_i, scene=scene)
     elif args.scene in ("cornell", "glass"):
         scene = pt_scenes.cornell_box(glass=args.scene == "glass")
         pos, quat = jnp.array([0.0, 0.2, 0.0]), jnp.array([0.0, 0.0, 0.0, 1.0])

@@ -42,6 +42,12 @@ instead of code:
 - `mesh_lights: true` routes emissive triangles through the area-CDF
   mesh-light sampler (required when emissive tris exceed the per-slot
   NEE unroll limit — build_pt_scene raises loudly otherwise).
+- `instances`: the two-level (config-5 style) path — ONE base mesh
+  replicated by a `grid` ({nx, ny, spacing, base}) and/or explicit
+  `transforms` ([{translate, rotate_z, scale}, ...]), each instance
+  shaded with material `mat`. Mutually exclusive with `meshes` (the
+  instanced intersector traces spheres + instances only; a loose mesh
+  would silently vanish — the loader refuses instead).
 
 Unknown top-level or per-entry keys raise: a typo that silently dropped a
 light would be a wrongness hazard, not a convenience.
@@ -60,11 +66,14 @@ from raytracing_engine_tpu.pathtracer.scene import (
 _KINDS = {"diffuse": DIFFUSE, "mirror": MIRROR,
           "dielectric": DIELECTRIC}
 _TOP_KEYS = {"materials", "spheres", "meshes", "camera", "mesh_lights",
-             "env"}
+             "env", "instances"}
 _MAT_KEYS = {"albedo", "emission", "kind", "ior", "checker"}
 _SPH_KEYS = {"center", "radius", "mat"}
 _MESH_KEYS = {"obj", "icosphere", "knot", "mat", "scale", "translate"}
 _CAM_KEYS = {"position", "quat"}
+_INST_KEYS = {"mesh", "mat", "grid", "transforms"}
+_GRID_KEYS = {"nx", "ny", "spacing", "base"}
+_XFORM_KEYS = {"translate", "rotate_z", "scale"}
 
 
 def _check_keys(d: dict, allowed: set, what: str) -> None:
@@ -107,8 +116,15 @@ def load_scene_json(path: str):
     """Load a JSON scene file.
 
     Returns (scene: PTScene, tris: (T,3,3) f32 | None, tri_mats: (T,) i32
-    | None, cam_pos: (3,) f32, cam_quat: (4,) f32). tris/tri_mats feed
-    accel.clusters.build_clusters / accel.build_bvh for the --bvh path.
+    | None, cam_pos: (3,) f32, cam_quat: (4,) f32, instanced: dict | None).
+    tris/tri_mats feed accel.clusters.build_clusters / accel.build_bvh for
+    the --bvh path. `instanced` (from a top-level "instances" object:
+    {"mesh": <mesh entry>, "mat": id, "grid": {nx, ny, spacing, base}} or
+    explicit "transforms": [{"translate", "rotate_z", "scale"}, ...])
+    carries {mesh (T,3,3), transforms [(rot3x3, trans3, scale)], mat} for
+    accel.instancing.make_instances + make_instanced_clusters — the
+    two-level path; mutually exclusive with "meshes" (the instanced
+    intersector traces spheres + instances only).
     """
     with open(path) as f:
         spec = json.load(f)
@@ -181,6 +197,47 @@ def load_scene_json(path: str):
         env=env,
     )
 
+    instanced = None
+    if "instances" in spec:
+        if parts:
+            raise ValueError(
+                "'instances' and 'meshes' cannot be combined: the "
+                "two-level intersector traces spheres + instances only, "
+                "so a loose mesh would silently vanish")
+        inst = spec["instances"]
+        _check_keys(inst, _INST_KEYS, "instances")
+        if "mesh" not in inst:
+            raise ValueError("instances.mesh is required")
+        _check_keys(inst["mesh"], _MESH_KEYS - {"mat"}, "instances.mesh")
+        imesh = _mesh_tris(inst["mesh"], base_dir)
+        imat = _mat_id(inst.get("mat", 0), "instances")
+        transforms = []
+        if "grid" in inst:
+            g = inst["grid"]
+            _check_keys(g, _GRID_KEYS, "instances.grid")
+            from raytracing_engine_tpu.accel.instancing import _rotation_z
+
+            nx, ny = int(g["nx"]), int(g["ny"])
+            spacing = float(g.get("spacing", 3.0))
+            base = tuple(g.get("base", (0.0, 10.0, 0.0)))
+            for i in range(nx):
+                for j in range(ny):
+                    theta = 0.7 * (i * ny + j)
+                    t = (base[0] + (i - (nx - 1) / 2) * spacing,
+                         base[1] + j * spacing,
+                         base[2] + 0.4 * ((i + j) % 3))
+                    transforms.append((_rotation_z(theta), t, 1.0))
+        for k, x in enumerate(inst.get("transforms", [])):
+            _check_keys(x, _XFORM_KEYS, f"instances.transforms[{k}]")
+            from raytracing_engine_tpu.accel.instancing import _rotation_z
+
+            transforms.append((_rotation_z(float(x.get("rotate_z", 0.0))),
+                               tuple(x.get("translate", (0.0, 0.0, 0.0))),
+                               float(x.get("scale", 1.0))))
+        if not transforms:
+            raise ValueError("instances needs a grid or a transforms list")
+        instanced = {"mesh": imesh, "transforms": transforms, "mat": imat}
+
     cam = spec.get("camera", {})
     _check_keys(cam, _CAM_KEYS, "camera")
     cam_pos = np.asarray(cam.get("position", (0.0, 0.0, 0.0)), np.float32)
@@ -188,4 +245,4 @@ def load_scene_json(path: str):
     if cam_pos.shape != (3,) or cam_quat.shape != (4,):
         raise ValueError("camera.position must be length 3, camera.quat "
                          "length 4")
-    return scene, tris, tri_mats, cam_pos, cam_quat
+    return scene, tris, tri_mats, cam_pos, cam_quat, instanced

@@ -37,7 +37,8 @@ BASIC = {
 
 
 def test_load_basic_scene(tmp_path):
-    scene, tris, tri_mats, pos, quat = load_scene_json(_write(tmp_path, BASIC))
+    scene, tris, tri_mats, pos, quat, inst = load_scene_json(
+        _write(tmp_path, BASIC))
     assert int(scene.sph_count) == 2
     assert int(scene.light_count) == 1  # the emissive sphere
     assert tris.shape[0] == 80 + 40 * 8 * 2  # icosphere(1) + knot tris
@@ -89,7 +90,7 @@ def test_obj_path_relative_to_json(tmp_path):
         "materials": [{"albedo": [0.5, 0.5, 0.5]}],
         "meshes": [{"obj": "ball.obj", "mat": 0}],
     })
-    _, tris, _, _, _ = load_scene_json(p)
+    _, tris, _, _, _, _ = load_scene_json(p)
     assert tris.shape[0] == 80
 
 
@@ -130,3 +131,58 @@ def test_cli_pt_json_scene(tmp_path):
     img = read_png(out)
     assert img.shape == (32, 32, 3)
     assert img.sum() > 0
+
+
+def test_instances_block(tmp_path):
+    """'instances' loads the two-level spec: mesh + grid/explicit
+    transforms, refuses combination with loose meshes, and the built
+    InstancedClusters renders through the fast path."""
+    import jax
+    import jax.numpy as jnp
+
+    spec = {
+        "materials": [{"albedo": [0.6, 0.5, 0.4]},
+                      {"albedo": [0, 0, 0], "emission": [10, 10, 10]}],
+        "spheres": [{"center": [3, 4, 4], "radius": 0.8, "mat": 1}],
+        "instances": {
+            "mesh": {"icosphere": {"subdivisions": 1, "radius": 0.8}},
+            "mat": 0,
+            "grid": {"nx": 2, "ny": 2, "spacing": 2.0, "base": [0, 7, 0]},
+            "transforms": [{"translate": [0, 5, -1], "rotate_z": 0.4,
+                            "scale": 1.5}],
+        },
+    }
+    scene, tris, _, pos, quat, inst = load_scene_json(_write(tmp_path, spec))
+    assert tris is None and inst is not None
+    assert len(inst["transforms"]) == 5  # 2x2 grid + 1 explicit
+    assert inst["mesh"].shape[1:] == (3, 3)
+
+    import numpy as np
+
+    from raytracing_engine_tpu.accel import build_bvh
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+    from raytracing_engine_tpu.accel.instancing import (
+        make_instanced_clusters,
+        make_instances,
+    )
+    from raytracing_engine_tpu.pathtracer import PTConfig, render_pt_fast
+
+    bvh_i = build_bvh(inst["mesh"])
+    cs = build_clusters(inst["mesh"], bvh=bvh_i,
+                        tri_mats=np.full(len(inst["mesh"]), inst["mat"],
+                                         np.int32))
+    im = make_instances(bvh_i, inst["transforms"],
+                        mats=np.full(5, inst["mat"], np.int32))
+    ic = make_instanced_clusters(im, cs, scene=scene)
+    cfg = PTConfig(width=24, height=16, max_bounces=2, rng="pcg")
+    img, _ = render_pt_fast(cfg, scene, jnp.asarray(pos), jnp.asarray(quat),
+                            2, jax.random.PRNGKey(0), bvh=ic)
+    assert bool(jnp.isfinite(img).all()) and float(jnp.max(img)) > 0.0
+
+    # loose meshes + instances is a loud error (loose mesh would vanish)
+    bad = dict(spec)
+    bad["meshes"] = [{"icosphere": {"subdivisions": 1}, "mat": 0}]
+    import pytest
+
+    with pytest.raises(ValueError, match="instances"):
+        load_scene_json(_write(tmp_path, bad))
