@@ -275,7 +275,8 @@ def cmd_pt(args):
     w, h = _parse_size(args.size)
     cfg = PTConfig(width=w, height=h, max_bounces=args.bounces, rng=args.rng,
                    aperture=args.aperture, focus_dist=args.focus,
-                   rr_start=args.rr, sampler=args.sampler)
+                   rr_start=args.rr, sampler=args.sampler,
+                   fog_density=args.fog, fog_color=tuple(args.fog_color))
     bvh = None
     if args.scene.endswith(".json"):
         # declarative scene file (pathtracer/sceneio.py schema)
@@ -571,6 +572,10 @@ def main(argv=None):
     p.add_argument("--denoise", action="store_true",
                    help="AOV-guided a-trous denoise of the beauty pass "
                         "(the low-spp real-time pattern)")
+    p.add_argument("--fog", type=float, default=0.0, metavar="DENSITY",
+                   help="homogeneous Beer-Lambert fog density (0 = off)")
+    p.add_argument("--fog-color", type=float, nargs=3,
+                   default=(0.0, 0.0, 0.0))
     p.add_argument("--bloom", type=float, default=0.0, metavar="STRENGTH",
                    help="HDR bloom before tonemapping (0 = off)")
     p.add_argument("--tonemap", default="none",

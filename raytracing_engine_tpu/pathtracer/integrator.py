@@ -69,6 +69,14 @@ class PTConfig:
     # Both are unbiased (the MIS pdfs follow the selection); single-light
     # scenes are identical either way.
     light_sampling: str = "power"
+    # homogeneous fog: every path segment (camera, bounce, NEE shadow)
+    # is attenuated by Beer-Lambert exp(-fog_density * length), and the
+    # lost energy is replaced by fog_color (constant ambient in-scatter —
+    # the classic production fog, exact for absorption, artistic for
+    # scatter). Escaped rays are fully fogged (infinite segment).
+    # 0 (default) = off, zero cost, bit-identical.
+    fog_density: float = 0.0
+    fog_color: tuple = (0.0, 0.0, 0.0)
     # RNG implementation for the SoA integrator:
     #   "threefry" — jax.random; portable, matches the reference integrator
     #                bit-for-bit (the default for reproducible tests)
@@ -342,6 +350,15 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         st["nrays"] += jnp.sum(st["alive"])
 
         isect = intersect_scene(scene, st["o3"], st["d3"], cfg.t_min, bvh=bvh)
+        if cfg.fog_density > 0.0:  # static: fog-free scenes pay nothing
+            # Beer-Lambert over this segment (escapes = infinite); the
+            # absorbed energy re-emerges as constant in-scatter fog_color
+            seg = jnp.where(isect["hit"], isect["t"], 1e4)
+            trans = jnp.exp(-cfg.fog_density * seg)
+            fogc = jnp.asarray(cfg.fog_color, jnp.float32)
+            st["radiance"] = st["radiance"] + (
+                st["throughput"] * (1.0 - trans)[..., None] * fogc)
+            st["throughput"] = st["throughput"] * trans[..., None]
         hit = isect["hit"] & st["alive"]
         mat_id = isect["mat_id"]
         albedo = scene.mat_albedo[mat_id]
@@ -414,9 +431,11 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
             pdf_w = pdf_area * dist**2 / jnp.maximum(cos_ll, 1e-6)
             f = albedo / _PI
             w_nee = sampler.power_heuristic(pdf_w, cos_s / _PI)
+            nee_gain = cos_s / jnp.maximum(pdf_w, 1e-20) * w_nee
+            if cfg.fog_density > 0.0:  # shadow segment transmittance
+                nee_gain = nee_gain * jnp.exp(-cfg.fog_density * dist)
             contrib = (
-                st["throughput"] * f * le
-                * (cos_s / jnp.maximum(pdf_w, 1e-20) * w_nee)[..., None]
+                st["throughput"] * f * le * nee_gain[..., None]
             )
             st["radiance"] = st["radiance"] + jnp.where(vis[..., None], contrib, 0.0)
 

@@ -892,6 +892,18 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         st["nrays"] = st["nrays"] + jnp.sum(st["alive"])
 
         isect = _intersect(scene, st["o"], st["d"], cfg.t_min, bvh, packet)
+        if cfg.fog_density > 0.0:  # static: fog-free scenes pay nothing
+            # Beer-Lambert over this segment (escapes = infinite); the
+            # absorbed energy re-emerges as constant in-scatter fog_color
+            # (same math as integrator.py)
+            seg = jnp.where(isect["hit"], isect["t"], 1e4)
+            trans = jnp.exp(-cfg.fog_density * seg)
+            inscat = 1.0 - trans
+            fc = cfg.fog_color
+            st["rad"] = v3.add(st["rad"], (st["thr"][0] * inscat * fc[0],
+                                           st["thr"][1] * inscat * fc[1],
+                                           st["thr"][2] * inscat * fc[2]))
+            st["thr"] = v3.scale(st["thr"], trans)
         alive_b = st["alive"] != 0.0
         hit = isect["hit"] & alive_b
         albedo, emission, kind, ior = _mat_lookup(scene, isect["mat_id"])
@@ -982,6 +994,8 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             scale = jnp.where(
                 vis, cos_s / jnp.maximum(pdf_w, 1e-20) * w_nee / _PI, 0.0
             )
+            if cfg.fog_density > 0.0:  # shadow segment transmittance
+                scale = scale * jnp.exp(-cfg.fog_density * dist)
             contrib = v3.mul(v3.mul(st["thr"], albedo), v3.scale(le, scale))
             st["rad"] = v3.add(st["rad"], contrib)
 
