@@ -6,7 +6,11 @@ the driver-set north star: SoA ray buffers in HBM, wavefront stages
 (ray-gen → intersect → shade) over a `lax.fori_loop` bounce loop, triangle
 meshes with a stackless breadth-ordered BVH, next-event estimation,
 progressive multi-spp accumulation with checkpoint/resume, and tile/spp
-sharding over a device mesh.
+sharding over a device mesh. Production shading surface on top:
+dielectrics, env lights, checker textures, fog, thin-lens DOF, Russian
+roulette, R_d low-discrepancy sampling, power-weighted light selection,
+first-hit AOVs + à-trous denoising, and temporal reprojection
+accumulation (see DESIGN.md §8b).
 """
 
 from raytracing_engine_tpu.pathtracer.scene import (  # noqa: F401

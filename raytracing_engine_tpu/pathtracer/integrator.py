@@ -7,11 +7,15 @@ architecture). Dead lanes are masked, not compacted (compaction on TPU is a
 sort + per-tile early-exit in the Pallas intersector — a later optimization;
 the estimator is already correct).
 
-Estimator: unidirectional path tracing, cosine-sampled Lambertian + perfect
-mirrors, NEE toward uniform-area-sampled emissive primitives, combined with
-BSDF sampling via the power heuristic (MIS). Delta (mirror) bounces skip NEE
-and take emission hits at full weight. Fixed path length (no Russian
-roulette): truncation at max_bounces, standard for real-time.
+Estimator: unidirectional path tracing, cosine-sampled Lambertian +
+perfect mirrors + smooth dielectrics, NEE toward power-weighted
+area-sampled emissive primitives, combined with BSDF sampling via the
+power heuristic (MIS). Delta (mirror/dielectric) bounces skip NEE and
+take emission hits at full weight. Fixed path length by default
+(truncation at max_bounces, standard for real-time); opt-in Russian
+roulette from cfg.rr_start. Env lights, homogeneous fog, checker
+textures and thin-lens DOF are statically-gated extensions shared with
+the production wavefront core.
 """
 
 from __future__ import annotations

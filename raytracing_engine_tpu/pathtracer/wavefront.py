@@ -1,12 +1,17 @@
 """SoA wavefront path tracer — the TPU-fast integrator.
 
-Same estimator as pathtracer/integrator.py (NEE + power-heuristic MIS,
-cosine Lambertian + mirrors, fixed bounce count) and the SAME RNG stream
-(identical keys/shapes/slicing), but every per-ray quantity is a component
-plane (H, W) and every <= 8-slot scene table is unrolled into scalar selects
-— no (..., 3) or (..., K) trailing axes anywhere on the hot path, so the
-whole bounce loop is lane-dense VPU work. This is the production path; the
-stacked-layout integrator remains the readable cross-check reference.
+Same estimator as pathtracer/integrator.py (NEE + power-heuristic MIS
+with power-weighted light selection; Lambertian / mirror / dielectric
+materials, checker textures, env lights, fog, DOF camera, optional
+Russian roulette) and the SAME RNG stream (identical keys/shapes/
+slicing), but every per-ray quantity is a component plane (H, W) and
+every <= 8-slot scene table is unrolled into scalar selects — no
+(..., 3) or (..., K) trailing axes anywhere on the hot path, so the
+whole bounce loop is lane-dense VPU work. This is the production path;
+the stacked-layout integrator remains the readable cross-check
+reference. Optional features are STATICALLY gated on config fields /
+pytree None-ness, so a scene not using one compiles the exact program
+from before that feature existed.
 
 Triangles: unrolled scalar Möller-Trumbore up to ``TRI_UNROLL_MAX`` slots;
 bigger meshes use the BVH (mesh *area lights* must live in the unrolled
