@@ -427,8 +427,11 @@ def cmd_pt(args):
 
         aovs = jax.block_until_ready(
             render_aovs(cfg, scene, pos, quat, min(args.spp, 16), key,
-                        bvh=bvh))
+                        bvh=bvh, ao_radius=args.ao_radius))
         stem = out[:-4] if out.endswith(".png") else out
+        if "ao" in aovs:
+            write_png(f"{stem}_ao.png",
+                      np.repeat(np.asarray(aovs["ao"])[..., None], 3, -1))
         write_png(f"{stem}_albedo.png", np.asarray(aovs["albedo"]))
         # normals in [-1,1] -> visualize in [0,1]
         write_png(f"{stem}_normal.png",
@@ -569,6 +572,9 @@ def main(argv=None):
     p.add_argument("--aov", action="store_true",
                    help="also write first-hit albedo/normal/depth PNGs "
                         "(denoiser guide planes)")
+    p.add_argument("--ao-radius", type=float, default=0.0,
+                   help="with --aov: also write a ray-traced ambient-"
+                        "occlusion plane probed within this radius")
     p.add_argument("--denoise", action="store_true",
                    help="AOV-guided a-trous denoise of the beauty pass "
                         "(the low-spp real-time pattern)")

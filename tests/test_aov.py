@@ -60,3 +60,32 @@ def test_aov_deterministic_and_mesh_bvh():
     # mesh approximates the unit sphere: center depth within facet error
     dep = np.asarray(a["depth"])
     assert abs(dep[12, 16] - 5.0) < 0.1
+
+
+def test_ao_plane():
+    """Ray-traced AO: an open floor reads ~1, the crease where a sphere
+    sits on the floor darkens, and sky pixels stay fully open."""
+    mats = [{"albedo": (0.5, 0.5, 0.5), "kind": DIFFUSE}]
+    scene = build_pt_scene(
+        spheres=[((0.0, 8.0, -101.0), 100.0, 0),   # floor (top z=-1)
+                 ((0.0, 8.0, 0.0), 1.0, 0)],       # ball resting on it
+        materials=mats)
+    cfg = PTConfig(width=64, height=48)
+    aovs = render_aovs(cfg, scene, POS, QUAT, 32, KEY, ao_radius=2.0)
+    ao = np.asarray(aovs["ao"])
+    dep = np.asarray(aovs["depth"])
+    nrm = np.asarray(aovs["normal"])
+    # open floor far from the ball: fully unoccluded
+    floor = (dep > 0) & (nrm[..., 2] > 0.9)
+    open_floor = floor.copy()
+    open_floor[:, 16:48] = False  # exclude columns near the ball
+    assert ao[open_floor].mean() > 0.97
+    # floor just next to the ball silhouette: visibly darkened
+    h, w = dep.shape
+    crease = floor & ~open_floor
+    assert crease.any()
+    assert ao[crease].min() < 0.75, ao[crease].min()
+    # sky reads fully open
+    assert (ao[dep == 0] == 1.0).all()
+    # no AO requested -> no plane
+    assert "ao" not in render_aovs(cfg, scene, POS, QUAT, 2, KEY)
