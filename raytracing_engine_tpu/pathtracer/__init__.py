@@ -31,6 +31,7 @@ from raytracing_engine_tpu.pathtracer.denoise import denoise  # noqa: F401
 from raytracing_engine_tpu.pathtracer.temporal import (  # noqa: F401
     TemporalState,
     temporal_init,
+    temporal_noise,
     temporal_step,
 )
 

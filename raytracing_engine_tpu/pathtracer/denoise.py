@@ -26,6 +26,20 @@ import jax.numpy as jnp
 _K1 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 
 
+def demod_log_lum(radiance, albedo):
+    """log1p luminance of albedo-demodulated radiance — the domain every
+    noise/edge statistic in this module (and the temporal moments in
+    temporal.py) lives in. Emissive/sky pixels (albedo ~0) skip
+    demodulation (see the epsilon-divide hazard note in denoise)."""
+    rad = jnp.asarray(radiance, jnp.float32)
+    alb = jnp.asarray(albedo, jnp.float32)
+    demod = jnp.max(alb, axis=-1, keepdims=True) > 0.05
+    safe = jnp.where(demod, jnp.maximum(alb, 1e-3), 1.0)
+    irr = rad / safe
+    return jnp.log1p(0.2126 * irr[..., 0] + 0.7152 * irr[..., 1]
+                     + 0.0722 * irr[..., 2])
+
+
 def _shift(p, dy, dx):
     """Clamp-to-edge shift: result[y, x] = p[clamp(y - dy), clamp(x - dx)]
     (direction is irrelevant — the kernel sums symmetric offsets)."""
@@ -38,7 +52,7 @@ def _shift(p, dy, dx):
 @partial(jax.jit, static_argnames=("iterations",))
 def denoise(radiance, albedo, normal, depth, iterations: int = 4,
             sigma_lum: float = 0.7, sigma_n: float = 64.0,
-            sigma_d: float = 0.05, firefly_k: float = 8.0):
+            sigma_d: float = 0.05, firefly_k: float = 8.0, noise=None):
     """Denoise (H, W, 3) radiance using render_aovs() guide planes.
 
     radiance/albedo/normal: (H, W, 3); depth: (H, W) with 0 = sky.
@@ -52,6 +66,12 @@ def denoise(radiance, albedo, normal, depth, iterations: int = 4,
     (bigger = stricter geometry edges), sigma_d the relative-depth
     tolerance, firefly_k the outlier pre-clamp (local mean + k*std).
     Sky pixels (depth 0) pass through untouched.
+
+    noise: optional (H, W) override of the local noise estimate, in
+    log1p-demodulated-luminance units (demod_log_lum) — pass
+    temporal.temporal_noise(state) for SVGF-style temporally-estimated
+    variance (tighter than the single-frame 3x3 estimate once a few
+    frames of history exist).
 
     Measured on 4-spp 64^2 Cornell vs a 256-spp reference (the committed
     test asserts looser bounds): tonemapped-MSE -48%, median pixel error
@@ -89,11 +109,20 @@ def denoise(radiance, albedo, normal, depth, iterations: int = 4,
             m1 = m1 + q
             m2 = m2 + q * q
     m1, m2 = m1 / 8.0, m2 / 8.0
-    noise = jnp.sqrt(jnp.maximum(m2 - m1 * m1, 0.0)) + 1e-3
+    local_noise = jnp.sqrt(jnp.maximum(m2 - m1 * m1, 0.0)) + 1e-3
+    if noise is None:
+        noise = local_noise
+    else:
+        # override where it carries signal (temporal_noise returns 0 on
+        # pixels without enough history); local estimate elsewhere
+        ov = jnp.asarray(noise, jnp.float32)
+        noise = jnp.where(ov > 0.0, jnp.maximum(ov, 1e-3), local_noise)
 
     # firefly pre-clamp: cap demodulated luminance at local mean + k*std
-    # (outlier energy is unrecoverable spatially and dominates error)
-    cap = m1 + firefly_k * noise  # in log1p-luminance units
+    # (outlier energy is unrecoverable spatially and dominates error).
+    # Always the LOCAL std: a firefly is a spatial outlier, and temporal
+    # variance AT the firefly is exactly what cannot be trusted.
+    cap = m1 + firefly_k * local_noise  # in log1p-luminance units
     scale = jnp.minimum(1.0, jnp.expm1(cap)
                         / jnp.maximum(jnp.expm1(lum0), 1e-20))
     irr = [p * scale for p in irr]

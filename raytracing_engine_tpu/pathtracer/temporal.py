@@ -41,6 +41,11 @@ class TemporalState:
     length: jax.Array    # (H, W) effective history length (frames)
     cam_pos: jax.Array   # (3,) previous camera position
     cam_quat: jax.Array  # (4,) previous camera quaternion
+    # SVGF-style temporal moments of the per-FRAME demodulated log1p
+    # luminance (denoise.demod_log_lum units): same 1/(n+1) blend as
+    # irr, so m2-m1^2 is the sample variance of the frames seen
+    m1: jax.Array        # (H, W)
+    m2: jax.Array        # (H, W)
 
 
 def temporal_init(cfg: PTConfig) -> TemporalState:
@@ -52,6 +57,8 @@ def temporal_init(cfg: PTConfig) -> TemporalState:
         length=jnp.zeros((h, w), jnp.float32),
         cam_pos=jnp.zeros((3,), jnp.float32),
         cam_quat=jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
+        m1=jnp.zeros((h, w), jnp.float32),
+        m2=jnp.zeros((h, w), jnp.float32),
     )
 
 
@@ -131,6 +138,8 @@ def temporal_step(cfg: PTConfig, state: TemporalState, radiance, aovs,
     hist_dep = _bilinear(state.depth, fy, fx)
     hist_nrm = _bilinear(state.normal, fy, fx)
     hist_len = _bilinear(state.length, fy, fx)
+    hist_m1 = _bilinear(state.m1, fy, fx)
+    hist_m2 = _bilinear(state.m2, fy, fx)
 
     in_bounds = (fx >= 0) & (fx <= w - 1) & (fy >= 0) & (fy <= h - 1)
     # the history depth is the PREVIOUS camera's ray length to the same
@@ -157,8 +166,30 @@ def temporal_step(cfg: PTConfig, state: TemporalState, radiance, aovs,
         hist_irr * (1.0 - alpha[..., None]) + rad * alpha[..., None],
         rad)  # sky: always the fresh frame
 
+    # temporal moments of the per-frame demodulated log luminance (same
+    # blend weights): variance feeds the spatial filter's edge-stops —
+    # see temporal_noise()
+    from raytracing_engine_tpu.pathtracer.denoise import demod_log_lum
+
+    lum_f = demod_log_lum(rad, jnp.asarray(aovs["albedo"], jnp.float32))
+    m1 = hist_m1 * (1.0 - alpha) + lum_f * alpha
+    m2 = hist_m2 * (1.0 - alpha) + lum_f * lum_f * alpha
     new_state = TemporalState(
         irr=out, depth=dep, normal=nrm,
         length=jnp.where(hit, n_eff + 1.0, 0.0),
-        cam_pos=cam_pos, cam_quat=cam_quat)
+        cam_pos=cam_pos, cam_quat=cam_quat,
+        m1=jnp.where(hit, m1, 0.0), m2=jnp.where(hit, m2, 0.0))
     return new_state, out
+
+
+def temporal_noise(state: TemporalState, min_history: float = 4.0):
+    """(H, W) noise plane for denoise(noise=...): the temporally-estimated
+    standard error of the ACCUMULATED mean, sqrt(var/len), in
+    demod_log_lum units. Pixels with fewer than min_history frames return
+    0, and denoise(noise=...) falls back to its own single-frame local
+    estimate exactly there. SVGF's construction: temporal variance is
+    far tighter than any single-frame spatial estimate once a few frames
+    of history exist."""
+    var = jnp.maximum(state.m2 - state.m1 * state.m1, 0.0)
+    se = jnp.sqrt(var / jnp.maximum(state.length, 1.0))
+    return jnp.where(state.length >= min_history, se, 0.0)

@@ -108,3 +108,48 @@ def test_teleport_resets_history():
     st, out = temporal_step(cfg, st, img2, aovs2, POS, quat2)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(img2))
     assert float(st.length.max()) <= 1.0
+
+
+def test_temporal_moments_and_noise():
+    """Static camera: the temporal moments are exactly the sample moments
+    of the per-frame demodulated log luminances, and temporal_noise
+    shrinks ~1/sqrt(n); short-history pixels return 0 and denoise falls
+    back to its local estimate there (fixed point check)."""
+    from raytracing_engine_tpu.pathtracer import denoise, temporal_noise
+    from raytracing_engine_tpu.pathtracer.denoise import demod_log_lum
+
+    cfg = PTConfig(width=32, height=24, max_bounces=2, rng="pcg")
+    sc = scene()
+    st = temporal_init(cfg)
+    lums = []
+    for k in range(5):
+        img, aovs = _frame(cfg, sc, POS, QUAT, jax.random.PRNGKey(k))
+        lums.append(np.asarray(demod_log_lum(img, aovs["albedo"])))
+        st, out = temporal_step(cfg, st, img, aovs, POS, QUAT)
+    L = np.asarray(st.length)
+    full = L == 5.0
+    m1 = np.mean(lums, axis=0)
+    m2 = np.mean([x * x for x in lums], axis=0)
+    np.testing.assert_allclose(np.asarray(st.m1)[full], m1[full],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.m2)[full], m2[full],
+                               rtol=1e-4, atol=1e-5)
+    nz = np.asarray(temporal_noise(st))
+    want_se = np.sqrt(np.maximum(m2 - m1 * m1, 0.0) / 5.0)
+    # var = m2 - m1^2 is catastrophically cancellative in f32 when the
+    # luminance is near-deterministic (var ~ 1e-6 under m2 ~ 1), so the
+    # comparison carries an absolute floor; the estimate itself is used
+    # only as a filter bandwidth, where that floor is immaterial
+    np.testing.assert_allclose(nz[full], want_se[full], rtol=0.1,
+                               atol=2e-3)
+    # short-history pixels report 0 (denoise falls back there)
+    assert (nz[L < 4] == 0.0).all()
+
+    # denoise accepts the override; flat-region fixed point holds
+    flat = jnp.full((16, 16, 3), 0.3)
+    alb = jnp.full((16, 16, 3), 0.6)
+    nrm = jnp.zeros((16, 16, 3)).at[..., 2].set(1.0)
+    dep = jnp.full((16, 16), 5.0)
+    ov = jnp.full((16, 16), 0.01)
+    out = np.asarray(denoise(flat, alb, nrm, dep, iterations=2, noise=ov))
+    np.testing.assert_allclose(out, 0.3, rtol=1e-5)
