@@ -51,11 +51,16 @@ def pack_pt_scene(scene: PTScene):
     tri = jnp.concatenate(
         [scene.tri_v0, scene.tri_e1, scene.tri_e2,
          scene.tri_mat[:, None].astype(f32), jnp.zeros((T, 2), f32)], axis=1)
-    mat = jnp.concatenate(
-        [scene.mat_albedo, scene.mat_emission,
-         scene.mat_kind[:, None].astype(f32), scene.mat_ior[:, None]]
-        + ([scene.mat_albedo2, scene.mat_tex_scale[:, None],
-            jnp.zeros((M, 3), f32)] if scene.has_texture else []), axis=1)
+    mat_cols = [scene.mat_albedo, scene.mat_emission,
+                scene.mat_kind[:, None].astype(f32), scene.mat_ior[:, None]]
+    if scene.has_texture:
+        mat_cols += [scene.mat_albedo2, scene.mat_tex_scale[:, None]]
+    if scene.has_dispersion:
+        mat_cols += [scene.mat_dispersion[:, None]]
+    mat = jnp.concatenate(mat_cols, axis=1)
+    if mat.shape[1] % 4:  # pad to a lane-friendly multiple
+        mat = jnp.concatenate(
+            [mat, jnp.zeros((M, 4 - mat.shape[1] % 4), f32)], axis=1)
     light = jnp.concatenate(
         [scene.light_kind[:, None].astype(f32),
          scene.light_prim[:, None].astype(f32),
@@ -71,14 +76,17 @@ def pack_pt_scene(scene: PTScene):
 
 def _unpack_scene(sph, tri, mat, light, counts,
                   has_dielectric=False, env=None,
-                  has_texture=False) -> PTScene:
-    """Rebuild a PTScene view (of in-kernel arrays) from the packed tables."""
+                  has_texture=False, has_dispersion=False) -> PTScene:
+    """Rebuild a PTScene view (of in-kernel arrays) from the packed tables.
+    Optional-feature column offsets mirror pack_pt_scene's layout."""
     i32 = jnp.int32
+    disp_col = 12 if has_texture else 8
     return PTScene(
         has_dielectric=has_dielectric,
         env=env,
         mat_albedo2=mat[:, 8:11] if has_texture else None,
         mat_tex_scale=mat[:, 11] if has_texture else None,
+        mat_dispersion=mat[:, disp_col] if has_dispersion else None,
         sph_pos=sph[:, 0:3],
         sph_radius=sph[:, 3],
         sph_mat=sph[:, 4].astype(i32),
@@ -110,8 +118,8 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                n_instances: int = 0, t_pad: int = 0, n_orders: int = 0,
                groups: int = 1, fast_math: bool = False,
                has_diel: bool = False, has_env: bool = False,
-               has_tex: bool = False, adaptive_tol: float = 0.0,
-               adaptive_min: int = 8):
+               has_tex: bool = False, has_disp: bool = False,
+               adaptive_tol: float = 0.0, adaptive_min: int = 8):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
     env_ref = rest.pop(0) if has_env else None
@@ -173,7 +181,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                           (counts_ref[0], counts_ref[1], counts_ref[2],
                            counts_ref[3]), has_dielectric=has_diel,
                           env=env_ref[:, :3] if has_env else None,
-                          has_texture=has_tex)
+                          has_texture=has_tex, has_dispersion=has_disp)
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
 
@@ -377,7 +385,8 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         t_pad=cs.padded_tris if instanced else 0, n_orders=n_orders,
         groups=groups, fast_math=fast_math,
         has_diel=scene.has_dielectric, has_env=scene.has_env,
-        has_tex=scene.has_texture, adaptive_tol=float(adaptive_tol),
+        has_tex=scene.has_texture, has_disp=scene.has_dispersion,
+        adaptive_tol=float(adaptive_tol),
         adaptive_min=int(adaptive_min),
     )
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -338,6 +338,7 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         throughput=zero3 + 1.0,
         radiance=zero3,
         alive=zero == 0.0,
+        **({"chan": zero - 1.0} if scene.has_dispersion else {}),
         # True iff the PREVIOUS vertex performed NEE — emission hit through a
         # vertex that did NOT (camera, mirror, emissive-diffuse) gets full
         # weight; weighting it down would double-discount and bias darker.
@@ -457,6 +458,20 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
             # and Snell refraction; selecting reflect w.p. R cancels the
             # Fresnel factor from throughput (see scene.py DIELECTRIC)
             ior = scene.mat_ior[mat_id]
+            if scene.has_dispersion:
+                # spectral dispersion — same construction as wavefront.py
+                dispm = scene.mat_dispersion[mat_id]
+                pick = (hit & (kind == DIELECTRIC) & (dispm > 0.0)
+                        & (st["chan"] < 0.0))
+                c = jnp.clip(jnp.floor(u[1] * 3.0), 0.0, 2.0)
+                chan = jnp.where(pick, c, st["chan"])
+                onehot = jnp.stack(
+                    [jnp.where(pick, 3.0 * (chan == float(k)), 1.0)
+                     for k in range(3)], axis=-1)
+                st["throughput"] = st["throughput"] * onehot
+                st["chan"] = chan
+                shift = jnp.where(chan >= 0.0, (chan - 1.0) * 0.5, 0.0)
+                ior = ior + dispm * shift
             eta = jnp.where(isect["front"], 1.0 / ior, ior)
             cosi = -jnp.sum(st["d3"] * n3, axis=-1)  # n faces the ray: >= 0
             k = 1.0 - eta * eta * (1.0 - cosi * cosi)

@@ -108,6 +108,12 @@ class PTScene:
     # None = no material textures anywhere (static; zero cost).
     mat_albedo2: jax.Array | None = None    # (M, 3)
     mat_tex_scale: jax.Array | None = None  # (M,) f32 — 0 = flat
+    # spectral dispersion for DIELECTRIC materials: ior spread between
+    # the blue and red channels (ior_R = ior - d/2 ... ior_B = ior + d/2).
+    # A path hitting dispersive glass commits to ONE color channel
+    # (one-hot x3 throughput — unbiased, 3x chroma noise on glass paths).
+    # None = no dispersive materials anywhere (static; zero cost).
+    mat_dispersion: jax.Array | None = None  # (M,) f32 — 0 = achromatic
     # environment light: (2, 3) [bottom, top] radiance rows, linearly
     # interpolated on the ray direction's z (Z-up gradient sky; equal rows
     # = constant sky). Escaped rays add throughput * env(d) at FULL weight:
@@ -135,6 +141,10 @@ class PTScene:
     def has_texture(self) -> bool:
         # None-ness is pytree structure -> static predicate (like has_env)
         return self.mat_tex_scale is not None
+
+    @property
+    def has_dispersion(self) -> bool:
+        return self.mat_dispersion is not None
 
     @property
     def has_env(self) -> bool:
@@ -202,6 +212,7 @@ def build_pt_scene(
     mat_ior = np.ones((M,), np.float32)
     mat_albedo2 = np.zeros((M, 3), np.float32)
     mat_tex_scale = np.zeros((M,), np.float32)
+    mat_dispersion = np.zeros((M,), np.float32)
     for i, m in enumerate(materials):
         mat_kind[i] = m.get("kind", DIFFUSE)
         # a clear dielectric tints nothing: albedo defaults to 1 there
@@ -213,7 +224,9 @@ def build_pt_scene(
         if "checker" in m:  # {"color": (3,), "scale": cells-per-unit}
             mat_albedo2[i] = m["checker"].get("color", (0.0, 0.0, 0.0))
             mat_tex_scale[i] = m["checker"].get("scale", 1.0)
+        mat_dispersion[i] = m.get("dispersion", 0.0)
     textured = bool((mat_tex_scale > 0).any())
+    dispersive = bool((mat_dispersion > 0).any())
 
     # --- light table: all primitives whose material emits -----------------
     lk, lp, la, le = [], [], [], []
@@ -307,6 +320,7 @@ def build_pt_scene(
         mat_ior=jnp.asarray(mat_ior),
         mat_albedo2=jnp.asarray(mat_albedo2) if textured else None,
         mat_tex_scale=jnp.asarray(mat_tex_scale) if textured else None,
+        mat_dispersion=jnp.asarray(mat_dispersion) if dispersive else None,
         light_kind=jnp.asarray(light_kind),
         light_prim=jnp.asarray(light_prim),
         light_area=jnp.asarray(light_area),

@@ -27,8 +27,9 @@ instead of code:
 ```
 
 - `kind` is "diffuse" (default), "mirror", or "dielectric" (smooth glass;
-  optional `ior`, default 1.5; `albedo` is optional there and defaults to
-  [1,1,1] — a clear glass tints nothing).
+  optional `ior`, default 1.5; optional `dispersion` = ior spread between
+  blue and red for chromatic refraction; `albedo` is optional there and
+  defaults to [1,1,1] — a clear glass tints nothing).
 - `checker`: optional per-material world-space checker texture
   `{"color": [r,g,b], "scale": cells-per-unit}` alternating with `albedo`.
 - `meshes[*]` sources: `obj` (path relative to the JSON file), `icosphere`
@@ -67,7 +68,8 @@ _KINDS = {"diffuse": DIFFUSE, "mirror": MIRROR,
           "dielectric": DIELECTRIC}
 _TOP_KEYS = {"materials", "spheres", "meshes", "camera", "mesh_lights",
              "env", "instances"}
-_MAT_KEYS = {"albedo", "emission", "kind", "ior", "checker"}
+_MAT_KEYS = {"albedo", "emission", "kind", "ior", "checker",
+             "dispersion"}
 _SPH_KEYS = {"center", "radius", "mat"}
 _MESH_KEYS = {"obj", "icosphere", "knot", "mat", "scale", "translate"}
 _CAM_KEYS = {"position", "quat"}
@@ -141,7 +143,8 @@ def load_scene_json(path: str):
             raise ValueError(f"materials[{i}].kind {kind!r} not in "
                              f"{sorted(_KINDS)}")
         mat = {"emission": tuple(m.get("emission", (0, 0, 0))),
-               "kind": _KINDS[kind], "ior": float(m.get("ior", 1.5))}
+               "kind": _KINDS[kind], "ior": float(m.get("ior", 1.5)),
+               "dispersion": float(m.get("dispersion", 0.0))}
         if "checker" in m:  # {"color": [r,g,b], "scale": cells-per-unit}
             extra = set(m["checker"]) - {"color", "scale"}
             if extra:

@@ -873,6 +873,10 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         prev_pdf=zero,
         nrays=jnp.sum(zero),
     )
+    if scene.has_dispersion:
+        # committed color channel per lane (-1 = achromatic so far);
+        # set at the first dispersive-glass hit — see scene.mat_dispersion
+        st["chan"] = zero - 1.0
     if sort:
         st["px"] = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         st["py"] = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -1016,6 +1020,24 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             # and Snell refraction; one-sample R/(1-R) selection cancels the
             # Fresnel factor from throughput (see scene.py DIELECTRIC; same
             # math as integrator.py — the three integrators must agree)
+            if scene.has_dispersion:
+                # spectral dispersion: the first dispersive hit commits
+                # the lane to one channel (3x one-hot throughput —
+                # unbiased) and shifts its ior; u[1] is free on glass
+                # lanes (no hemisphere sample consumed)
+                M = scene.mat_albedo.shape[0]
+                dispm = _sel(isect["mat_id"], scene.mat_dispersion, M)
+                pick = (hit & (kind == DIELECTRIC) & (dispm > 0.0)
+                        & (st["chan"] < 0.0))
+                c = jnp.clip(jnp.floor(u[1] * 3.0), 0.0, 2.0)
+                chan = jnp.where(pick, c, st["chan"])
+                st["thr"] = tuple(
+                    st["thr"][k] * jnp.where(
+                        pick, 3.0 * (chan == float(k)), 1.0)
+                    for k in range(3))
+                st["chan"] = chan
+                shift = jnp.where(chan >= 0.0, (chan - 1.0) * 0.5, 0.0)
+                ior = ior + dispm * shift
             eta = jnp.where(isect["front"], 1.0 / ior, ior)
             cosi = -v3.dot(st["d"], n)  # n faces the ray: >= 0
             kk = 1.0 - eta * eta * (1.0 - cosi * cosi)
