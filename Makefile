@@ -2,11 +2,13 @@
 
 .PHONY: test test-fast test-tpu bench benchmarks golden native clean
 
-# Suite cost (1-CPU box): full ~45 min cold, ~20 min with a warm
-# .jax_cache (the conftest enables the persistent XLA compile cache;
-# the kernel suites are compile-dominated). -n auto parallelizes across
-# cores where available (each xdist worker gets its own 8-fake-device
-# backend — process-parallel safe).
+# Suite cost (1-CPU box): full ~45 min (compile-dominated kernel
+# suites). The persistent XLA compile cache is deliberately DISABLED in
+# tests/conftest.py — this jaxlib's executable (de)serialization
+# crash-killed xdist workers on several of this repo's programs (see the
+# conftest comment). -n auto parallelizes across cores where available
+# (each xdist worker gets its own 8-fake-device backend —
+# process-parallel safe).
 #
 # Concurrency with a chip job: on tunneled (axon) runtimes the site hook
 # in PYTHONPATH initializes the TPU plugin even under JAX_PLATFORMS=cpu,

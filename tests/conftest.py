@@ -16,33 +16,17 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# Persistent XLA compile cache: the interpret-mode kernel suites are
-# dominated by compile time (measured: test_clusters.py 152 s cold ->
-# 61 s warm). The cache key does NOT cover the host CPU's feature set for
-# XLA:CPU AOT results — loading artifacts compiled on a machine with e.g.
-# wider AVX-512 support SEGFAULTS on a lesser host (observed: xdist
-# worker "Fatal Python error: Segmentation fault" after cpu_aot_loader
-# feature-mismatch warnings) — so the directory is keyed by a hash of
-# this host's cpuinfo flags. Opt out with JAX_COMPILATION_CACHE_DIR="" .
-if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
-    import hashlib
-
-    try:
-        with open("/proc/cpuinfo") as _f:
-            _flags = next((ln for ln in _f if ln.startswith("flags")), "")
-    except OSError:
-        _flags = ""
-    _tag = hashlib.sha1(_flags.encode()).hexdigest()[:12]
-    # one subdir per xdist worker: concurrent cache WRITES from parallel
-    # workers into one directory have segfaulted inside
-    # compilation_cache.put_executable_and_time (zstd serialization) —
-    # observed twice, only under -n auto; serial runs never crash
-    _worker = os.environ.get("PYTEST_XDIST_WORKER", "main")
-    os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache", _tag, _worker,
-    )
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# Persistent XLA compile cache: DISABLED for the suite. It was a real
+# speedup (test_clusters.py 152 s cold -> 61 s warm), but this jaxlib's
+# XLA:CPU executable (de)serialization is unreliable for this repo's
+# programs — five full-suite runs produced five fatal-signal worker
+# crashes inside compilation_cache.{put,get}_executable_and_time, across
+# DIFFERENT tests (frame-sequence executables twice on write, two
+# different artifacts on read), surviving per-host-CPU cache keys,
+# per-xdist-worker directories, and cache clears. A crash-flaky suite is
+# worse than a slower one. Opt back in explicitly by exporting
+# JAX_COMPILATION_CACHE_DIR.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "")
 
 # JAX_PLATFORMS is bound to jax.config at import time; if a pytest plugin
 # already imported jax (before this conftest), the env var alone is too late.
