@@ -29,6 +29,7 @@ CLUSTER = 128  # one full lane row per cluster
 SUPER = 8      # clusters per super-cluster (16 measured slower with BW tests)
 SUBS = 4       # sub-boxes per cluster (32-triangle gates; 2/8/16 measured slower with BW tests on v5e)
 ROWS = 24      # tri-table rows (f32 sublane tiles of 8; 21 used, 3 spare)
+ROWS_SMOOTH = 32  # +8 rows when per-corner shading normals are stored
 
 # Triangle rows hold the Baldwin–Weber precomputed intersection transform
 # (plane + barycentric rows) instead of raw v0/e1/e2: ~30% fewer VPU ops
@@ -45,6 +46,22 @@ ROWS = 24      # tri-table rows (f32 sublane tiles of 8; 21 used, 3 spare)
 #   rows 14-19 sub-box [minx,miny,minz,maxx,maxy,maxz] at lanes 0..SUBS-1
 #   row  20    oc     cluster-local origin (box center) at lanes 0..2
 #   rows 21-23 spare
+#
+# Smooth-shading tables (build_clusters(vertex_normals=...)) append 8 rows
+# (ROWS_SMOOTH=32; f32 sublane tiles of 8) holding the per-corner shading
+# normals in interpolation-ready form, so the sweep's attrs path emits
+# ns = s0 + u*(s1-s0) + v*(s2-s0) with 9 extra FMAs per test and the SAME
+# select count (reference shades with interpolated normals implicitly via
+# its analytic SDF gradients — shaders/utilities.glsl sceneSDF; meshes are
+# the north-star extension, so Gouraud-interpolated normals are the parity
+# analog):
+#   rows 21-23 s0     corner-0 shading normal
+#   rows 24-26 s1-s0  corner-1 delta
+#   rows 27-29 s2-s0  corner-2 delta
+#   rows 30-31 spare
+# Flat tables stay at ROWS=24 — zero cost when no normals are given; a
+# flat mesh inside a smooth build stores s0=face normal, deltas=0, which
+# interpolates back to exact flat shading (mixed meshes compose).
 #
 # The affine rows (nd, c1, c2) are REBASED to each cluster's box center:
 # nd = -n.(v0-oc) etc., and the kernel intersects with o' = o - oc. This
@@ -86,6 +103,12 @@ class ClusterSet:
     def padded_tris(self) -> int:
         return self.tri.shape[1]
 
+    @property
+    def smooth(self) -> bool:
+        """True when the table carries per-corner shading-normal rows
+        (21-29) — the sweep then emits interpolated normals."""
+        return self.tri.shape[0] >= ROWS_SMOOTH
+
 
 def _subtree_ranges(bvh: BVH, max_tris: int, descend: int | None = None):
     """DFS-ordered (start, end) triangle ranges, each a whole BVH subtree
@@ -94,12 +117,16 @@ def _subtree_ranges(bvh: BVH, max_tris: int, descend: int | None = None):
     A fixed 128-chunk of the leaf order can straddle a major BVH split and
     get a box spanning disjoint geometry; cutting at subtree boundaries
     keeps every cluster box as tight as the tree itself. Descends to
-    subtrees of <= ``descend`` (default max_tris//2) before packing: the
-    median-split tree makes sibling subtrees near-equal, so stopping at
-    <= max_tris strands pairs like 69+69 that cannot merge under the cap
-    (measured 55% fill, and the doubled cluster count cost more than the
-    tighter boxes saved); half-size chunks repack to ~85%+ fill while a
-    merged box is still the union of 2-3 adjacent siblings."""
+    subtrees of <= ``descend`` before packing. Default ``max_tris`` (=128):
+    finer chunks repack into tighter merged boxes at a modest cluster-count
+    increase — the on-chip A/B (benchmarks/run_packing_ab.sh, config 3
+    @512^2) measured 145.8 ms at descend=64, 138.2 at 96, 133.3 at 128
+    (-8.6%, the default), with the DP-optimal contiguous partition
+    (align="dp", kc=0.5) tying at 134.6 — the cheap subtree cut already
+    sits at the cost-model optimum. History: descend=64 was chosen over
+    stopping at <= max_tris when clusters held RAW triangles; with
+    Baldwin-Weber rows the per-cluster constant is lower, which moves the
+    optimum to finer descent."""
     first = np.asarray(bvh.first_tri)
     cnt = np.asarray(bvh.tri_count)
     skip = np.asarray(bvh.skip)
@@ -114,7 +141,7 @@ def _subtree_ranges(bvh: BVH, max_tris: int, descend: int | None = None):
     ranges = []
     stack = [0]
     if descend is None:
-        descend = max(max_tris // 2, 1)
+        descend = max(max_tris, 1)
     while stack:
         i = stack.pop()
         s, e = int(nxt[i]), int(nxt[min(int(skip[i]), N)])
@@ -214,12 +241,18 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
                    tri_mats: np.ndarray | None = None,
                    align: str = "subtree", method: str = "sah",
                    descend: int | None = None,
-                   dp_kc: float = 0.25) -> ClusterSet:
+                   dp_kc: float = 0.25,
+                   vertex_normals: np.ndarray | None = None) -> ClusterSet:
     """triangles: (T, 3, 3). Uses the BVH leaf order for spatial coherence
     (builds one if not given), pads to a CLUSTER multiple with degenerate
     triangles (zero rows -> never hit) inside NaN never-hit boxes.
     tri_mats: optional (T,) material ids, stored in tri row 12 so the
     intersector can emit materials without a post-kernel gather.
+    vertex_normals: optional (T, 3, 3) per-corner shading normals
+    (accel.mesh.smooth_vertex_normals / load_obj(normals=True)) — stored
+    in rows 21-29 (ROWS_SMOOTH table) so the sweep emits barycentric-
+    interpolated smooth normals; corners whose normal is zero/non-finite
+    fall back to the face normal (flat).
 
     align: "subtree" cuts clusters at BVH subtree boundaries (tight boxes,
     some intra-cluster padding — see _subtree_ranges); "fixed" packs the
@@ -331,6 +364,28 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     r1 = np.cross(e2, n) * inv_nn
     r2 = np.cross(n, e1) * inv_nn
     n = np.where(ok[:, None], n, 0.0)
+
+    # per-corner shading normals in padded slot order (smooth tables only):
+    # normalized on host; zero / non-finite corners fall back to the
+    # normalized face normal, which interpolates back to flat shading
+    svn = None
+    if vertex_normals is not None:
+        vn_ord = np.asarray(vertex_normals, np.float32)[perm]
+        if vn_ord.shape != (T, 3, 3):
+            raise ValueError(
+                f"vertex_normals must be (T, 3, 3) matching triangles; got "
+                f"{np.asarray(vertex_normals).shape} for T={T}")
+        svn = np.zeros((3, T_pad, 3), np.float32)
+        for c, (s, e) in enumerate(ranges):
+            base = c * CLUSTER
+            for k in range(3):
+                svn[k, base:base + (e - s)] = vn_ord[s:e, k]
+        nf = n / np.maximum(np.sqrt(nn), 1e-30)[:, None]
+        for k in range(3):
+            ln = np.linalg.norm(svn[k], axis=1)
+            good = np.isfinite(ln) & (ln > 1e-12)
+            svn[k] = np.where(good[:, None],
+                              svn[k] / np.maximum(ln, 1e-30)[:, None], nf)
     # per-slot cluster-local origin (box center; 0 for padded clusters) —
     # the affine offsets are precomputed against v0 - oc (see row map)
     with np.errstate(invalid="ignore"):
@@ -343,7 +398,8 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     c1 = -np.einsum("ij,ij->i", r1, v0l)
     c2 = -np.einsum("ij,ij->i", r2, v0l)
 
-    tri_rows = np.zeros((ROWS, T_pad), np.float32)
+    tri_rows = np.zeros((ROWS_SMOOTH if svn is not None else ROWS, T_pad),
+                        np.float32)
     tri_rows[0:3] = n.T
     tri_rows[3] = nd
     tri_rows[4:7] = r1.T
@@ -363,6 +419,10 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     for c in range(C):
         for s in range(SUBS):
             tri_rows[14:20, c * CLUSTER + s] = sub_boxes[c * SUBS + s]
+    if svn is not None:  # rows 21-29: s0, s1-s0, s2-s0 (see row map)
+        tri_rows[21:24] = svn[0].T
+        tri_rows[24:27] = (svn[1] - svn[0]).T
+        tri_rows[27:30] = (svn[2] - svn[0]).T
     # farthest-point sample of the (finite) super centroids: reference
     # origins for the per-tile visit-order tables (see ClusterSet field)
     finite = super_centroid[np.abs(super_centroid[:, 0]) < 1e29]

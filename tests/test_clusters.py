@@ -228,8 +228,8 @@ def test_descend_depth_partitions_and_agrees():
                    for i in range(len(ranges) - 1))
         assert all(0 < e - s <= CLUSTER for s, e in ranges)
 
-    cs_half = build_clusters(mesh, bvh=bvh)  # default descend = CLUSTER//2
-    cs_full = build_clusters(mesh, bvh=bvh, descend=CLUSTER)
+    cs_half = build_clusters(mesh, bvh=bvh, descend=CLUSTER // 2)
+    cs_full = build_clusters(mesh, bvh=bvh)  # default descend = CLUSTER
     o, d = _ray_grid(8, 128, seed=17)
     t_h, i_h = cluster_intersect(cs_half, o, d, jnp.inf, interpret=True)
     t_f, i_f = cluster_intersect(cs_full, o, d, jnp.inf, interpret=True)
