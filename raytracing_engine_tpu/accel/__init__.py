@@ -5,5 +5,6 @@ from raytracing_engine_tpu.accel.mesh import (  # noqa: F401
     icosphere,
     load_obj,
     save_obj,
+    smooth_vertex_normals,
     torus_knot,
 )

@@ -370,11 +370,12 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     # normalized face normal, which interpolates back to flat shading
     svn = None
     if vertex_normals is not None:
-        vn_ord = np.asarray(vertex_normals, np.float32)[perm]
-        if vn_ord.shape != (T, 3, 3):
+        vn_arr = np.asarray(vertex_normals, np.float32)
+        if vn_arr.shape != (T, 3, 3):
             raise ValueError(
                 f"vertex_normals must be (T, 3, 3) matching triangles; got "
-                f"{np.asarray(vertex_normals).shape} for T={T}")
+                f"{vn_arr.shape} for T={T}")
+        vn_ord = vn_arr[perm]
         svn = np.zeros((3, T_pad, 3), np.float32)
         for c, (s, e) in enumerate(ranges):
             base = c * CLUSTER

@@ -10,9 +10,15 @@ from __future__ import annotations
 import numpy as np
 
 
-def load_obj(path: str) -> np.ndarray:
-    """Minimal OBJ reader: v + f (tri or fan-triangulated). Returns (T, 3, 3)."""
-    verts, faces = [], []
+def load_obj(path: str, normals: bool = False):
+    """Minimal OBJ reader: v / vn + f (tri or fan-triangulated).
+
+    Returns (T, 3, 3) vertex positions; with normals=True returns
+    (tris, vnormals) where vnormals is a (T, 3, 3) per-corner shading
+    normal array (from the file's `vn` records and `f v//vn` indices) or
+    None when the file carries no normals — callers fall back to
+    ``smooth_vertex_normals`` or flat shading."""
+    verts, vns, faces, nfaces = [], [], [], []
     with open(path) as f:
         for line in f:
             parts = line.split()
@@ -20,14 +26,55 @@ def load_obj(path: str) -> np.ndarray:
                 continue
             if parts[0] == "v":
                 verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "vn":
+                vns.append([float(x) for x in parts[1:4]])
             elif parts[0] == "f":
-                idx = [int(p.split("/")[0]) for p in parts[1:]]
+                comp = [p.split("/") for p in parts[1:]]
+                idx = [int(c[0]) for c in comp]
                 idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                nidx = [int(c[2]) if len(c) >= 3 and c[2] else 0
+                        for c in comp]
+                nidx = [i - 1 if i > 0 else (len(vns) + i if i < 0 else -1)
+                        for i in nidx]
                 for k in range(1, len(idx) - 1):  # fan
                     faces.append([idx[0], idx[k], idx[k + 1]])
+                    nfaces.append([nidx[0], nidx[k], nidx[k + 1]])
     v = np.asarray(verts, np.float32)
     f = np.asarray(faces, np.int64)
-    return v[f]
+    tris = v[f]
+    if not normals:
+        return tris
+    nf = np.asarray(nfaces, np.int64)
+    if not vns or (nf < 0).any():
+        return tris, None
+    vn = np.asarray(vns, np.float32)
+    return tris, vn[nf]
+
+
+def smooth_vertex_normals(triangles: np.ndarray,
+                          weld_tol: float = 1e-6) -> np.ndarray:
+    """Area-weighted smooth per-corner normals for a (T, 3, 3) triangle
+    soup: corners are welded by position (quantized to weld_tol of the
+    bbox diagonal), each welded vertex accumulates the unnormalized face
+    normals (cross product = area weighting) of its incident faces, and
+    each corner reads back its vertex's normalized sum. Degenerate sums
+    (opposing faces cancel) fall back to the face normal."""
+    tris = np.asarray(triangles, np.float64)
+    face_n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    pts = tris.reshape(-1, 3)
+    diag = float(np.linalg.norm(pts.max(0) - pts.min(0))) or 1.0
+    q = np.round(pts / (weld_tol * diag)).astype(np.int64)
+    _, inv = np.unique(q, axis=0, return_inverse=True)
+    acc = np.zeros((inv.max() + 1, 3), np.float64)
+    np.add.at(acc, inv, np.repeat(face_n, 3, axis=0))
+    vn = acc[inv].reshape(-1, 3, 3)
+    ln = np.linalg.norm(vn, axis=-1, keepdims=True)
+    face_rep = np.repeat(face_n[:, None, :], 3, axis=1)
+    fln = np.maximum(np.linalg.norm(face_rep, axis=-1, keepdims=True),
+                     1e-30)
+    vn = np.where(ln > 1e-12 * diag * diag, vn / np.maximum(ln, 1e-30),
+                  face_rep / fln)
+    return vn.astype(np.float32)
 
 
 def icosphere(subdivisions: int = 4, radius: float = 1.0,

@@ -283,17 +283,19 @@ def cmd_pt(args):
         from raytracing_engine_tpu.pathtracer.sceneio import load_scene_json
 
         (scene, mesh, tri_mats, cam_pos, cam_quat,
-         instanced) = load_scene_json(args.scene)
+         instanced, tri_normals) = load_scene_json(args.scene)
         pos, quat = jnp.asarray(cam_pos), jnp.asarray(cam_quat)
         if mesh is not None:
-            print(f"{args.scene}: {mesh.shape[0]} triangles")
+            print(f"{args.scene}: {mesh.shape[0]} triangles"
+                  + (" (smooth)" if tri_normals is not None else ""))
             if args.bvh:
                 import jax as _jax
 
                 from raytracing_engine_tpu.accel import build_bvh
                 from raytracing_engine_tpu.accel.clusters import build_clusters
 
-                bvh = (build_clusters(mesh, tri_mats=tri_mats)
+                bvh = (build_clusters(mesh, tri_mats=tri_mats,
+                                      vertex_normals=tri_normals)
                        if _jax.default_backend() == "tpu"
                        else build_bvh(mesh))
         if instanced is not None:
@@ -331,14 +333,22 @@ def cmd_pt(args):
         from raytracing_engine_tpu.accel.clusters import build_clusters
         from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
 
+        vnorms = None
         if args.scene == "obj":
             if not args.mesh:
                 raise SystemExit("--scene obj requires --mesh FILE.obj")
-            mesh = load_obj(args.mesh)
+            if args.smooth:
+                mesh, vnorms = load_obj(args.mesh, normals=True)
+            else:
+                mesh = load_obj(args.mesh)
             print(f"{args.mesh}: {mesh.shape[0]} triangles")
         else:
             mesh = torus_knot(segments=args.segments, sides=32,
                               center=(0.0, 8.0, 0.0))
+        if args.smooth and vnorms is None:
+            from raytracing_engine_tpu.accel import smooth_vertex_normals
+
+            vnorms = smooth_vertex_normals(mesh)
         mats = [
             {"albedo": (0.7, 0.6, 0.4), "kind": DIFFUSE},
             {"albedo": (0, 0, 0), "emission": (10.0, 10.0, 10.0), "kind": DIFFUSE},
@@ -355,7 +365,8 @@ def cmd_pt(args):
             import jax as _jax
 
             bvh = (build_clusters(mesh,
-                                  tri_mats=onp.zeros(mesh.shape[0], onp.int32))
+                                  tri_mats=onp.zeros(mesh.shape[0], onp.int32),
+                                  vertex_normals=vnorms)
                    if _jax.default_backend() == "tpu" else build_bvh(mesh))
         pos, quat = jnp.zeros(3), jnp.array([0.0, 0.0, 0.0, 1.0])
     else:
@@ -595,6 +606,10 @@ def main(argv=None):
     p.add_argument("--rng", choices=["threefry", "pcg", "pallas"], default="pcg")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bvh", action="store_true")
+    p.add_argument("--smooth", action="store_true",
+                   help="interpolated vertex-normal shading for --scene "
+                        "obj/knot (OBJ vn records when present, else "
+                        "computed welded-vertex normals; needs --bvh)")
     p.add_argument("--segments", type=int, default=1100)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--fresh", action="store_true")

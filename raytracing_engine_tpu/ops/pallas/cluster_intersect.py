@@ -30,7 +30,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytracing_engine_tpu.accel.clusters import CLUSTER, SUBS, SUPER, ClusterSet
+from raytracing_engine_tpu.accel.clusters import (
+    CLUSTER, ROWS_SMOOTH, SUBS, SUPER, ClusterSet)
 
 SUB_TRIS = CLUSTER // SUBS
 _INF = np.float32(np.inf)
@@ -127,6 +128,9 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
     o, d: ray component planes; t0: initial best-t plane (doubles as t_max).
     idx < 0 means miss (t is then left at whatever the carry held — mask on
     idx, not t). attr = (nx, ny, nz, mat, 2*area) planes when attrs else ().
+    The normal attr is the GEOMETRIC plane normal for flat (ROWS=24)
+    tables and the barycentric-interpolated SHADING normal for smooth
+    (ROWS_SMOOTH) tables — detected statically from the table shape.
     Results are visit-order independent; order is a near-to-far perf hint.
 
     kc.groups = G > 1 splits every per-lane plane into G row groups while
@@ -137,6 +141,7 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
     every plane is then a 1-tuple of the whole tile and the emitted ops
     are identical to the pre-group implementation.
     """
+    smooth = kc.tri_ref.shape[0] >= ROWS_SMOOTH  # static: table shape
     G = kc.groups
     H = o[0].shape[0]
     if H % G:
@@ -243,9 +248,20 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
             t = jnp.where(ok, tt, t)
             idx = jnp.where(ok, jnp.float32(1.0) * (c * CLUSTER + k), idx)
             if attrs:
-                anx = jnp.where(ok, nx, anx)
-                any_ = jnp.where(ok, ny, any_)
-                anz = jnp.where(ok, nz, anz)
+                if smooth:
+                    # barycentric-interpolated shading normal from rows
+                    # 21-29 (s0, s1-s0, s2-s0 — accel/clusters.py row
+                    # map): 9 extra FMAs per test, same select count.
+                    # Normalization/facing happen downstream exactly as
+                    # for the flat (geometric) normal.
+                    cnx = blk[21, k] + u * blk[24, k] + v * blk[27, k]
+                    cny = blk[22, k] + u * blk[25, k] + v * blk[28, k]
+                    cnz = blk[23, k] + u * blk[26, k] + v * blk[29, k]
+                else:
+                    cnx, cny, cnz = nx, ny, nz
+                anx = jnp.where(ok, cnx, anx)
+                any_ = jnp.where(ok, cny, any_)
+                anz = jnp.where(ok, cnz, anz)
                 amat = jnp.where(ok, blk[12, k], amat)
                 aarea = jnp.where(ok, blk[13, k], aarea)
         if attrs:

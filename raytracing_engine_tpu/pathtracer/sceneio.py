@@ -35,6 +35,9 @@ instead of code:
 - `meshes[*]` sources: `obj` (path relative to the JSON file), `icosphere`
   (accel.icosphere kwargs), `knot` (accel.torus_knot kwargs). `scale` and
   `translate` post-transform vertices. Each mesh gets ONE material.
+  `"smooth": true` shades the mesh with barycentric-interpolated vertex
+  normals (the OBJ's `vn` records when present, else area-weighted
+  welded-vertex normals) — requires the cluster path (`--bvh` on TPU).
 - `camera` is optional (origin, identity quat); `cli pt --scene f.json`
   uses it as the starting pose.
 - `env`: gradient-sky environment light — `[r, g, b]` (constant) or
@@ -71,7 +74,8 @@ _TOP_KEYS = {"materials", "spheres", "meshes", "camera", "mesh_lights",
 _MAT_KEYS = {"albedo", "emission", "kind", "ior", "checker",
              "dispersion"}
 _SPH_KEYS = {"center", "radius", "mat"}
-_MESH_KEYS = {"obj", "icosphere", "knot", "mat", "scale", "translate"}
+_MESH_KEYS = {"obj", "icosphere", "knot", "mat", "scale", "translate",
+              "smooth"}
 _CAM_KEYS = {"position", "quat"}
 _INST_KEYS = {"mesh", "mat", "grid", "transforms"}
 _GRID_KEYS = {"nx", "ny", "spacing", "base"}
@@ -85,19 +89,29 @@ def _check_keys(d: dict, allowed: set, what: str) -> None:
                          f"allowed: {sorted(allowed)}")
 
 
-def _mesh_tris(entry: dict, base_dir: str) -> np.ndarray:
+def _mesh_tris(entry: dict, base_dir: str):
+    """-> (tris (T,3,3), vnormals (T,3,3) | None). Normals are returned
+    only for entries with `"smooth": true` — from the OBJ's `vn` records
+    when present, else area-weighted welded-vertex normals
+    (accel.mesh.smooth_vertex_normals). Uniform scale / translate leave
+    normal directions unchanged."""
     sources = [k for k in ("obj", "icosphere", "knot") if k in entry]
     if len(sources) != 1:
         raise ValueError(f"mesh entry needs exactly one of obj/icosphere/"
                          f"knot, got {sources or 'none'}")
     src = sources[0]
+    smooth = bool(entry.get("smooth", False))
+    vn = None
     if src == "obj":
         from raytracing_engine_tpu.accel import load_obj
 
         path = entry["obj"]
         if not os.path.isabs(path):
             path = os.path.join(base_dir, path)
-        tris = load_obj(path)
+        if smooth:
+            tris, vn = load_obj(path, normals=True)
+        else:
+            tris = load_obj(path)
     elif src == "icosphere":
         from raytracing_engine_tpu.accel import icosphere
 
@@ -107,20 +121,27 @@ def _mesh_tris(entry: dict, base_dir: str) -> np.ndarray:
 
         tris = torus_knot(**entry["knot"])
     tris = np.asarray(tris, np.float32)
+    if smooth and vn is None:
+        from raytracing_engine_tpu.accel.mesh import smooth_vertex_normals
+
+        vn = smooth_vertex_normals(tris)
     if "scale" in entry:
         tris = tris * np.float32(entry["scale"])
     if "translate" in entry:
         tris = tris + np.asarray(entry["translate"], np.float32)
-    return tris
+    return tris, vn
 
 
 def load_scene_json(path: str):
     """Load a JSON scene file.
 
     Returns (scene: PTScene, tris: (T,3,3) f32 | None, tri_mats: (T,) i32
-    | None, cam_pos: (3,) f32, cam_quat: (4,) f32, instanced: dict | None).
-    tris/tri_mats feed accel.clusters.build_clusters / accel.build_bvh for
-    the --bvh path. `instanced` (from a top-level "instances" object:
+    | None, cam_pos: (3,) f32, cam_quat: (4,) f32, instanced: dict | None,
+    tri_normals: (T,3,3) f32 | None). tris/tri_mats/tri_normals feed
+    accel.clusters.build_clusters / accel.build_bvh for the --bvh path;
+    tri_normals is non-None when any mesh entry sets `"smooth": true`
+    (flat entries then carry face normals per corner, so a mixed scene
+    builds ONE smooth cluster table that shades each part correctly). `instanced` (from a top-level "instances" object:
     {"mesh": <mesh entry>, "mat": id, "grid": {nx, ny, spacing, base}} or
     explicit "transforms": [{"translate", "rotate_z", "scale"}, ...])
     carries {mesh (T,3,3), transforms [(rot3x3, trans3, scale)], mat} for
@@ -174,17 +195,31 @@ def load_scene_json(path: str):
         spheres.append((tuple(s["center"]), float(s["radius"]),
                         _mat_id(s["mat"], f"spheres[{i}]")))
 
-    tris = tri_mats = None
-    parts, part_mats = [], []
+    tris = tri_mats = tri_normals = None
+    parts, part_mats, part_ns = [], [], []
     for i, m in enumerate(spec.get("meshes", [])):
         _check_keys(m, _MESH_KEYS, f"meshes[{i}]")
-        t = _mesh_tris(m, base_dir)
+        t, vn = _mesh_tris(m, base_dir)
         parts.append(t)
+        part_ns.append(vn)
         part_mats.append(np.full(len(t), _mat_id(m.get("mat", 0),
                                                  f"meshes[{i}]"), np.int32))
     if parts:
         tris = np.concatenate(parts, axis=0)
         tri_mats = np.concatenate(part_mats, axis=0)
+        if any(vn is not None for vn in part_ns):
+            # mixed smooth/flat: flat parts store face normals per corner,
+            # which interpolate back to exact flat shading
+            def _flat(t):
+                n = np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0])
+                ln = np.maximum(np.linalg.norm(n, axis=1, keepdims=True),
+                                1e-30)
+                return np.repeat((n / ln)[:, None, :], 3,
+                                 axis=1).astype(np.float32)
+
+            tri_normals = np.concatenate(
+                [vn if vn is not None else _flat(t)
+                 for t, vn in zip(parts, part_ns)], axis=0)
 
     env = spec.get("env")
     if isinstance(env, dict):
@@ -211,8 +246,9 @@ def load_scene_json(path: str):
         _check_keys(inst, _INST_KEYS, "instances")
         if "mesh" not in inst:
             raise ValueError("instances.mesh is required")
-        _check_keys(inst["mesh"], _MESH_KEYS - {"mat"}, "instances.mesh")
-        imesh = _mesh_tris(inst["mesh"], base_dir)
+        _check_keys(inst["mesh"], _MESH_KEYS - {"mat", "smooth"},
+                    "instances.mesh")
+        imesh, _ = _mesh_tris(inst["mesh"], base_dir)
         imat = _mat_id(inst.get("mat", 0), "instances")
         transforms = []
         if "grid" in inst:
@@ -248,4 +284,4 @@ def load_scene_json(path: str):
     if cam_pos.shape != (3,) or cam_quat.shape != (4,):
         raise ValueError("camera.position must be length 3, camera.quat "
                          "length 4")
-    return scene, tris, tri_mats, cam_pos, cam_quat, instanced
+    return scene, tris, tri_mats, cam_pos, cam_quat, instanced, tri_normals

@@ -273,6 +273,25 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
         idx = jnp.maximum(cs.perm[safe], 0)
         n = (cs.tri[0, safe], cs.tri[1, safe], cs.tri[2, safe])
         nlen2 = cs.tri[13, safe]
+        if cs.smooth:
+            # smooth table (rows 21-29): recompute the hit barycentrics
+            # from the affine rows at the hit point (cluster-local, row
+            # 20 origin) and interpolate the per-corner shading normals —
+            # the gather-path analog of the sweep's in-kernel smooth
+            # attrs; misses produce garbage planes that are masked by
+            # sidx/use_tri downstream exactly like the flat gathers.
+            from raytracing_engine_tpu.accel.clusters import CLUSTER
+
+            base = (safe // CLUSTER) * CLUSTER
+            px = o[0] + t * d[0] - cs.tri[20, base]
+            py = o[1] + t * d[1] - cs.tri[20, base + 1]
+            pz = o[2] + t * d[2] - cs.tri[20, base + 2]
+            u = (cs.tri[4, safe] * px + cs.tri[5, safe] * py
+                 + cs.tri[6, safe] * pz + cs.tri[7, safe])
+            v = (cs.tri[8, safe] * px + cs.tri[9, safe] * py
+                 + cs.tri[10, safe] * pz + cs.tri[11, safe])
+            n = tuple(cs.tri[21 + a, safe] + u * cs.tri[24 + a, safe]
+                      + v * cs.tri[27 + a, safe] for a in range(3))
         return jnp.where(sidx >= 0, t, BIG), idx, n, nlen2
     if bvh is not None:
         if _use_packet(packet):

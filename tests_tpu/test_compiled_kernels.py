@@ -86,6 +86,20 @@ def test_cluster_kernel(mesh_setup):
                                       "area")):
         _assert_close(g, w, label=f"cluster.{name}")
 
+    # smooth (ROWS_SMOOTH) table: the compiled sweep's interpolated-normal
+    # attrs must match interpret mode too (9 extra FMAs per test)
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+
+    vn = np.asarray(mesh - np.array([0.0, 5.0, 0.0], np.float32)) / 1.2
+    cs_s = build_clusters(mesh, vertex_normals=vn.astype(np.float32))
+    got_s = cluster_intersect(cs_s, o, d, jnp.inf, attrs=True,
+                              interpret=False)
+    want_s = cluster_intersect(cs_s, o, d, jnp.inf, attrs=True,
+                               interpret=True)
+    for g, w, name in zip(got_s, want_s, ("t", "idx", "nx", "ny", "nz",
+                                          "mat", "area")):
+        _assert_close(g, w, label=f"cluster.smooth.{name}")
+
     got_ah = cluster_intersect(cs, o, d, 10.0, any_hit=True, interpret=False)
     want_ah = cluster_intersect(cs, o, d, 10.0, any_hit=True, interpret=True)
     # any-hit sweeps use pl.reciprocal(approx=True) on hardware (interpret
