@@ -110,6 +110,21 @@ def test_sharded_mega_cluster_scene(setup):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-7)
 
+    # smooth (vertex-normal) cluster table shards identically: the
+    # ROWS_SMOOTH rows ride the same replicated-pytree path
+    vn = (tris - np.array([0.0, 5.0, 0.0], np.float32)) / 1.2
+    cs_s = build_clusters(tris, tri_mats=np.zeros(len(tris), np.int32),
+                          vertex_normals=vn.astype(np.float32))
+    want_s, _ = render_pt_mega(cfg, scene, pos, quat, 4, KEY, tile=tile,
+                               bvh=cs_s)
+    got_s, _ = render_pt_sharded(cfg, scene, pos, quat, 4, KEY,
+                                 make_mesh(4, 2), bvh=cs_s, mega=True,
+                                 tile=tile)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-6, atol=1e-7)
+    # and the smooth render genuinely differs from the flat one
+    assert np.abs(np.asarray(want_s) - np.asarray(want)).max() > 1e-4
+
 
 def test_progressive_sharded_resume_across_mesh_shapes(setup, tmp_path):
     """A multi-chip progressive job checkpointed on one mesh shape resumes
