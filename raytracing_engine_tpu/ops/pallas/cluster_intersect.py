@@ -66,6 +66,12 @@ class KernelClusters:
     orders_ref: Any = None
     refs_ref: Any = None
     n_orders: int = 0
+    # Forced visit-order row: when not None, order_ref is a 2D (K, S) SMEM
+    # table and the sweep reads row `order_row` (a traced scalar). Used by
+    # the instanced sweep to give EACH INSTANCE its own object-space
+    # near-to-far order (the world camera is meaningless in object space,
+    # so a shared 1D order cannot exist there). Pure perf hint.
+    order_row: Any = None
     # Row-group-gated test issue: split the per-lane planes into `groups`
     # row groups (tile_h must divide; (8,128) groups = one f32 vreg) while
     # the SCALAR traversal stays shared — one super while-loop, one child
@@ -350,7 +356,9 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
     def body(state):
         si, live, flat = state[0], state[1], state[2:]
         t, idx, _ = unpack(flat)
-        if order_k is None:
+        if kc.order_row is not None:
+            s = kc.order_ref[kc.order_row, si]  # per-instance order row
+        elif order_k is None:
             s = kc.order_ref[si]  # near-to-far visit order (perf hint only)
         else:
             s = kc.orders_ref[order_k, si]

@@ -84,6 +84,12 @@ class KernelInstances:
     kc: Any           # KernelClusters of the base mesh
     n_instances: int
     t_pad: int        # base ClusterSet padded_tris (hit-code stride)
+    # Optional SMEM (N, S) int32: per-instance SUPER visit order, row k =
+    # near-to-far from the camera TRANSFORMED INTO instance k's object
+    # space (the sweep runs in object space, where a single shared order
+    # is meaningless — identity order costs ~every super's children for
+    # near rays). Pure perf hint; results order-independent.
+    iorders_ref: Any = None
 
 
 def instanced_sweep(ki: KernelInstances, o, d, t0, *, t_min, any_hit=False,
@@ -144,8 +150,13 @@ def instanced_sweep(ki: KernelInstances, o, d, t0, *, t_min, any_hit=False,
             dy = r10 * wdx + r11 * wdy + r12 * wdz
             dz = r20 * wdx + r21 * wdy + r22 * wdz
 
+            kc_k = ki.kc
+            if ki.iorders_ref is not None:
+                # this instance's object-space near-to-far super order
+                kc_k = dataclasses.replace(
+                    kc_k, order_ref=ki.iorders_ref, order_row=k)
             t_obj, idx, sattr = cluster_sweep(
-                ki.kc, (ox, oy, oz), (dx, dy, dz), t_w * inv_s,
+                kc_k, (ox, oy, oz), (dx, dy, dz), t_w * inv_s,
                 t_min=t_min * inv_s, any_hit=any_hit, attrs=attrs,
             )
             upd = idx >= 0.0
@@ -184,7 +195,19 @@ def instanced_sweep(ki: KernelInstances, o, d, t0, *, t_min, any_hit=False,
     return state[1], state[2], state[4:]
 
 
-def _instanced_kernel(inst_ref, iorder_ref, order_ref, sboxes_ref, boxes_ref,
+def object_space_origins(inst_tab, origin):
+    """(N, 24) pack_instances table + world origin (3,) -> (N, 3) origin in
+    each instance's object space: R_k^T (origin - trans_k) / s_k. Feeds
+    accel.clusters.visit_orders to build the per-instance (N, S) super
+    visit-order table (KernelInstances.iorders_ref)."""
+    n = inst_tab.shape[0]
+    inv = inst_tab[:, 0:9].reshape(n, 3, 3)
+    rel = jnp.asarray(origin, jnp.float32)[None, :] - inst_tab[:, 9:12]
+    return jnp.einsum("nij,nj->ni", inv, rel) / inst_tab[:, 12:13]
+
+
+def _instanced_kernel(inst_ref, iorder_ref, iorders_ref, order_ref,
+                      sboxes_ref, boxes_ref,
                       tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tmax_ref, *out_refs, n_instances, n_super, t_pad, t_min,
                       any_hit, attrs, approx_ok=False):
@@ -194,7 +217,8 @@ def _instanced_kernel(inst_ref, iorder_ref, order_ref, sboxes_ref, boxes_ref,
         out_t_ref, out_idx_ref = out_refs
     kc = KernelClusters(order_ref, sboxes_ref, boxes_ref, tri_ref, n_super,
                         approx_ok=approx_ok)
-    ki = KernelInstances(inst_ref, iorder_ref, kc, n_instances, t_pad)
+    ki = KernelInstances(inst_ref, iorder_ref, kc, n_instances, t_pad,
+                         iorders_ref=iorders_ref)
     t_w, code, attr = instanced_sweep(
         ki,
         (ox_ref[:], oy_ref[:], oz_ref[:]),
@@ -251,13 +275,20 @@ def instanced_cluster_intersect(inst_tab, cs: ClusterSet, o_planes, d_planes,
     out_shape = [f32(), jax.ShapeDtypeStruct((h, w), jnp.int32)]
     if attrs:
         out_shape += [f32(), f32(), f32()]
+    from raytracing_engine_tpu.accel.clusters import visit_orders
+
     order = jnp.arange(cs.num_super, dtype=jnp.int32)
     if origin is None:
         iorder = jnp.arange(inst_tab.shape[0], dtype=jnp.int32)
+        iorders = jnp.broadcast_to(order[None, :],
+                                   (inst_tab.shape[0], cs.num_super))
     else:
         center = (inst_tab[:, 13:16] + inst_tab[:, 16:19]) * 0.5
         delta = center - jnp.asarray(origin, jnp.float32)
         iorder = jnp.argsort(jnp.sum(delta * delta, -1)).astype(jnp.int32)
+        # per-instance OBJECT-space super orders (the sweep runs in object
+        # space; identity order there forfeits near-to-far t-shrink)
+        iorders = visit_orders(cs, object_space_origins(inst_tab, origin))
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
@@ -265,6 +296,7 @@ def instanced_cluster_intersect(inst_tab, cs: ClusterSet, o_planes, d_planes,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # instances
             pl.BlockSpec(memory_space=pltpu.SMEM),  # instance visit order
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-instance super orders
             pl.BlockSpec(memory_space=pltpu.SMEM),  # super visit order
             pl.BlockSpec(memory_space=pltpu.SMEM),  # super boxes
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster boxes
@@ -273,7 +305,7 @@ def instanced_cluster_intersect(inst_tab, cs: ClusterSet, o_planes, d_planes,
         ],
         out_specs=tuple(blk() for _ in out_shape),
         interpret=interpret,
-    )(inst_tab, iorder, order, cs.super_boxes, cs.boxes, cs.tri,
+    )(inst_tab, iorder, iorders, order, cs.super_boxes, cs.boxes, cs.tri,
       o_planes[0], o_planes[1], o_planes[2],
       d_planes[0], d_planes[1], d_planes[2],
       jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (h, w)))

@@ -134,12 +134,12 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                 KernelInstances,
             )
 
-            (inst_ref, iorder_ref, order_ref, sboxes_ref, cboxes_ref,
-             ctri_ref, out_ref, nrays_ref) = rest
+            (inst_ref, iorder_ref, iorders_ref, order_ref, sboxes_ref,
+             cboxes_ref, ctri_ref, out_ref, nrays_ref) = rest
             kc = KernelClusters(order_ref, sboxes_ref, cboxes_ref, ctri_ref,
                                 n_super, approx_ok=approx_ok)
             bvh = KernelInstances(inst_ref, iorder_ref, kc, n_instances,
-                                  t_pad)
+                                  t_pad, iorders_ref=iorders_ref)
         elif n_orders:
             (order_ref, sboxes_ref, cboxes_ref, ctri_ref, orders_ref,
              refs_ref, out_ref, nrays_ref) = rest
@@ -420,25 +420,36 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         from raytracing_engine_tpu.accel.clusters import visit_order
 
         if instanced:
+            from raytracing_engine_tpu.accel.clusters import visit_orders
+            from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
+                object_space_origins,
+            )
+
             # instance table + near-to-far instance visit order (from the
-            # camera — a perf hint, results order-independent)
+            # camera — a perf hint, results order-independent) + the
+            # per-instance OBJECT-space super orders (each instance sweeps
+            # in its own object frame, where a shared world order is
+            # meaningless)
             center = (bvh.inst_tab[:, 13:16] + bvh.inst_tab[:, 16:19]) * 0.5
             delta = center - jnp.asarray(cam_pos, jnp.float32)
             iorder = jnp.argsort(jnp.sum(delta * delta, -1)).astype(jnp.int32)
+            iorders = visit_orders(
+                cs, object_space_origins(bvh.inst_tab, cam_pos))
             in_specs += [
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # instances
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # instance order
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # per-instance orders
             ]
-            args += [bvh.inst_tab, iorder]
+            args += [bvh.inst_tab, iorder, iorders]
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # super visit order
             pl.BlockSpec(memory_space=pltpu.SMEM),  # super boxes
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cluster boxes
             full(),                                  # cluster tri rows
         ]
-        # super visit order: the cluster sweep runs in OBJECT space for
-        # instanced scenes, where the world camera position is meaningless
-        # — identity order there (matches instanced_cluster_intersect)
+        # super visit order: instanced sweeps use the per-instance
+        # OBJECT-space order table above (this 1D order is their unused
+        # fallback); single-mesh sweeps order from the world camera
         order = (jnp.arange(cs.num_super, dtype=jnp.int32) if instanced
                  else visit_order(cs, jnp.asarray(cam_pos, jnp.float32)))
         args += [order, cs.super_boxes, cs.boxes, cs.tri]
