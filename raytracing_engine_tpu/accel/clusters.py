@@ -30,6 +30,7 @@ SUPER = 8      # clusters per super-cluster (16 measured slower with BW tests)
 SUBS = 4       # sub-boxes per cluster (32-triangle gates; 2/8/16 measured slower with BW tests on v5e)
 ROWS = 24      # tri-table rows (f32 sublane tiles of 8; 21 used, 3 spare)
 ROWS_SMOOTH = 32  # +8 rows when per-corner shading normals are stored
+ROWS_UV = 40   # +8 more when per-corner texture UVs are stored
 
 # Triangle rows hold the Baldwin–Weber precomputed intersection transform
 # (plane + barycentric rows) instead of raw v0/e1/e2: ~30% fewer VPU ops
@@ -62,6 +63,17 @@ ROWS_SMOOTH = 32  # +8 rows when per-corner shading normals are stored
 # Flat tables stay at ROWS=24 — zero cost when no normals are given; a
 # flat mesh inside a smooth build stores s0=face normal, deltas=0, which
 # interpolates back to exact flat shading (mixed meshes compose).
+#
+# UV tables (build_clusters(vertex_uvs=...)) append 8 more rows (ROWS_UV
+# = 40) holding per-corner texture coordinates in the same interpolation-
+# ready form — the sweep's attrs path then also emits
+# uv = uv0 + u*(uv1-uv0) + v*(uv2-uv0) (8 extra FMAs + 2 selects per
+# test). A UV table always carries the smooth rows too (face-normal
+# fallback when no vertex normals are given — interpolates back to flat):
+#   rows 32-33 uv0        corner-0 (u, v)
+#   rows 34-35 uv1-uv0    corner-1 delta
+#   rows 36-37 uv2-uv0    corner-2 delta
+#   rows 38-39 spare
 #
 # The affine rows (nd, c1, c2) are REBASED to each cluster's box center:
 # nd = -n.(v0-oc) etc., and the kernel intersects with o' = o - oc. This
@@ -108,6 +120,12 @@ class ClusterSet:
         """True when the table carries per-corner shading-normal rows
         (21-29) — the sweep then emits interpolated normals."""
         return self.tri.shape[0] >= ROWS_SMOOTH
+
+    @property
+    def has_uv(self) -> bool:
+        """True when the table carries per-corner texture-UV rows
+        (32-37) — the sweep's attrs path then also emits the hit UV."""
+        return self.tri.shape[0] >= ROWS_UV
 
 
 def _subtree_ranges(bvh: BVH, max_tris: int, descend: int | None = None):
@@ -242,7 +260,8 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
                    align: str = "subtree", method: str = "sah",
                    descend: int | None = None,
                    dp_kc: float = 0.25,
-                   vertex_normals: np.ndarray | None = None) -> ClusterSet:
+                   vertex_normals: np.ndarray | None = None,
+                   vertex_uvs: np.ndarray | None = None) -> ClusterSet:
     """triangles: (T, 3, 3). Uses the BVH leaf order for spatial coherence
     (builds one if not given), pads to a CLUSTER multiple with degenerate
     triangles (zero rows -> never hit) inside NaN never-hit boxes.
@@ -253,6 +272,11 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     in rows 21-29 (ROWS_SMOOTH table) so the sweep emits barycentric-
     interpolated smooth normals; corners whose normal is zero/non-finite
     fall back to the face normal (flat).
+    vertex_uvs: optional (T, 3, 2) per-corner texture coordinates
+    (load_obj(uvs=True) / any parametrization) — stored in rows 32-37
+    (ROWS_UV table) so the sweep also emits the barycentric-interpolated
+    hit UV. Implies the smooth rows (face-normal fallback = exact flat
+    shading when no vertex_normals are given).
 
     align: "subtree" cuts clusters at BVH subtree boundaries (tight boxes,
     some intra-cluster padding — see _subtree_ranges); "fixed" packs the
@@ -369,24 +393,41 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     # normalized on host; zero / non-finite corners fall back to the
     # normalized face normal, which interpolates back to flat shading
     svn = None
-    if vertex_normals is not None:
-        vn_arr = np.asarray(vertex_normals, np.float32)
-        if vn_arr.shape != (T, 3, 3):
-            raise ValueError(
-                f"vertex_normals must be (T, 3, 3) matching triangles; got "
-                f"{vn_arr.shape} for T={T}")
-        vn_ord = vn_arr[perm]
+    if vertex_normals is not None or vertex_uvs is not None:
+        # a UV table implies the smooth rows; with no vertex normals the
+        # all-zero corners fall back to the face normal = exact flat
         svn = np.zeros((3, T_pad, 3), np.float32)
-        for c, (s, e) in enumerate(ranges):
-            base = c * CLUSTER
-            for k in range(3):
-                svn[k, base:base + (e - s)] = vn_ord[s:e, k]
+        if vertex_normals is not None:
+            vn_arr = np.asarray(vertex_normals, np.float32)
+            if vn_arr.shape != (T, 3, 3):
+                raise ValueError(
+                    f"vertex_normals must be (T, 3, 3) matching triangles; "
+                    f"got {vn_arr.shape} for T={T}")
+            vn_ord = vn_arr[perm]
+            for c, (s, e) in enumerate(ranges):
+                base = c * CLUSTER
+                for k in range(3):
+                    svn[k, base:base + (e - s)] = vn_ord[s:e, k]
         nf = n / np.maximum(np.sqrt(nn), 1e-30)[:, None]
         for k in range(3):
             ln = np.linalg.norm(svn[k], axis=1)
             good = np.isfinite(ln) & (ln > 1e-12)
             svn[k] = np.where(good[:, None],
                               svn[k] / np.maximum(ln, 1e-30)[:, None], nf)
+    # per-corner texture UVs in padded slot order (UV tables only)
+    suv = None
+    if vertex_uvs is not None:
+        uv_arr = np.asarray(vertex_uvs, np.float32)
+        if uv_arr.shape != (T, 3, 2):
+            raise ValueError(
+                f"vertex_uvs must be (T, 3, 2) matching triangles; got "
+                f"{uv_arr.shape} for T={T}")
+        uv_ord = uv_arr[perm]
+        suv = np.zeros((3, T_pad, 2), np.float32)
+        for c, (s, e) in enumerate(ranges):
+            base = c * CLUSTER
+            for k in range(3):
+                suv[k, base:base + (e - s)] = uv_ord[s:e, k]
     # per-slot cluster-local origin (box center; 0 for padded clusters) —
     # the affine offsets are precomputed against v0 - oc (see row map)
     with np.errstate(invalid="ignore"):
@@ -399,8 +440,9 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
     c1 = -np.einsum("ij,ij->i", r1, v0l)
     c2 = -np.einsum("ij,ij->i", r2, v0l)
 
-    tri_rows = np.zeros((ROWS_SMOOTH if svn is not None else ROWS, T_pad),
-                        np.float32)
+    n_rows = (ROWS_UV if suv is not None
+              else ROWS_SMOOTH if svn is not None else ROWS)
+    tri_rows = np.zeros((n_rows, T_pad), np.float32)
     tri_rows[0:3] = n.T
     tri_rows[3] = nd
     tri_rows[4:7] = r1.T
@@ -424,6 +466,10 @@ def build_clusters(triangles: np.ndarray, bvh: BVH | None = None,
         tri_rows[21:24] = svn[0].T
         tri_rows[24:27] = (svn[1] - svn[0]).T
         tri_rows[27:30] = (svn[2] - svn[0]).T
+    if suv is not None:  # rows 32-37: uv0, uv1-uv0, uv2-uv0 (see row map)
+        tri_rows[32:34] = suv[0].T
+        tri_rows[34:36] = (suv[1] - suv[0]).T
+        tri_rows[36:38] = (suv[2] - suv[0]).T
     # farthest-point sample of the (finite) super centroids: reference
     # origins for the per-tile visit-order tables (see ClusterSet field)
     finite = super_centroid[np.abs(super_centroid[:, 0]) < 1e29]

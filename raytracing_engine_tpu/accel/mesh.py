@@ -10,15 +10,19 @@ from __future__ import annotations
 import numpy as np
 
 
-def load_obj(path: str, normals: bool = False):
-    """Minimal OBJ reader: v / vn + f (tri or fan-triangulated).
+def load_obj(path: str, normals: bool = False, uvs: bool = False):
+    """Minimal OBJ reader: v / vt / vn + f (tri or fan-triangulated).
 
-    Returns (T, 3, 3) vertex positions; with normals=True returns
-    (tris, vnormals) where vnormals is a (T, 3, 3) per-corner shading
-    normal array (from the file's `vn` records and `f v//vn` indices) or
-    None when the file carries no normals — callers fall back to
-    ``smooth_vertex_normals`` or flat shading."""
-    verts, vns, faces, nfaces = [], [], [], []
+    Returns (T, 3, 3) vertex positions; with normals=True additionally
+    returns vnormals, a (T, 3, 3) per-corner shading normal array (from
+    the file's `vn` records and `f v//vn` indices) or None when the file
+    carries no normals — callers fall back to ``smooth_vertex_normals``
+    or flat shading. With uvs=True additionally returns vuvs, a (T, 3, 2)
+    per-corner texture-coordinate array (`vt` records and `f v/vt`
+    indices) or None when the file has no complete UV set — feeds
+    ``build_clusters(vertex_uvs=...)`` / ``build_pt_scene(tri_uvs=...)``.
+    Return shape: tris | (tris, vn) | (tris, vuv) | (tris, vn, vuv)."""
+    verts, vns, vts, faces, nfaces, tfaces = [], [], [], [], [], []
     with open(path) as f:
         for line in f:
             parts = line.split()
@@ -28,6 +32,8 @@ def load_obj(path: str, normals: bool = False):
                 verts.append([float(x) for x in parts[1:4]])
             elif parts[0] == "vn":
                 vns.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "vt":
+                vts.append([float(x) for x in parts[1:3]])
             elif parts[0] == "f":
                 comp = [p.split("/") for p in parts[1:]]
                 idx = [int(c[0]) for c in comp]
@@ -36,19 +42,31 @@ def load_obj(path: str, normals: bool = False):
                         for c in comp]
                 nidx = [i - 1 if i > 0 else (len(vns) + i if i < 0 else -1)
                         for i in nidx]
+                tidx = [int(c[1]) if len(c) >= 2 and c[1] else 0
+                        for c in comp]
+                tidx = [i - 1 if i > 0 else (len(vts) + i if i < 0 else -1)
+                        for i in tidx]
                 for k in range(1, len(idx) - 1):  # fan
                     faces.append([idx[0], idx[k], idx[k + 1]])
                     nfaces.append([nidx[0], nidx[k], nidx[k + 1]])
+                    tfaces.append([tidx[0], tidx[k], tidx[k + 1]])
     v = np.asarray(verts, np.float32)
     f = np.asarray(faces, np.int64)
     tris = v[f]
-    if not normals:
-        return tris
-    nf = np.asarray(nfaces, np.int64)
-    if not vns or (nf < 0).any():
-        return tris, None
-    vn = np.asarray(vns, np.float32)
-    return tris, vn[nf]
+    out = (tris,)
+    if normals:
+        nf = np.asarray(nfaces, np.int64)
+        if not vns or (nf < 0).any():
+            out += (None,)
+        else:
+            out += (np.asarray(vns, np.float32)[nf],)
+    if uvs:
+        tf = np.asarray(tfaces, np.int64)
+        if not vts or (tf < 0).any():
+            out += (None,)
+        else:
+            out += (np.asarray(vts, np.float32)[tf],)
+    return out[0] if len(out) == 1 else out
 
 
 def smooth_vertex_normals(triangles: np.ndarray,
@@ -161,15 +179,30 @@ def torus_knot(p: int = 2, q: int = 3, segments: int = 400, sides: int = 32,
     return tris.astype(np.float32)
 
 
-def save_obj(path: str, triangles: np.ndarray) -> None:
+def save_obj(path: str, triangles: np.ndarray, uvs=None) -> None:
     """Write a (T, 3, 3) triangle array as an OBJ (vertices deduplicated).
     Round-trips with load_obj; useful for exporting generated meshes
-    (torus_knot/icosphere) to external tools."""
+    (torus_knot/icosphere) to external tools. uvs: optional (T, 3, 2)
+    per-corner texture coordinates, written as `vt` records with
+    `f v/vt` faces (deduplicated the same way)."""
     tris = np.asarray(triangles, np.float32).reshape(-1, 3)
     verts, inverse = np.unique(tris, axis=0, return_inverse=True)
     faces = inverse.reshape(-1, 3)
     with open(path, "w") as f:
         for v in verts:
             f.write(f"v {v[0]:.9g} {v[1]:.9g} {v[2]:.9g}\n")
-        for a, b, c in faces + 1:
-            f.write(f"f {a} {b} {c}\n")
+        if uvs is None:
+            for a, b, c in faces + 1:
+                f.write(f"f {a} {b} {c}\n")
+            return
+        uv = np.asarray(uvs, np.float32).reshape(-1, 2)
+        if uv.shape[0] != tris.shape[0]:
+            raise ValueError(
+                f"uvs must be (T, 3, 2) matching triangles; got "
+                f"{np.shape(uvs)} for {tris.shape[0] // 3} triangles")
+        uvd, uvinv = np.unique(uv, axis=0, return_inverse=True)
+        tfaces = uvinv.reshape(-1, 3)
+        for t in uvd:
+            f.write(f"vt {t[0]:.9g} {t[1]:.9g}\n")
+        for (a, b, c), (ta, tb, tc) in zip(faces + 1, tfaces + 1):
+            f.write(f"f {a}/{ta} {b}/{tb} {c}/{tc}\n")

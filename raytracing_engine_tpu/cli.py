@@ -282,9 +282,10 @@ def cmd_pt(args):
         # declarative scene file (pathtracer/sceneio.py schema)
         from raytracing_engine_tpu.pathtracer.sceneio import load_scene_json
 
-        (scene, mesh, tri_mats, cam_pos, cam_quat,
-         instanced, tri_normals) = load_scene_json(args.scene)
-        pos, quat = jnp.asarray(cam_pos), jnp.asarray(cam_quat)
+        b = load_scene_json(args.scene)
+        scene, mesh, tri_mats = b.scene, b.tris, b.tri_mats
+        instanced, tri_normals = b.instanced, b.tri_normals
+        pos, quat = jnp.asarray(b.cam_pos), jnp.asarray(b.cam_quat)
         if mesh is not None:
             print(f"{args.scene}: {mesh.shape[0]} triangles"
                   + (" (smooth)" if tri_normals is not None else ""))
@@ -295,7 +296,8 @@ def cmd_pt(args):
                 from raytracing_engine_tpu.accel.clusters import build_clusters
 
                 bvh = (build_clusters(mesh, tri_mats=tri_mats,
-                                      vertex_normals=tri_normals)
+                                      vertex_normals=tri_normals,
+                                      vertex_uvs=b.tri_uvs)
                        if _jax.default_backend() == "tpu"
                        else build_bvh(mesh))
         if instanced is not None:
@@ -315,7 +317,8 @@ def cmd_pt(args):
             cs_i = build_clusters(
                 instanced["mesh"], bvh=bvh_i,
                 tri_mats=onp.full(instanced["mesh"].shape[0],
-                                  instanced["mat"], onp.int32))
+                                  instanced["mat"], onp.int32),
+                vertex_uvs=instanced.get("uvs"))
             inst = make_instances(bvh_i, instanced["transforms"],
                                   mats=onp.full(n_inst, instanced["mat"],
                                                 onp.int32))

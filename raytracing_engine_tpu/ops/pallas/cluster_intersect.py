@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracing_engine_tpu.accel.clusters import (
-    CLUSTER, ROWS_SMOOTH, SUBS, SUPER, ClusterSet)
+    CLUSTER, ROWS_SMOOTH, ROWS_UV, SUBS, SUPER, ClusterSet)
 
 SUB_TRIS = CLUSTER // SUBS
 _INF = np.float32(np.inf)
@@ -133,10 +133,11 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
 
     o, d: ray component planes; t0: initial best-t plane (doubles as t_max).
     idx < 0 means miss (t is then left at whatever the carry held — mask on
-    idx, not t). attr = (nx, ny, nz, mat, 2*area) planes when attrs else ().
-    The normal attr is the GEOMETRIC plane normal for flat (ROWS=24)
-    tables and the barycentric-interpolated SHADING normal for smooth
-    (ROWS_SMOOTH) tables — detected statically from the table shape.
+    idx, not t). attr = (nx, ny, nz, mat, 2*area) planes when attrs else ()
+    — plus (u, v) texture-coordinate planes at the end for UV (ROWS_UV)
+    tables. The normal attr is the GEOMETRIC plane normal for flat
+    (ROWS=24) tables and the barycentric-interpolated SHADING normal for
+    smooth (ROWS_SMOOTH) tables — detected statically from the table shape.
     Results are visit-order independent; order is a near-to-far perf hint.
 
     kc.groups = G > 1 splits every per-lane plane into G row groups while
@@ -148,6 +149,8 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
     are identical to the pre-group implementation.
     """
     smooth = kc.tri_ref.shape[0] >= ROWS_SMOOTH  # static: table shape
+    uv = kc.tri_ref.shape[0] >= ROWS_UV          # static: table shape
+    n_attr = 7 if uv else 5
     G = kc.groups
     H = o[0].shape[0]
     if H % G:
@@ -190,7 +193,7 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
         idx0 = tuple(jnp.where(jnp.abs(ox[g]) >= 1e17, 0.0, idx0[g])
                      for g in gr)
     if attrs:
-        attr0 = tuple(tuple(jnp.zeros_like(tg0[g]) for _ in range(5))
+        attr0 = tuple(tuple(jnp.zeros_like(tg0[g]) for _ in range(n_attr))
                       for g in gr)
     else:
         attr0 = tuple(() for _ in gr)
@@ -206,8 +209,9 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
     def unpack(flat):
         t, idx = flat[:G], flat[G:2 * G]
         if attrs:
-            attr = tuple(tuple(flat[2 * G + 5 * g:2 * G + 5 * (g + 1)])
-                         for g in gr)
+            attr = tuple(
+                tuple(flat[2 * G + n_attr * g:2 * G + n_attr * (g + 1)])
+                for g in gr)
         else:
             attr = tuple(() for _ in gr)
         return t, idx, attr
@@ -224,7 +228,10 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
         dx, dy, dz = d3
         lox, loy, loz = lo
         if attrs:
-            anx, any_, anz, amat, aarea = attr
+            if uv:
+                anx, any_, anz, amat, aarea, auu, avv = attr
+            else:
+                anx, any_, anz, amat, aarea = attr
         for k in range(sub * SUB_TRIS, (sub + 1) * SUB_TRIS):
             nx, ny, nz, nd = blk[0, k], blk[1, k], blk[2, k], blk[3, k]
             den = nx * dx + ny * dy + nz * dz
@@ -270,8 +277,17 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
                 anz = jnp.where(ok, cnz, anz)
                 amat = jnp.where(ok, blk[12, k], amat)
                 aarea = jnp.where(ok, blk[13, k], aarea)
+                if uv:
+                    # barycentric-interpolated texture UV from rows 32-37
+                    # (uv0, uv1-uv0, uv2-uv0): 8 FMAs + 2 selects per test
+                    cu = blk[32, k] + u * blk[34, k] + v * blk[36, k]
+                    cv = blk[33, k] + u * blk[35, k] + v * blk[37, k]
+                    auu = jnp.where(ok, cu, auu)
+                    avv = jnp.where(ok, cv, avv)
         if attrs:
             attr = (anx, any_, anz, amat, aarea)
+            if uv:
+                attr += (auu, avv)
         return t, idx, attr
 
     def mt_cluster(c, ray_hit, t, idx, attr):
@@ -389,7 +405,8 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
     t, idx, attr = unpack(state[2:])
     cat = (lambda xs: xs[0]) if G == 1 else (lambda xs: jnp.concatenate(xs, 0))
     if attrs:
-        out_attr = tuple(cat(tuple(attr[g][a] for g in gr)) for a in range(5))
+        out_attr = tuple(cat(tuple(attr[g][a] for g in gr))
+                         for a in range(n_attr))
     else:
         out_attr = ()
     return cat(t), cat(idx), out_attr
@@ -404,7 +421,12 @@ def _cluster_kernel(order_ref, sboxes_ref, boxes_ref, tri_ref,
         orders_ref, refs_ref, *out_refs = rest
     else:
         out_refs = rest
-    if attrs:
+    uv = tri_ref.shape[0] >= ROWS_UV
+    out_u_ref = out_v_ref = None
+    if attrs and uv:
+        (out_t_ref, out_idx_ref, out_nx_ref, out_ny_ref, out_nz_ref,
+         out_mat_ref, out_area_ref, out_u_ref, out_v_ref) = out_refs
+    elif attrs:
         (out_t_ref, out_idx_ref, out_nx_ref, out_ny_ref, out_nz_ref,
          out_mat_ref, out_area_ref) = out_refs
     else:
@@ -426,6 +448,9 @@ def _cluster_kernel(order_ref, sboxes_ref, boxes_ref, tri_ref,
         out_nz_ref[:] = attr[2]
         out_mat_ref[:] = attr[3]
         out_area_ref[:] = attr[4] * 0.5  # |cross|/2 = triangle area
+        if uv:
+            out_u_ref[:] = attr[5]
+            out_v_ref[:] = attr[6]
 
 
 @functools.partial(
@@ -445,7 +470,8 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
     attrs=True additionally returns (nx, ny, nz, mat, area): unnormalized
     geometric normal (e1 x e2), material id (f32, from tri row 12) and
     triangle area of the hit — selected in-kernel, so callers need no
-    post-kernel gathers.
+    post-kernel gathers. UV tables (cs.has_uv) append two more planes,
+    the barycentric-interpolated texture (u, v) of the hit.
 
     order: optional (S,) int32 SUPER-cluster visit order
     (accel.clusters.visit_order) — near-to-far ordering lets the running t
@@ -490,6 +516,8 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
     out_shape = [f32(), jax.ShapeDtypeStruct((h, w), jnp.int32)]
     if attrs:
         out_shape += [f32(), f32(), f32(), f32(), f32()]
+        if cs.has_uv:  # interpolated texture-UV planes (rows 32-37)
+            out_shape += [f32(), f32()]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # super visit order
         pl.BlockSpec(memory_space=pltpu.SMEM),   # super boxes

@@ -100,8 +100,10 @@ def instanced_sweep(ki: KernelInstances, o, d, t0, *, t_min, any_hit=False,
     units, doubles as t_max). Returns (t_world, code_f32, attr) where
     code = instance * ki.t_pad + slot (< 0 = miss) and attr =
     (nx, ny, nz) unnormalized WORLD-space geometric normal planes when
-    attrs else (). Shared by the standalone pallas_call and the PT
-    megakernel (same body, two consumers — mirrors cluster_sweep)."""
+    attrs else () — plus interpolated texture-(u, v) planes for UV
+    (ROWS_UV) base tables (UVs are object-space data: no transform).
+    Shared by the standalone pallas_call and the PT megakernel (same
+    body, two consumers — mirrors cluster_sweep)."""
     wox, woy, woz = o
     wdx, wdy, wdz = d
     winv_dx = 1.0 / wdx
@@ -116,8 +118,12 @@ def instanced_sweep(ki: KernelInstances, o, d, t0, *, t_min, any_hit=False,
         # early-exit once every real candidate is blocked (see
         # cluster_intersect.cluster_sweep); callers gate by candidacy
         code0 = jnp.where(jnp.abs(wox) >= 1e17, 0.0, code0)
+    from raytracing_engine_tpu.accel.clusters import ROWS_UV
+
+    uv = ki.kc.tri_ref.shape[0] >= ROWS_UV  # static: base-table shape
     zero = jnp.zeros_like(wox)
-    attr0 = (zero, zero, zero) if attrs else ()
+    attr0 = ((zero, zero, zero, zero, zero) if uv
+             else (zero, zero, zero)) if attrs else ()
 
     def body(ki_i, carry):
         t_w, code, live, attr = carry[0], carry[1], carry[2], carry[3:]
@@ -169,9 +175,11 @@ def instanced_sweep(ki: KernelInstances, o, d, t0, *, t_min, any_hit=False,
                 wx = r00 * nx + r10 * ny + r20 * nz
                 wy = r01 * nx + r11 * ny + r21 * nz
                 wz = r02 * nx + r12 * ny + r22 * nz
-                attr = (jnp.where(upd, wx, attr[0]),
-                        jnp.where(upd, wy, attr[1]),
-                        jnp.where(upd, wz, attr[2]))
+                new = (wx, wy, wz)
+                if uv:  # UVs are object-space data — carried untransformed
+                    new += (sattr[5], sattr[6])
+                attr = tuple(jnp.where(upd, nv, av)
+                             for nv, av in zip(new, attr))
             return (t_w, code) + attr
 
         t_w, code, *attr = lax.cond(jnp.any(gate), inst_fn, lambda a: a,
@@ -211,7 +219,14 @@ def _instanced_kernel(inst_ref, iorder_ref, iorders_ref, order_ref,
                       tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tmax_ref, *out_refs, n_instances, n_super, t_pad, t_min,
                       any_hit, attrs, approx_ok=False):
-    if attrs:
+    from raytracing_engine_tpu.accel.clusters import ROWS_UV
+
+    uv = tri_ref.shape[0] >= ROWS_UV
+    out_u_ref = out_v_ref = None
+    if attrs and uv:
+        (out_t_ref, out_idx_ref, out_nx_ref, out_ny_ref, out_nz_ref,
+         out_u_ref, out_v_ref) = out_refs
+    elif attrs:
         out_t_ref, out_idx_ref, out_nx_ref, out_ny_ref, out_nz_ref = out_refs
     else:
         out_t_ref, out_idx_ref = out_refs
@@ -231,6 +246,9 @@ def _instanced_kernel(inst_ref, iorder_ref, iorders_ref, order_ref,
         out_nx_ref[:] = attr[0]
         out_ny_ref[:] = attr[1]
         out_nz_ref[:] = attr[2]
+        if uv:
+            out_u_ref[:] = attr[3]
+            out_v_ref[:] = attr[4]
 
 
 @functools.partial(
@@ -249,7 +267,9 @@ def instanced_cluster_intersect(inst_tab, cs: ClusterSet, o_planes, d_planes,
     farther instance AABBs (pure perf hint; results order-independent).
     Returns (t_world (H,W) — inf miss, code (H,W) int32 — instance *
     cs.padded_tris + slot, -1 miss); with attrs=True additionally
-    (nx, ny, nz) — unnormalized world-space geometric normal of the hit.
+    (nx, ny, nz) — unnormalized world-space geometric normal of the hit —
+    plus (u, v) interpolated texture-coordinate planes for UV base tables
+    (cs.has_uv).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -275,6 +295,8 @@ def instanced_cluster_intersect(inst_tab, cs: ClusterSet, o_planes, d_planes,
     out_shape = [f32(), jax.ShapeDtypeStruct((h, w), jnp.int32)]
     if attrs:
         out_shape += [f32(), f32(), f32()]
+        if cs.has_uv:  # interpolated texture-UV planes
+            out_shape += [f32(), f32()]
     from raytracing_engine_tpu.accel.clusters import visit_orders
 
     order = jnp.arange(cs.num_super, dtype=jnp.int32)

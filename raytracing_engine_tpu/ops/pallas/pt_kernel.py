@@ -48,13 +48,24 @@ def pack_pt_scene(scene: PTScene):
     sph = jnp.concatenate(
         [scene.sph_pos, scene.sph_radius[:, None],
          scene.sph_mat[:, None].astype(f32), jnp.zeros((S, 3), f32)], axis=1)
-    tri = jnp.concatenate(
-        [scene.tri_v0, scene.tri_e1, scene.tri_e2,
-         scene.tri_mat[:, None].astype(f32), jnp.zeros((T, 2), f32)], axis=1)
+    tri_cols = [scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                scene.tri_mat[:, None].astype(f32)]
+    if scene.has_tri_uv:  # cols 10-15: per-corner UVs of unrolled slots
+        tri_cols += [scene.tri_uv]
+    tri = jnp.concatenate(tri_cols, axis=1)
+    if tri.shape[1] % 4:
+        tri = jnp.concatenate(
+            [tri, jnp.zeros((T, 4 - tri.shape[1] % 4), f32)], axis=1)
+    # optional material columns in FIXED order (mirrored by _unpack_scene's
+    # running offset): albedo2+scale | tex_space | tex_rect | dispersion
     mat_cols = [scene.mat_albedo, scene.mat_emission,
                 scene.mat_kind[:, None].astype(f32), scene.mat_ior[:, None]]
     if scene.has_texture:
         mat_cols += [scene.mat_albedo2, scene.mat_tex_scale[:, None]]
+    if scene.mat_tex_space is not None:
+        mat_cols += [scene.mat_tex_space[:, None]]
+    if scene.has_image:
+        mat_cols += [scene.mat_tex_rect]
     if scene.has_dispersion:
         mat_cols += [scene.mat_dispersion[:, None]]
     mat = jnp.concatenate(mat_cols, axis=1)
@@ -76,17 +87,35 @@ def pack_pt_scene(scene: PTScene):
 
 def _unpack_scene(sph, tri, mat, light, counts,
                   has_dielectric=False, env=None,
-                  has_texture=False, has_dispersion=False) -> PTScene:
+                  has_texture=False, has_dispersion=False,
+                  has_space=False, atlas=None, has_rect=False,
+                  has_triuv=False) -> PTScene:
     """Rebuild a PTScene view (of in-kernel arrays) from the packed tables.
     Optional-feature column offsets mirror pack_pt_scene's layout."""
     i32 = jnp.int32
-    disp_col = 12 if has_texture else 8
+    col = 8  # running offset over pack_pt_scene's optional mat columns
+    albedo2 = tex_scale = tex_space = tex_rect = dispersion = None
+    if has_texture:
+        albedo2, tex_scale = mat[:, col:col + 3], mat[:, col + 3]
+        col += 4
+    if has_space:
+        tex_space = mat[:, col]
+        col += 1
+    if has_rect:
+        tex_rect = mat[:, col:col + 4]
+        col += 4
+    if has_dispersion:
+        dispersion = mat[:, col]
     return PTScene(
         has_dielectric=has_dielectric,
         env=env,
-        mat_albedo2=mat[:, 8:11] if has_texture else None,
-        mat_tex_scale=mat[:, 11] if has_texture else None,
-        mat_dispersion=mat[:, disp_col] if has_dispersion else None,
+        mat_albedo2=albedo2,
+        mat_tex_scale=tex_scale,
+        mat_tex_space=tex_space,
+        tex_atlas=atlas,
+        mat_tex_rect=tex_rect,
+        tri_uv=tri[:, 10:16] if has_triuv else None,
+        mat_dispersion=dispersion,
         sph_pos=sph[:, 0:3],
         sph_radius=sph[:, 3],
         sph_mat=sph[:, 4].astype(i32),
@@ -119,10 +148,13 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                groups: int = 1, fast_math: bool = False,
                has_diel: bool = False, has_env: bool = False,
                has_tex: bool = False, has_disp: bool = False,
+               has_space: bool = False, has_image: bool = False,
+               has_triuv: bool = False,
                adaptive_tol: float = 0.0, adaptive_min: int = 8):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
     env_ref = rest.pop(0) if has_env else None
+    atlas_ref = rest.pop(0) if has_image else None
     spp_ref = rest.pop() if adaptive_tol > 0.0 else None  # trailing output
     if n_super:
         from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
@@ -181,7 +213,10 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                           (counts_ref[0], counts_ref[1], counts_ref[2],
                            counts_ref[3]), has_dielectric=has_diel,
                           env=env_ref[:, :3] if has_env else None,
-                          has_texture=has_tex, has_dispersion=has_disp)
+                          has_texture=has_tex, has_dispersion=has_disp,
+                          has_space=has_space, has_rect=has_image,
+                          atlas=atlas_ref[:] if has_image else None,
+                          has_triuv=has_triuv)
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
 
@@ -341,6 +376,11 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
     h, w = (band_h or cfg.height), cfg.width
     from raytracing_engine_tpu.ops.pallas.common import pick_tile
 
+    if scene.has_image and tile[1] != scene.tex_atlas.shape[1]:
+        # the per-lane texel fetch gathers along the lane axis of a
+        # broadcast atlas row — the VMEM tile's lane width must match
+        # the atlas row width (128); narrow the tile automatically
+        tile = (tile[0], scene.tex_atlas.shape[1])
     tile_h, tile_w = pick_tile(h, w, *tile)
     if stripes is None:
         stripes = 1
@@ -368,6 +408,7 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
             scene,
             tri_v0=scene.tri_v0[:n], tri_e1=scene.tri_e1[:n],
             tri_e2=scene.tri_e2[:n], tri_mat=scene.tri_mat[:n],
+            tri_uv=None if scene.tri_uv is None else scene.tri_uv[:n],
             tri_count=jnp.minimum(scene.tri_count, n),
         )
     sph, tri, mat, light, counts = pack_pt_scene(scene)
@@ -386,6 +427,8 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         groups=groups, fast_math=fast_math,
         has_diel=scene.has_dielectric, has_env=scene.has_env,
         has_tex=scene.has_texture, has_disp=scene.has_dispersion,
+        has_space=scene.mat_tex_space is not None,
+        has_image=scene.has_image, has_triuv=scene.has_tri_uv,
         adaptive_tol=float(adaptive_tol),
         adaptive_min=int(adaptive_min),
     )
@@ -416,6 +459,18 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
             [scene.env, jnp.zeros((2, 5), jnp.float32)], axis=1)
         in_specs += [full()]
         args += [env_tab]
+    if scene.has_image:
+        # (3K, 128) texture atlas; the per-lane fetch is a lane-axis
+        # take_along_axis on a broadcast row — on hardware the VMEM
+        # tile's lane width must match the atlas row width (interpret
+        # mode follows XLA gather semantics and takes any width)
+        if tile_w != scene.tex_atlas.shape[1] and not interpret:
+            raise ValueError(
+                f"image textures need tile width {scene.tex_atlas.shape[1]} "
+                f"(atlas lane rows); got tile={tile_h, tile_w} — pass "
+                f"tile=(H, {scene.tex_atlas.shape[1]})")
+        in_specs += [full()]
+        args += [scene.tex_atlas]
     if bvh is not None:
         from raytracing_engine_tpu.accel.clusters import visit_order
 

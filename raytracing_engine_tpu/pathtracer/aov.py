@@ -62,9 +62,9 @@ def render_aovs(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         hit = isect["hit"]
         gate = jnp.where(hit, 1.0, 0.0)
         albedo, _, _, _ = _mat_lookup(scene, isect["mat_id"])
-        if scene.has_texture:  # checker albedo — the denoiser demodulates
+        if scene.has_texture:  # textured albedo — the denoiser demodulates
             albedo = _textured_albedo(scene, isect["mat_id"], albedo,
-                                      isect["p"])
+                                      isect["p"], uv=isect.get("uv"))
         alb, nrm, dep, ao = acc
         alb = v3.add(alb, v3.scale(albedo, gate))
         nrm = v3.add(nrm, v3.scale(isect["n"], gate))

@@ -161,7 +161,7 @@ def intersect_scene(scene: PTScene, o3, d3, t_min, bvh=None):
     tri_area = 0.5 * jnp.linalg.norm(cr, axis=-1)
     light_area = jnp.where(use_tri, tri_area, sph_area)
 
-    return dict(
+    out = dict(
         t=t,
         hit=hit,
         p3=p3,
@@ -170,6 +170,28 @@ def intersect_scene(scene: PTScene, o3, d3, t_min, bvh=None):
         light_area=light_area,
         front=~flip,
     )
+    if scene.needs_uv:  # static: UV-free scenes compile the prior program
+        # sphere: analytic spherical parametrization (Z-up); triangle:
+        # barycentrics recomputed at the hit, interpolating scene.tri_uv
+        # (SAME implementation as wavefront for parity)
+        from raytracing_engine_tpu.pathtracer.wavefront import _sphere_uv
+
+        su, sv = _sphere_uv(
+            (n_sph[..., 0], n_sph[..., 1], n_sph[..., 2]))
+        if scene.tri_uv is not None:
+            nn = jnp.maximum(jnp.sum(cr * cr, axis=-1), 1e-30)
+            rel = p3 - scene.tri_v0[i_t]
+            ub = jnp.sum(jnp.cross(e2_t, cr) * rel, axis=-1) / nn
+            vb = jnp.sum(jnp.cross(cr, e1_t) * rel, axis=-1) / nn
+            uv6 = scene.tri_uv[i_t]
+            tu = (uv6[..., 0] + ub * (uv6[..., 2] - uv6[..., 0])
+                  + vb * (uv6[..., 4] - uv6[..., 0]))
+            tv = (uv6[..., 1] + ub * (uv6[..., 3] - uv6[..., 1])
+                  + vb * (uv6[..., 5] - uv6[..., 1]))
+        else:
+            tu = tv = jnp.zeros_like(t)
+        out["uv"] = (jnp.where(use_tri, tu, su), jnp.where(use_tri, tv, sv))
+    return out
 
 
 def occluded(scene: PTScene, o3, d3, max_t, t_min, bvh=None):
@@ -372,12 +394,38 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         n3 = isect["n3"]
         p3 = isect["p3"]
         if scene.has_texture:  # static: untextured scenes pay nothing
-            # world-space checker (same math as wavefront._textured_albedo)
+            # checker in world or texture-UV space, then image-atlas
+            # override (same math as wavefront._textured_albedo)
             s = scene.mat_tex_scale[mat_id]
             cells = jnp.floor(p3 * s[..., None]).sum(-1)
+            if scene.mat_tex_space is not None and "uv" in isect:
+                space = scene.mat_tex_space[mat_id]
+                tu, tv = isect["uv"]
+                cells = jnp.where(space > 0.5,
+                                  jnp.floor(tu * s) + jnp.floor(tv * s),
+                                  cells)
             use2 = (s > 0.0) & (jnp.mod(cells, 2.0) >= 1.0)
             albedo = jnp.where(use2[..., None], scene.mat_albedo2[mat_id],
                                albedo)
+            if scene.tex_atlas is not None and "uv" in isect:
+                from raytracing_engine_tpu.pathtracer.wavefront import (
+                    _atlas_fetch,
+                )
+
+                rect = scene.mat_tex_rect[mat_id]  # (..., 4)
+                tu, tv = isect["uv"]
+                fu = tu * s
+                fv = tv * s
+                fu = fu - jnp.floor(fu)
+                fv = fv - jnp.floor(fv)
+                tw, th = rect[..., 2], rect[..., 3]
+                tx = jnp.maximum(rect[..., 0] + jnp.clip(
+                    jnp.floor(fu * tw), 0.0, tw - 1.0), 0.0).astype(jnp.int32)
+                ty = jnp.maximum(rect[..., 1] + jnp.clip(
+                    jnp.floor(fv * th), 0.0, th - 1.0), 0.0).astype(jnp.int32)
+                rgb = jnp.stack(
+                    _atlas_fetch(scene.tex_atlas, ty, tx), axis=-1)
+                albedo = jnp.where((tw > 0.0)[..., None], rgb, albedo)
 
         # --- emission on hit (MIS-weighted against NEE) -------------------
         emissive = jnp.any(emission > 0.0, axis=-1)

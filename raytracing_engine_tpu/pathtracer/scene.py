@@ -50,6 +50,51 @@ LIGHT_MESH = 2   # pseudo-slot: the whole emissive mesh, one light
 _LUM = np.array([0.2126, 0.7152, 0.0722], np.float64)
 
 
+ATLAS_W = 128        # texels per atlas row = one TPU lane row
+ATLAS_MAX_ROWS = 32  # in-kernel texture budget: 32 * 128 = 4096 texels
+
+
+def pack_texture_atlas(images):
+    """Shelf-pack RGB images into the shared texture atlas.
+
+    images: sequence of (h, w, 3) float arrays, each w <= ATLAS_W. Returns
+    (atlas (3K, ATLAS_W) f32 — channel-major rows, row c*K + k —
+    and rects (N, 4) f32 = [x0, y0, w, h] texel rectangles). K is capped
+    at ATLAS_MAX_ROWS: the per-lane fetch is a K-row select chain in the
+    megakernel, so the budget bounds in-kernel texture cost.
+    """
+    rects = np.zeros((len(images), 4), np.float32)
+    x = y = shelf_h = 0
+    placed = []
+    for n, img in enumerate(images):
+        img = np.asarray(img, np.float32)
+        if img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError(f"texture {n} must be (h, w, 3); got {img.shape}")
+        h, w = img.shape[:2]
+        if w > ATLAS_W:
+            raise ValueError(
+                f"texture {n} is {w} texels wide > atlas width {ATLAS_W}")
+        if x + w > ATLAS_W:  # new shelf
+            y += shelf_h
+            x = shelf_h = 0
+        rects[n] = (x, y, w, h)
+        placed.append((x, y, img))
+        shelf_h = max(shelf_h, h)
+        x += w
+    K = y + shelf_h
+    if K > ATLAS_MAX_ROWS:
+        raise ValueError(
+            f"textures need {K} atlas rows > budget {ATLAS_MAX_ROWS} "
+            f"({ATLAS_MAX_ROWS * ATLAS_W} texels) — shrink or share textures")
+    K = max(K, 1)
+    atlas = np.zeros((3 * K, ATLAS_W), np.float32)
+    for x0, y0, img in placed:
+        h, w = img.shape[:2]
+        for c in range(3):
+            atlas[c * K + y0:c * K + y0 + h, x0:x0 + w] = img[:, :, c]
+    return atlas, rects
+
+
 def _pad(a, n, fill=0.0):
     a = np.asarray(a, np.float32)
     if a.shape[0] == n:
@@ -103,11 +148,28 @@ class PTScene:
     mesh_light_pick: jax.Array | None = None  # () the mesh slot's pick prob
     # procedural world-space checker texture: cells of size 1/scale
     # alternate between mat_albedo and mat_albedo2; scale 0 = untextured.
-    # Mesh geometry has no UVs — world-space procedural is the TPU-cheap
-    # texture model: pure elementwise math at the hit point, no gathers.
+    # World-space procedural is the gather-free texture model: pure
+    # elementwise math at the hit point.
     # None = no material textures anywhere (static; zero cost).
     mat_albedo2: jax.Array | None = None    # (M, 3)
     mat_tex_scale: jax.Array | None = None  # (M,) f32 — 0 = flat
+    # UV texturing. Geometry carries per-corner UVs (ClusterSet rows
+    # 32-37 / `tri_uv` below); spheres get the analytic spherical
+    # parametrization. Procedural checkers may evaluate in UV space
+    # (mat_tex_space=1), and IMAGE textures sample a shared atlas.
+    # The atlas is (3K, 128) f32 — K rows of 128 texels per channel,
+    # channel-major (row c*K + k) — and the per-lane texel fetch is a
+    # lane-axis take_along_axis over a broadcast atlas row + a K-row
+    # select chain: Mosaic lowers dynamic lane gathers (verified on
+    # v5e), so ONE implementation serves the XLA integrators and the
+    # in-kernel megakernel bit-identically. K <= 32 keeps the fetch
+    # ~3*K vector ops (the in-kernel texture budget: 4096 texels).
+    mat_tex_space: jax.Array | None = None  # (M,) f32 — 1 = UV-space checker
+    tex_atlas: jax.Array | None = None      # (3K, 128) f32 atlas rows
+    mat_tex_rect: jax.Array | None = None   # (M, 4) f32 — x0, y0, w, h texels
+    tri_uv: jax.Array | None = None         # (T, 6) f32 — u0,v0,u1,v1,u2,v2
+    #   per-corner UVs of the UNROLLED triangle slots (gather paths);
+    #   cluster meshes carry UVs in the table rows instead
     # spectral dispersion for DIELECTRIC materials: ior spread between
     # the blue and red channels (ior_R = ior - d/2 ... ior_B = ior + d/2).
     # A path hitting dispersive glass commits to ONE color channel
@@ -143,6 +205,21 @@ class PTScene:
         return self.mat_tex_scale is not None
 
     @property
+    def has_image(self) -> bool:
+        """Image (atlas) textures present — static None-ness predicate."""
+        return self.tex_atlas is not None
+
+    @property
+    def needs_uv(self) -> bool:
+        """True when shading consumes hit UVs (image textures or UV-space
+        checkers) — the intersectors then emit a `uv` plane pair."""
+        return self.tex_atlas is not None or self.mat_tex_space is not None
+
+    @property
+    def has_tri_uv(self) -> bool:
+        return self.tri_uv is not None
+
+    @property
     def has_dispersion(self) -> bool:
         return self.mat_dispersion is not None
 
@@ -165,6 +242,7 @@ def build_pt_scene(
     mesh_lights: bool = False,
     allow_many_tri_lights: bool = False,
     env=None,            # (3,) constant sky, or ((3,), (3,)) = (bottom, top)
+    tri_uvs=None,        # (T, 3, 2) per-corner UVs of the unrolled slots
 ) -> PTScene:
     """Host-side scene assembly: pads SoA arrays, derives the light table.
 
@@ -212,7 +290,9 @@ def build_pt_scene(
     mat_ior = np.ones((M,), np.float32)
     mat_albedo2 = np.zeros((M, 3), np.float32)
     mat_tex_scale = np.zeros((M,), np.float32)
+    mat_tex_space = np.zeros((M,), np.float32)
     mat_dispersion = np.zeros((M,), np.float32)
+    images = []  # (material index, (h, w, 3) pixels) for the atlas
     for i, m in enumerate(materials):
         mat_kind[i] = m.get("kind", DIFFUSE)
         # a clear dielectric tints nothing: albedo defaults to 1 there
@@ -221,12 +301,37 @@ def build_pt_scene(
         mat_albedo[i] = m.get("albedo", default_albedo)
         mat_emission[i] = m.get("emission", (0.0, 0.0, 0.0))
         mat_ior[i] = m.get("ior", 1.5)
-        if "checker" in m:  # {"color": (3,), "scale": cells-per-unit}
+        if "checker" in m:  # {"color": (3,), "scale", "space": "world"|"uv"}
             mat_albedo2[i] = m["checker"].get("color", (0.0, 0.0, 0.0))
             mat_tex_scale[i] = m["checker"].get("scale", 1.0)
+            mat_tex_space[i] = (
+                1.0 if m["checker"].get("space", "world") == "uv" else 0.0)
+        if "image" in m:  # {"pixels": (h, w, 3), "scale": uv tiling} | array
+            spec = m["image"]
+            if isinstance(spec, dict):
+                pixels, scale = spec["pixels"], spec.get("scale", 1.0)
+            else:
+                pixels, scale = spec, 1.0
+            images.append((i, np.asarray(pixels, np.float32)))
+            mat_tex_scale[i] = scale
         mat_dispersion[i] = m.get("dispersion", 0.0)
     textured = bool((mat_tex_scale > 0).any())
+    uv_space = bool((mat_tex_space > 0).any())
     dispersive = bool((mat_dispersion > 0).any())
+    tex_atlas = mat_rect = None
+    if images:
+        tex_atlas, rects = pack_texture_atlas([img for _, img in images])
+        mat_rect = np.zeros((M, 4), np.float32)  # w=0 -> no image texture
+        for (i, _), r in zip(images, rects):
+            mat_rect[i] = r
+    tri_uv6 = None
+    if tri_uvs is not None:
+        uv_arr = np.asarray(tri_uvs, np.float32)
+        if uv_arr.shape != (T, 3, 2):
+            raise ValueError(
+                f"tri_uvs must be (T, 3, 2) matching triangles; got "
+                f"{uv_arr.shape} for T={T}")
+        tri_uv6 = _pad(uv_arr.reshape(T, 6), tri_pad)
 
     # --- light table: all primitives whose material emits -----------------
     lk, lp, la, le = [], [], [], []
@@ -320,6 +425,10 @@ def build_pt_scene(
         mat_ior=jnp.asarray(mat_ior),
         mat_albedo2=jnp.asarray(mat_albedo2) if textured else None,
         mat_tex_scale=jnp.asarray(mat_tex_scale) if textured else None,
+        mat_tex_space=jnp.asarray(mat_tex_space) if uv_space else None,
+        tex_atlas=None if tex_atlas is None else jnp.asarray(tex_atlas),
+        mat_tex_rect=None if mat_rect is None else jnp.asarray(mat_rect),
+        tri_uv=None if tri_uv6 is None else jnp.asarray(tri_uv6),
         mat_dispersion=jnp.asarray(mat_dispersion) if dispersive else None,
         light_kind=jnp.asarray(light_kind),
         light_prim=jnp.asarray(light_prim),

@@ -30,14 +30,24 @@ instead of code:
   optional `ior`, default 1.5; optional `dispersion` = ior spread between
   blue and red for chromatic refraction; `albedo` is optional there and
   defaults to [1,1,1] — a clear glass tints nothing).
-- `checker`: optional per-material world-space checker texture
-  `{"color": [r,g,b], "scale": cells-per-unit}` alternating with `albedo`.
+- `checker`: optional per-material checker texture `{"color": [r,g,b],
+  "scale": cells-per-unit, "space": "world"|"uv"}` alternating with
+  `albedo` — world-space cells by default, texture-UV cells with
+  `"space": "uv"` (needs UV-carrying geometry).
+- `image`: optional per-material image texture `{"png": path}` or
+  `{"npy": path}` (relative to the JSON file; PNG texels are UNORM
+  `u8/255` linear, matching the write path) with optional `"scale"`
+  (UV tiling factor). All images share one 128-texel-wide atlas
+  (scene.pack_texture_atlas); sampling is nearest-texel at the hit UV.
 - `meshes[*]` sources: `obj` (path relative to the JSON file), `icosphere`
   (accel.icosphere kwargs), `knot` (accel.torus_knot kwargs). `scale` and
   `translate` post-transform vertices. Each mesh gets ONE material.
   `"smooth": true` shades the mesh with barycentric-interpolated vertex
   normals (the OBJ's `vn` records when present, else area-weighted
   welded-vertex normals) — requires the cluster path (`--bvh` on TPU).
+  `"uvs": true` loads the OBJ's `vt` per-corner texture coordinates
+  (loud error if the file has none) for UV-space checkers / image
+  textures on the mesh.
 - `camera` is optional (origin, identity quat); `cli pt --scene f.json`
   uses it as the starting pose.
 - `env`: gradient-sky environment light — `[r, g, b]` (constant) or
@@ -61,6 +71,7 @@ from __future__ import annotations
 
 import json
 import os
+from typing import NamedTuple
 
 import numpy as np
 
@@ -72,10 +83,10 @@ _KINDS = {"diffuse": DIFFUSE, "mirror": MIRROR,
 _TOP_KEYS = {"materials", "spheres", "meshes", "camera", "mesh_lights",
              "env", "instances"}
 _MAT_KEYS = {"albedo", "emission", "kind", "ior", "checker",
-             "dispersion"}
+             "dispersion", "image"}
 _SPH_KEYS = {"center", "radius", "mat"}
 _MESH_KEYS = {"obj", "icosphere", "knot", "mat", "scale", "translate",
-              "smooth"}
+              "smooth", "uvs"}
 _CAM_KEYS = {"position", "quat"}
 _INST_KEYS = {"mesh", "mat", "grid", "transforms"}
 _GRID_KEYS = {"nx", "ny", "spacing", "base"}
@@ -90,36 +101,48 @@ def _check_keys(d: dict, allowed: set, what: str) -> None:
 
 
 def _mesh_tris(entry: dict, base_dir: str):
-    """-> (tris (T,3,3), vnormals (T,3,3) | None). Normals are returned
-    only for entries with `"smooth": true` — from the OBJ's `vn` records
-    when present, else area-weighted welded-vertex normals
-    (accel.mesh.smooth_vertex_normals). Uniform scale / translate leave
-    normal directions unchanged."""
+    """-> (tris (T,3,3), vnormals (T,3,3) | None, vuvs (T,3,2) | None).
+    Normals are returned only for entries with `"smooth": true` — from
+    the OBJ's `vn` records when present, else area-weighted welded-vertex
+    normals (accel.mesh.smooth_vertex_normals); UVs only for
+    `"uvs": true` (OBJ `vt` records — loud error when absent). Uniform
+    scale / translate leave normal directions and UVs unchanged."""
     sources = [k for k in ("obj", "icosphere", "knot") if k in entry]
     if len(sources) != 1:
         raise ValueError(f"mesh entry needs exactly one of obj/icosphere/"
                          f"knot, got {sources or 'none'}")
     src = sources[0]
     smooth = bool(entry.get("smooth", False))
-    vn = None
+    want_uv = bool(entry.get("uvs", False))
+    vn = vuv = None
     if src == "obj":
         from raytracing_engine_tpu.accel import load_obj
 
         path = entry["obj"]
         if not os.path.isabs(path):
             path = os.path.join(base_dir, path)
-        if smooth:
-            tris, vn = load_obj(path, normals=True)
-        else:
-            tris = load_obj(path)
-    elif src == "icosphere":
-        from raytracing_engine_tpu.accel import icosphere
-
-        tris = icosphere(**entry["icosphere"])
+        tris, vn, vuv = load_obj(path, normals=True, uvs=True)
+        if not smooth:
+            vn = None
+        if want_uv and vuv is None:
+            raise ValueError(
+                f"mesh {entry['obj']!r} sets \"uvs\": true but the OBJ has "
+                f"no complete vt/f v/vt texture-coordinate set")
+        if not want_uv:
+            vuv = None
     else:
-        from raytracing_engine_tpu.accel import torus_knot
+        if want_uv:
+            raise ValueError(
+                f'"uvs": true needs an obj source with vt records; '
+                f"{src} meshes carry no parametrization")
+        if src == "icosphere":
+            from raytracing_engine_tpu.accel import icosphere
 
-        tris = torus_knot(**entry["knot"])
+            tris = icosphere(**entry["icosphere"])
+        else:
+            from raytracing_engine_tpu.accel import torus_knot
+
+            tris = torus_knot(**entry["knot"])
     tris = np.asarray(tris, np.float32)
     if smooth and vn is None:
         from raytracing_engine_tpu.accel.mesh import smooth_vertex_normals
@@ -129,25 +152,38 @@ def _mesh_tris(entry: dict, base_dir: str):
         tris = tris * np.float32(entry["scale"])
     if "translate" in entry:
         tris = tris + np.asarray(entry["translate"], np.float32)
-    return tris, vn
+    return tris, vn, vuv
 
 
-def load_scene_json(path: str):
-    """Load a JSON scene file.
+class SceneBundle(NamedTuple):
+    """What load_scene_json returns — NAMED fields so adding one never
+    silently renumbers a positional unpack again (the tri_normals
+    addition broke exactly that way). tris/tri_mats/tri_normals/tri_uvs
+    feed accel.clusters.build_clusters / accel.build_bvh for the --bvh
+    path; `instanced` carries {mesh (T,3,3), transforms [(rot3x3, trans3,
+    scale)], mat} for accel.instancing.make_instances +
+    make_instanced_clusters (mutually exclusive with loose meshes)."""
 
-    Returns (scene: PTScene, tris: (T,3,3) f32 | None, tri_mats: (T,) i32
-    | None, cam_pos: (3,) f32, cam_quat: (4,) f32, instanced: dict | None,
-    tri_normals: (T,3,3) f32 | None). tris/tri_mats/tri_normals feed
-    accel.clusters.build_clusters / accel.build_bvh for the --bvh path;
+    scene: PTScene
+    tris: np.ndarray | None        # (T, 3, 3) f32 concatenated mesh soup
+    tri_mats: np.ndarray | None    # (T,) i32 per-triangle material ids
+    cam_pos: np.ndarray            # (3,) f32
+    cam_quat: np.ndarray           # (4,) f32
+    instanced: dict | None         # two-level spec (see docstring)
+    tri_normals: np.ndarray | None  # (T, 3, 3) f32 when any mesh is smooth
+    tri_uvs: np.ndarray | None     # (T, 3, 2) f32 when any mesh has UVs
+
+
+def load_scene_json(path: str) -> SceneBundle:
+    """Load a JSON scene file into a SceneBundle (see schema above).
+
     tri_normals is non-None when any mesh entry sets `"smooth": true`
     (flat entries then carry face normals per corner, so a mixed scene
-    builds ONE smooth cluster table that shades each part correctly). `instanced` (from a top-level "instances" object:
-    {"mesh": <mesh entry>, "mat": id, "grid": {nx, ny, spacing, base}} or
-    explicit "transforms": [{"translate", "rotate_z", "scale"}, ...])
-    carries {mesh (T,3,3), transforms [(rot3x3, trans3, scale)], mat} for
-    accel.instancing.make_instances + make_instanced_clusters — the
-    two-level path; mutually exclusive with "meshes" (the instanced
-    intersector traces spheres + instances only).
+    builds ONE smooth cluster table that shades each part correctly);
+    tri_uvs likewise when any entry sets `"uvs": true` (UV-less parts
+    carry zeros — they read texel (0,0) only if their material is
+    image-textured, which the schema has no way to express per-part
+    incorrectly since materials are per-mesh).
     """
     with open(path) as f:
         spec = json.load(f)
@@ -166,14 +202,37 @@ def load_scene_json(path: str):
         mat = {"emission": tuple(m.get("emission", (0, 0, 0))),
                "kind": _KINDS[kind], "ior": float(m.get("ior", 1.5)),
                "dispersion": float(m.get("dispersion", 0.0))}
-        if "checker" in m:  # {"color": [r,g,b], "scale": cells-per-unit}
-            extra = set(m["checker"]) - {"color", "scale"}
+        if "checker" in m:  # {"color", "scale", "space": "world"|"uv"}
+            extra = set(m["checker"]) - {"color", "scale", "space"}
             if extra:
                 raise ValueError(f"materials[{i}].checker: unknown keys "
                                  f"{sorted(extra)}")
+            space = m["checker"].get("space", "world")
+            if space not in ("world", "uv"):
+                raise ValueError(f"materials[{i}].checker.space {space!r} "
+                                 f"must be 'world' or 'uv'")
             mat["checker"] = {"color": tuple(m["checker"].get(
                 "color", (0, 0, 0))), "scale": float(m["checker"].get(
-                    "scale", 1.0))}
+                    "scale", 1.0)), "space": space}
+        if "image" in m:  # {"png": path} | {"npy": path} [+ "scale"]
+            spec_i = m["image"]
+            extra = set(spec_i) - {"png", "npy", "scale"}
+            if extra or ("png" in spec_i) == ("npy" in spec_i):
+                raise ValueError(
+                    f"materials[{i}].image needs exactly one of png/npy "
+                    f"(+ optional scale); got {sorted(spec_i)}")
+            ipath = spec_i.get("png") or spec_i.get("npy")
+            if not os.path.isabs(ipath):
+                ipath = os.path.join(base_dir, ipath)
+            if "png" in spec_i:
+                from raytracing_engine_tpu.utils.image import read_png
+
+                # UNORM u8/255 linear — symmetric with the write path
+                pixels = read_png(ipath).astype(np.float32) / 255.0
+            else:
+                pixels = np.asarray(np.load(ipath), np.float32)
+            mat["image"] = {"pixels": pixels,
+                            "scale": float(spec_i.get("scale", 1.0))}
         if "albedo" in m:
             mat["albedo"] = tuple(m["albedo"])
         elif kind != "dielectric":
@@ -195,13 +254,14 @@ def load_scene_json(path: str):
         spheres.append((tuple(s["center"]), float(s["radius"]),
                         _mat_id(s["mat"], f"spheres[{i}]")))
 
-    tris = tri_mats = tri_normals = None
-    parts, part_mats, part_ns = [], [], []
+    tris = tri_mats = tri_normals = tri_uvs = None
+    parts, part_mats, part_ns, part_uvs = [], [], [], []
     for i, m in enumerate(spec.get("meshes", [])):
         _check_keys(m, _MESH_KEYS, f"meshes[{i}]")
-        t, vn = _mesh_tris(m, base_dir)
+        t, vn, vuv = _mesh_tris(m, base_dir)
         parts.append(t)
         part_ns.append(vn)
+        part_uvs.append(vuv)
         part_mats.append(np.full(len(t), _mat_id(m.get("mat", 0),
                                                  f"meshes[{i}]"), np.int32))
     if parts:
@@ -220,6 +280,13 @@ def load_scene_json(path: str):
             tri_normals = np.concatenate(
                 [vn if vn is not None else _flat(t)
                  for t, vn in zip(parts, part_ns)], axis=0)
+        if any(uv is not None for uv in part_uvs):
+            # mixed UV/UV-less: UV-less parts carry zeros (their materials
+            # aren't image-textured — materials are per-mesh)
+            tri_uvs = np.concatenate(
+                [uv if uv is not None
+                 else np.zeros((len(t), 3, 2), np.float32)
+                 for t, uv in zip(parts, part_uvs)], axis=0)
 
     env = spec.get("env")
     if isinstance(env, dict):
@@ -232,7 +299,7 @@ def load_scene_json(path: str):
         spheres=spheres, triangles=tris, tri_mats=tri_mats,
         materials=materials,
         mesh_lights=bool(spec.get("mesh_lights", False)),
-        env=env,
+        env=env, tri_uvs=tri_uvs,
     )
 
     instanced = None
@@ -248,7 +315,7 @@ def load_scene_json(path: str):
             raise ValueError("instances.mesh is required")
         _check_keys(inst["mesh"], _MESH_KEYS - {"mat", "smooth"},
                     "instances.mesh")
-        imesh, _ = _mesh_tris(inst["mesh"], base_dir)
+        imesh, _, iuv = _mesh_tris(inst["mesh"], base_dir)
         imat = _mat_id(inst.get("mat", 0), "instances")
         transforms = []
         if "grid" in inst:
@@ -275,7 +342,8 @@ def load_scene_json(path: str):
                                float(x.get("scale", 1.0))))
         if not transforms:
             raise ValueError("instances needs a grid or a transforms list")
-        instanced = {"mesh": imesh, "transforms": transforms, "mat": imat}
+        instanced = {"mesh": imesh, "transforms": transforms, "mat": imat,
+                     "uvs": iuv}
 
     cam = spec.get("camera", {})
     _check_keys(cam, _CAM_KEYS, "camera")
@@ -284,4 +352,5 @@ def load_scene_json(path: str):
     if cam_pos.shape != (3,) or cam_quat.shape != (4,):
         raise ValueError("camera.position must be length 3, camera.quat "
                          "length 4")
-    return scene, tris, tri_mats, cam_pos, cam_quat, instanced, tri_normals
+    return SceneBundle(scene, tris, tri_mats, cam_pos, cam_quat, instanced,
+                       tri_normals, tri_uvs)

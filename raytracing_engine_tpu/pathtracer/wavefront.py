@@ -191,17 +191,22 @@ def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
     )
 
     t_s, i_s = _sphere_hits(scene, o, d, t_min)
+    cuu = cvv = None
     if isinstance(cs, KernelClusters):
         big = jnp.full_like(o[0], BIG)
         t_t, sidx_f, attr = cluster_sweep(cs, o, d, big, t_min=t_min,
                                           attrs=True)
-        cnx, cny, cnz, cmat, carea = attr
+        if len(attr) == 7:  # UV table: trailing interpolated-(u, v) planes
+            cnx, cny, cnz, cmat, carea, cuu, cvv = attr
+        else:
+            cnx, cny, cnz, cmat, carea = attr
         carea = carea * 0.5
         sidx = sidx_f.astype(jnp.int32)
     else:
-        t_t, sidx, cnx, cny, cnz, cmat, carea = cluster_intersect(
-            cs, o, d, BIG, t_min=t_min, attrs=True
-        )
+        res = cluster_intersect(cs, o, d, BIG, t_min=t_min, attrs=True)
+        t_t, sidx, cnx, cny, cnz, cmat, carea = res[:7]
+        if len(res) == 9:
+            cuu, cvv = res[7], res[8]
     t_t = jnp.where(sidx >= 0, t_t, BIG)
 
     use_tri = t_t < t_s
@@ -228,13 +233,22 @@ def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
     sph_area = 4.0 * _PI * sr * sr
     light_area = jnp.where(use_tri, carea, sph_area)
 
-    return dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
-                is_tri=use_tri, front=~flip)
+    out = dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
+               is_tri=use_tri, front=~flip)
+    if scene.needs_uv:  # static: UV-free scenes compile the prior program
+        su, sv = _sphere_uv(n_sph)
+        if cuu is None:
+            cuu = cvv = jnp.zeros_like(t)
+        out["uv"] = (jnp.where(use_tri, cuu, su),
+                     jnp.where(use_tri, cvv, sv))
+    return out
 
 
 def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
-    """(t, original tri index, n V3 unnormalized, 2*area) of the nearest
-    triangle hit.
+    """(t, original tri index, n V3 unnormalized, 2*area, uv) of the
+    nearest triangle hit. uv is the interpolated texture-(u, v) pair when
+    the ClusterSet carries UV rows, else None (callers fall back to
+    scene.tri_uv or zeros).
 
     `bvh` may be an accel.bvh.BVH (skip-link traversal: packet kernel in
     interpret mode / gather fallback) or an accel.clusters.ClusterSet (the
@@ -273,6 +287,7 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
         idx = jnp.maximum(cs.perm[safe], 0)
         n = (cs.tri[0, safe], cs.tri[1, safe], cs.tri[2, safe])
         nlen2 = cs.tri[13, safe]
+        tuv = None
         if cs.smooth:
             # smooth table (rows 21-29): recompute the hit barycentrics
             # from the affine rows at the hit point (cluster-local, row
@@ -292,7 +307,10 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
                  + cs.tri[10, safe] * pz + cs.tri[11, safe])
             n = tuple(cs.tri[21 + a, safe] + u * cs.tri[24 + a, safe]
                       + v * cs.tri[27 + a, safe] for a in range(3))
-        return jnp.where(sidx >= 0, t, BIG), idx, n, nlen2
+            if cs.has_uv:  # rows 32-37: interpolated texture UV
+                tuv = tuple(cs.tri[32 + a, safe] + u * cs.tri[34 + a, safe]
+                            + v * cs.tri[36 + a, safe] for a in range(2))
+        return jnp.where(sidx >= 0, t, BIG), idx, n, nlen2, tuv
     if bvh is not None:
         if _use_packet(packet):
             from raytracing_engine_tpu.ops.pallas.bvh_traverse import (
@@ -314,7 +332,7 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
         e1 = v3.unstack(bvh.e1[safe])
         e2 = v3.unstack(bvh.e2[safe])
         n = v3.cross(e1, e2)
-        return jnp.where(ridx >= 0, t, BIG), idx, n, v3.length(n)
+        return jnp.where(ridx >= 0, t, BIG), idx, n, v3.length(n), None
     if T <= TRI_UNROLL_MAX:
         t, idx = _tri_hits_unrolled(scene, o, d, t_min)
         safe = jnp.maximum(idx, 0)
@@ -325,7 +343,7 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
                _sel(safe, scene.tri_e2[:, 1], T),
                _sel(safe, scene.tri_e2[:, 2], T))
         n = v3.cross(e1c, e2c)
-        return t, safe, n, v3.length(n)
+        return t, safe, n, v3.length(n), None
     # big mesh without a BVH: stacked fallback (slow — build a BVH instead)
     from raytracing_engine_tpu.pathtracer.intersect import ray_triangle
 
@@ -339,7 +357,7 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
     e1 = v3.unstack(scene.tri_e1[idx])
     e2 = v3.unstack(scene.tri_e2[idx])
     n = v3.cross(e1, e2)
-    return t, idx, n, v3.length(n)
+    return t, idx, n, v3.length(n), None
 
 
 def _intersect_instanced(scene: PTScene, o, d, t_min, bvh):
@@ -358,11 +376,15 @@ def _intersect_instanced(scene: PTScene, o, d, t_min, bvh):
     )
 
     t_s, i_s = _sphere_hits(scene, o, d, t_min)
+    cuu = cvv = None
     if isinstance(bvh, KernelInstances):
         big = jnp.full_like(o[0], BIG)
         t_w, code, attr = instanced_sweep(bvh, o, d, big, t_min=t_min,
                                           attrs=True)
-        cnx, cny, cnz = attr
+        if len(attr) == 5:  # UV base table: trailing (u, v) planes
+            cnx, cny, cnz, cuu, cvv = attr
+        else:
+            cnx, cny, cnz = attr
         n_inst, t_pad = bvh.n_instances, bvh.t_pad
         inst_mat = jnp.zeros_like(code)
         for k in range(n_inst):  # static select chain over instances
@@ -371,8 +393,11 @@ def _intersect_instanced(scene: PTScene, o, d, t_min, bvh):
             inst_mat = jnp.where(sel, bvh.inst_ref[k, 19], inst_mat)
         hit_tri = code >= 0.0
     else:
-        t_w, code_i, cnx, cny, cnz = instanced_cluster_intersect(
+        res = instanced_cluster_intersect(
             bvh.inst_tab, bvh.cs, o, d, t_min=t_min, attrs=True)
+        t_w, code_i, cnx, cny, cnz = res[:5]
+        if len(res) == 7:
+            cuu, cvv = res[5], res[6]
         n_inst = bvh.inst_tab.shape[0]
         inst_id = jnp.maximum(code_i, 0) // bvh.cs.padded_tris
         inst_mat = _sel(inst_id, bvh.inst_tab[:, 19], n_inst)
@@ -403,8 +428,15 @@ def _intersect_instanced(scene: PTScene, o, d, t_min, bvh):
     sph_area = 4.0 * _PI * sr * sr
     light_area = jnp.where(use_tri, 1.0, sph_area)
 
-    return dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
-                is_tri=use_tri, front=~flip)
+    out = dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
+               is_tri=use_tri, front=~flip)
+    if scene.needs_uv:  # static: UV-free scenes compile the prior program
+        su, sv = _sphere_uv(n_sph)
+        if cuu is None:
+            cuu = cvv = jnp.zeros_like(t)
+        out["uv"] = (jnp.where(use_tri, cuu, su),
+                     jnp.where(use_tri, cvv, sv))
+    return out
 
 
 def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
@@ -421,7 +453,7 @@ def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
     if isinstance(bvh, KernelClusters):  # in-kernel: gathers impossible
         return _intersect_clusters(scene, o, d, t_min, bvh)
     t_s, i_s = _sphere_hits(scene, o, d, t_min)
-    t_t, i_t, n_tri, nlen2 = _tri_hits(scene, o, d, t_min, bvh, packet)
+    t_t, i_t, n_tri, nlen2, tuv = _tri_hits(scene, o, d, t_min, bvh, packet)
 
     use_tri = t_t < t_s
     t = jnp.minimum(t_s, t_t)
@@ -454,8 +486,31 @@ def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
     tri_area = 0.5 * nlen2
     light_area = jnp.where(use_tri, tri_area, sph_area)
 
-    return dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
-                is_tri=use_tri, front=~flip)
+    out = dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
+               is_tri=use_tri, front=~flip)
+    if scene.needs_uv:  # static: UV-free scenes compile the prior program
+        su, sv = _sphere_uv(n_sph)
+        if tuv is None and scene.tri_uv is not None:
+            # recompute the hit barycentrics from the gathered triangle
+            # (Baldwin–Weber rows on the fly) and interpolate tri_uv
+            v0g = v3.unstack(scene.tri_v0[i_t])
+            e1g = v3.unstack(scene.tri_e1[i_t])
+            e2g = v3.unstack(scene.tri_e2[i_t])
+            ng = v3.cross(e1g, e2g)
+            nn = jnp.maximum(v3.dot(ng, ng), 1e-30)
+            rel = v3.sub(p, v0g)
+            ub = v3.dot(v3.cross(e2g, ng), rel) / nn
+            vb = v3.dot(v3.cross(ng, e1g), rel) / nn
+            uv6 = scene.tri_uv[i_t]
+            tuv = (uv6[..., 0] + ub * (uv6[..., 2] - uv6[..., 0])
+                   + vb * (uv6[..., 4] - uv6[..., 0]),
+                   uv6[..., 1] + ub * (uv6[..., 3] - uv6[..., 1])
+                   + vb * (uv6[..., 5] - uv6[..., 1]))
+        if tuv is None:
+            tuv = (jnp.zeros_like(t), jnp.zeros_like(t))
+        out["uv"] = (jnp.where(use_tri, tuv[0], su),
+                     jnp.where(use_tri, tuv[1], sv))
+    return out
 
 
 def _occluded(scene: PTScene, o, d, max_t, t_min, bvh, packet=None):
@@ -652,17 +707,102 @@ def _mat_lookup(scene: PTScene, mat_id):
     return albedo, emission, kind, ior
 
 
-def _textured_albedo(scene: PTScene, mat_id, albedo, p):
-    """World-space checker: cells of size 1/scale alternate albedo and
-    mat_albedo2 (scale 0 = flat). Pure elementwise math — kernel-safe."""
+def _poly_atan2(y, x):
+    """atan2 from mul/add/select only (Mosaic has no atan2 primitive):
+    octant-reduced Hastings polynomial, |err| < 1e-5 rad. Every engine
+    shares this implementation, so sphere UVs stay parity-exact."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    a = jnp.minimum(ax, ay) / jnp.maximum(hi, 1e-30)
+    s = a * a
+    r = a * (0.9998660 + s * (-0.3302995 + s * (0.1801410
+             + s * (-0.0851330 + s * 0.0208351))))
+    r = jnp.where(ay > ax, 0.5 * _PI - r, r)
+    r = jnp.where(x < 0.0, _PI - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _poly_acos(x):
+    """acos via the Hastings sqrt approximation (|err| < 7e-5 rad) —
+    kernel-safe (sqrt/mul/add/select)."""
+    ax = jnp.clip(jnp.abs(x), 0.0, 1.0)
+    r = jnp.sqrt(1.0 - ax) * (1.5707288 + ax * (-0.2121144
+        + ax * (0.0742610 - ax * 0.0187293)))
+    return jnp.where(x < 0.0, _PI - r, r)
+
+
+def _sphere_uv(n_sph):
+    """Analytic spherical parametrization from the unnormalized OUTWARD
+    normal (p - center): u = azimuth/2pi + 0.5, v = polar/pi (Z-up).
+    Elementwise with polynomial inverse-trig — kernel-safe; gives spheres
+    UVs with no stored data."""
+    ln = jnp.maximum(v3.length(n_sph), 1e-20)
+    u = _poly_atan2(n_sph[1], n_sph[0]) * (0.5 / _PI) + 0.5
+    v = _poly_acos(jnp.clip(n_sph[2] / ln, -1.0, 1.0)) * (1.0 / _PI)
+    return u, v
+
+
+def _atlas_fetch(atlas, ty, tx):
+    """Per-lane nearest-texel fetch from the (3K, 128) channel-major atlas.
+
+    ty/tx: int32 planes (atlas row / texel column). The column fetch is a
+    lane-axis `take_along_axis` on a broadcast atlas row — Mosaic lowers
+    dynamic LANE gathers on v5e (sublane gathers it cannot) — and the row
+    dimension is a K-row select chain, so one implementation serves the
+    XLA integrators and the in-kernel megakernel bit-identically at
+    ~3K vector ops per fetch (K <= scene.ATLAS_MAX_ROWS = 32)."""
+    K = atlas.shape[0] // 3
+    out = []
+    for c in range(3):
+        acc = jnp.zeros(tx.shape, jnp.float32)
+        for k in range(K):
+            row = atlas[c * K + k]  # (128,) static-row read
+            tab = jnp.broadcast_to(row[None, :],
+                                   tx.shape[:-1] + row.shape)
+            vals = jnp.take_along_axis(tab, tx, axis=-1)
+            acc = jnp.where(ty == k, vals, acc)
+        out.append(acc)
+    return tuple(out)
+
+
+def _textured_albedo(scene: PTScene, mat_id, albedo, p, uv=None):
+    """Procedural checker + image-atlas textures. Checker cells of size
+    1/scale alternate albedo and mat_albedo2 (scale 0 = flat), evaluated
+    in world space or — for mat_tex_space=1 materials — texture-UV space.
+    Image-textured materials (mat_tex_rect w > 0) then sample the shared
+    atlas at the scale-tiled hit UV. Kernel-safe throughout."""
     M = scene.mat_albedo.shape[0]
     s = _sel(mat_id, scene.mat_tex_scale, M)
     a2 = (_sel(mat_id, scene.mat_albedo2[:, 0], M),
           _sel(mat_id, scene.mat_albedo2[:, 1], M),
           _sel(mat_id, scene.mat_albedo2[:, 2], M))
     cells = (jnp.floor(p[0] * s) + jnp.floor(p[1] * s) + jnp.floor(p[2] * s))
+    if uv is not None and scene.mat_tex_space is not None:
+        space = _sel(mat_id, scene.mat_tex_space, M)
+        cells_uv = jnp.floor(uv[0] * s) + jnp.floor(uv[1] * s)
+        cells = jnp.where(space > 0.5, cells_uv, cells)
     odd = jnp.mod(cells, 2.0) >= 1.0  # mod handles negative cells
-    return v3.where((s > 0.0) & odd, a2, albedo)
+    out = v3.where((s > 0.0) & odd, a2, albedo)
+    if scene.tex_atlas is not None and uv is not None:
+        x0 = _sel(mat_id, scene.mat_tex_rect[:, 0], M)
+        y0 = _sel(mat_id, scene.mat_tex_rect[:, 1], M)
+        tw = _sel(mat_id, scene.mat_tex_rect[:, 2], M)
+        th = _sel(mat_id, scene.mat_tex_rect[:, 3], M)
+        fu = uv[0] * s
+        fv = uv[1] * s
+        fu = fu - jnp.floor(fu)  # wrap (tile) addressing
+        fv = fv - jnp.floor(fv)
+        # max(..., 0) also guards untextured lanes (tw=0 -> clip hi = -1)
+        tx = jnp.maximum(
+            x0 + jnp.clip(jnp.floor(fu * tw), 0.0, tw - 1.0), 0.0
+        ).astype(jnp.int32)
+        ty = jnp.maximum(
+            y0 + jnp.clip(jnp.floor(fv * th), 0.0, th - 1.0), 0.0
+        ).astype(jnp.int32)
+        rgb = _atlas_fetch(scene.tex_atlas, ty, tx)
+        out = v3.where(tw > 0.0, rgb, out)
+    return out
 
 
 def _scene_bbox(cs):
@@ -938,7 +1078,8 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         n = isect["n"]
         p = isect["p"]
         if scene.has_texture:  # static: untextured scenes pay nothing
-            albedo = _textured_albedo(scene, isect["mat_id"], albedo, p)
+            albedo = _textured_albedo(scene, isect["mat_id"], albedo, p,
+                                      uv=isect.get("uv"))
 
         # --- emission (MIS vs NEE of the previous vertex) ------------------
         emissive = (emission[0] > 0.0) | (emission[1] > 0.0) | (emission[2] > 0.0)

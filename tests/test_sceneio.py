@@ -37,8 +37,9 @@ BASIC = {
 
 
 def test_load_basic_scene(tmp_path):
-    scene, tris, tri_mats, pos, quat, inst = load_scene_json(
-        _write(tmp_path, BASIC))
+    b = load_scene_json(_write(tmp_path, BASIC))
+    scene, tris, tri_mats = b.scene, b.tris, b.tri_mats
+    pos, quat = b.cam_pos, b.cam_quat
     assert int(scene.sph_count) == 2
     assert int(scene.light_count) == 1  # the emissive sphere
     assert tris.shape[0] == 80 + 40 * 8 * 2  # icosphere(1) + knot tris
@@ -90,8 +91,7 @@ def test_obj_path_relative_to_json(tmp_path):
         "materials": [{"albedo": [0.5, 0.5, 0.5]}],
         "meshes": [{"obj": "ball.obj", "mat": 0}],
     })
-    _, tris, _, _, _, _ = load_scene_json(p)
-    assert tris.shape[0] == 80
+    assert load_scene_json(p).tris.shape[0] == 80
 
 
 @pytest.mark.parametrize("spec,msg", [
@@ -152,7 +152,9 @@ def test_instances_block(tmp_path):
                             "scale": 1.5}],
         },
     }
-    scene, tris, _, pos, quat, inst = load_scene_json(_write(tmp_path, spec))
+    b = load_scene_json(_write(tmp_path, spec))
+    scene, tris, inst = b.scene, b.tris, b.instanced
+    pos, quat = b.cam_pos, b.cam_quat
     assert tris is None and inst is not None
     assert len(inst["transforms"]) == 5  # 2x2 grid + 1 explicit
     assert inst["mesh"].shape[1:] == (3, 3)

@@ -251,7 +251,8 @@ def test_scene_json_smooth_flag(tmp_path):
     }"""
     p = tmp_path / "s.json"
     p.write_text(spec)
-    scene, tris, tri_mats, *_rest, tri_normals = load_scene_json(str(p))
+    b = load_scene_json(str(p))
+    tris, tri_normals = b.tris, b.tri_normals
     assert tris is not None and tri_normals is not None
     assert tri_normals.shape == tris.shape
     np.testing.assert_allclose(np.linalg.norm(tri_normals, axis=-1), 1.0,
@@ -268,5 +269,4 @@ def test_scene_json_smooth_flag(tmp_path):
       "materials": [{"albedo": [0.5, 0.5, 0.5]}],
       "meshes": [{"knot": {"segments": 16, "sides": 4}, "mat": 0}]
     }""")
-    *_a, flat_normals = load_scene_json(str(q))
-    assert flat_normals is None
+    assert load_scene_json(str(q)).tri_normals is None
