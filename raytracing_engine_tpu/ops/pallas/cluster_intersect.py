@@ -92,6 +92,12 @@ class KernelClusters:
     # Mosaic) outweigh the saved issue. Kept (default 1 = the ungrouped
     # graph) as the committed, runnable record of the ruled-out lever.
     groups: int = 1
+    # Emit world texture-u tangent attr planes (UV tables only): the
+    # per-triangle tangent d(u_tex)/dp = du1*r1 + du2*r2 comes from the
+    # barycentric gradient rows already in the table (6 SCALAR FMAs per
+    # test — the tangent is triangle-constant — plus 3 vector selects).
+    # Static; off keeps the emitted program identical to before.
+    emit_tan: bool = False
     # Opt-in: use the fast approximate reciprocal (~2^-14 relative t
     # error) in CLOSEST-hit triangle tests too, not just any-hit ones.
     # Shifts hit points ~1 ulp-class and may flip near-coplanar winners;
@@ -150,7 +156,8 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
     """
     smooth = kc.tri_ref.shape[0] >= ROWS_SMOOTH  # static: table shape
     uv = kc.tri_ref.shape[0] >= ROWS_UV          # static: table shape
-    n_attr = 7 if uv else 5
+    tan = uv and kc.emit_tan                     # static: tangent planes
+    n_attr = 10 if tan else (7 if uv else 5)
     G = kc.groups
     H = o[0].shape[0]
     if H % G:
@@ -228,7 +235,10 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
         dx, dy, dz = d3
         lox, loy, loz = lo
         if attrs:
-            if uv:
+            if tan:
+                (anx, any_, anz, amat, aarea, auu, avv,
+                 atx, aty, atz) = attr
+            elif uv:
                 anx, any_, anz, amat, aarea, auu, avv = attr
             else:
                 anx, any_, anz, amat, aarea = attr
@@ -284,10 +294,24 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
                     cv = blk[33, k] + u * blk[35, k] + v * blk[37, k]
                     auu = jnp.where(ok, cu, auu)
                     avv = jnp.where(ok, cv, avv)
+                if tan:
+                    # triangle-constant world texture-u tangent from the
+                    # (translation-invariant) barycentric gradient rows:
+                    # d(u_tex)/dp = du1*r1 + du2*r2 — scalar math, the
+                    # only vector cost is the 3 commit selects
+                    du1, du2 = blk[34, k], blk[36, k]
+                    atx = jnp.where(ok, du1 * blk[4, k] + du2 * blk[8, k],
+                                    atx)
+                    aty = jnp.where(ok, du1 * blk[5, k] + du2 * blk[9, k],
+                                    aty)
+                    atz = jnp.where(ok, du1 * blk[6, k] + du2 * blk[10, k],
+                                    atz)
         if attrs:
             attr = (anx, any_, anz, amat, aarea)
             if uv:
                 attr += (auu, avv)
+            if tan:
+                attr += (atx, aty, atz)
         return t, idx, attr
 
     def mt_cluster(c, ray_hit, t, idx, attr):
@@ -415,7 +439,7 @@ def cluster_sweep(kc: KernelClusters, o, d, t0, *, t_min, any_hit=False,
 def _cluster_kernel(order_ref, sboxes_ref, boxes_ref, tri_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     tmax_ref, *rest, n_super, t_min, any_hit, attrs,
-                    approx_ok=False, n_orders=0, groups=1):
+                    approx_ok=False, n_orders=0, groups=1, tan=False):
     orders_ref = refs_ref = None
     if n_orders:
         orders_ref, refs_ref, *out_refs = rest
@@ -423,7 +447,12 @@ def _cluster_kernel(order_ref, sboxes_ref, boxes_ref, tri_ref,
         out_refs = rest
     uv = tri_ref.shape[0] >= ROWS_UV
     out_u_ref = out_v_ref = None
-    if attrs and uv:
+    out_tan_refs = None
+    if attrs and uv and tan:
+        (out_t_ref, out_idx_ref, out_nx_ref, out_ny_ref, out_nz_ref,
+         out_mat_ref, out_area_ref, out_u_ref, out_v_ref,
+         *out_tan_refs) = out_refs
+    elif attrs and uv:
         (out_t_ref, out_idx_ref, out_nx_ref, out_ny_ref, out_nz_ref,
          out_mat_ref, out_area_ref, out_u_ref, out_v_ref) = out_refs
     elif attrs:
@@ -433,7 +462,8 @@ def _cluster_kernel(order_ref, sboxes_ref, boxes_ref, tri_ref,
         out_t_ref, out_idx_ref = out_refs
     kc = KernelClusters(order_ref, sboxes_ref, boxes_ref, tri_ref, n_super,
                         approx_ok=approx_ok, orders_ref=orders_ref,
-                        refs_ref=refs_ref, n_orders=n_orders, groups=groups)
+                        refs_ref=refs_ref, n_orders=n_orders, groups=groups,
+                        emit_tan=tan and uv)
     t, idx, attr = cluster_sweep(
         kc,
         (ox_ref[:], oy_ref[:], oz_ref[:]),
@@ -451,17 +481,20 @@ def _cluster_kernel(order_ref, sboxes_ref, boxes_ref, tri_ref,
         if uv:
             out_u_ref[:] = attr[5]
             out_v_ref[:] = attr[6]
+        if out_tan_refs:
+            for a in range(3):
+                out_tan_refs[a][:] = attr[7 + a]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("t_min", "any_hit", "tile", "interpret", "attrs",
-                     "groups"),
+                     "groups", "tan"),
 )
 def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
                       t_min=1e-3, any_hit=False, tile=(16, 256),
                       interpret=None, attrs=False, order=None,
-                      orders=None, refs=None, groups=1):
+                      orders=None, refs=None, groups=1, tan=False):
     """Intersect an (H, W) ray-plane grid against a ClusterSet.
 
     Returns (t (H,W) — inf on miss, tri_idx (H,W) int32 — PADDED-REORDERED
@@ -507,6 +540,7 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
         approx_ok=not interpret,
         n_orders=n_orders,
         groups=groups,
+        tan=tan and cs.has_uv,
     )
     blk = lambda: pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)
@@ -518,6 +552,8 @@ def cluster_intersect(cs: ClusterSet, o_planes, d_planes, t_max,
         out_shape += [f32(), f32(), f32(), f32(), f32()]
         if cs.has_uv:  # interpolated texture-UV planes (rows 32-37)
             out_shape += [f32(), f32()]
+            if tan:    # world texture-u tangent planes
+                out_shape += [f32(), f32(), f32()]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # super visit order
         pl.BlockSpec(memory_space=pltpu.SMEM),   # super boxes

@@ -121,9 +121,10 @@ def instanced_sweep(ki: KernelInstances, o, d, t0, *, t_min, any_hit=False,
     from raytracing_engine_tpu.accel.clusters import ROWS_UV
 
     uv = ki.kc.tri_ref.shape[0] >= ROWS_UV  # static: base-table shape
+    tan = uv and ki.kc.emit_tan             # static: tangent planes
     zero = jnp.zeros_like(wox)
-    attr0 = ((zero, zero, zero, zero, zero) if uv
-             else (zero, zero, zero)) if attrs else ()
+    n_attr = 8 if tan else (5 if uv else 3)
+    attr0 = tuple(zero for _ in range(n_attr)) if attrs else ()
 
     def body(ki_i, carry):
         t_w, code, live, attr = carry[0], carry[1], carry[2], carry[3:]
@@ -178,6 +179,13 @@ def instanced_sweep(ki: KernelInstances, o, d, t0, *, t_min, any_hit=False,
                 new = (wx, wy, wz)
                 if uv:  # UVs are object-space data — carried untransformed
                     new += (sattr[5], sattr[6])
+                if tan:
+                    # object tangent -> world: directions rotate like
+                    # normals under R + uniform scale
+                    ttx, tty, ttz = sattr[7], sattr[8], sattr[9]
+                    new += (r00 * ttx + r10 * tty + r20 * ttz,
+                            r01 * ttx + r11 * tty + r21 * ttz,
+                            r02 * ttx + r12 * tty + r22 * ttz)
                 attr = tuple(jnp.where(upd, nv, av)
                              for nv, av in zip(new, attr))
             return (t_w, code) + attr
@@ -218,12 +226,16 @@ def _instanced_kernel(inst_ref, iorder_ref, iorders_ref, order_ref,
                       sboxes_ref, boxes_ref,
                       tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       tmax_ref, *out_refs, n_instances, n_super, t_pad, t_min,
-                      any_hit, attrs, approx_ok=False):
+                      any_hit, attrs, approx_ok=False, tan=False):
     from raytracing_engine_tpu.accel.clusters import ROWS_UV
 
     uv = tri_ref.shape[0] >= ROWS_UV
     out_u_ref = out_v_ref = None
-    if attrs and uv:
+    out_tan_refs = None
+    if attrs and uv and tan:
+        (out_t_ref, out_idx_ref, out_nx_ref, out_ny_ref, out_nz_ref,
+         out_u_ref, out_v_ref, *out_tan_refs) = out_refs
+    elif attrs and uv:
         (out_t_ref, out_idx_ref, out_nx_ref, out_ny_ref, out_nz_ref,
          out_u_ref, out_v_ref) = out_refs
     elif attrs:
@@ -231,7 +243,7 @@ def _instanced_kernel(inst_ref, iorder_ref, iorders_ref, order_ref,
     else:
         out_t_ref, out_idx_ref = out_refs
     kc = KernelClusters(order_ref, sboxes_ref, boxes_ref, tri_ref, n_super,
-                        approx_ok=approx_ok)
+                        approx_ok=approx_ok, emit_tan=tan and uv)
     ki = KernelInstances(inst_ref, iorder_ref, kc, n_instances, t_pad,
                          iorders_ref=iorders_ref)
     t_w, code, attr = instanced_sweep(
@@ -249,15 +261,19 @@ def _instanced_kernel(inst_ref, iorder_ref, iorders_ref, order_ref,
         if uv:
             out_u_ref[:] = attr[3]
             out_v_ref[:] = attr[4]
+        if out_tan_refs:
+            for a in range(3):
+                out_tan_refs[a][:] = attr[5 + a]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_min", "tile", "interpret", "any_hit", "attrs")
+    jax.jit, static_argnames=("t_min", "tile", "interpret", "any_hit",
+                              "attrs", "tan")
 )
 def instanced_cluster_intersect(inst_tab, cs: ClusterSet, o_planes, d_planes,
                                 t_min=1e-3, tile=(16, 256), interpret=None,
                                 any_hit=False, attrs=False, t_max=_INF,
-                                origin=None):
+                                origin=None, tan=False):
     """Closest hit (or any-hit occlusion) over all instances of the base
     ClusterSet.
 
@@ -288,6 +304,7 @@ def instanced_cluster_intersect(inst_tab, cs: ClusterSet, o_planes, d_planes,
         any_hit=any_hit,
         attrs=attrs,
         approx_ok=not interpret,
+        tan=tan and cs.has_uv,
     )
     blk = lambda: pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM)
@@ -297,6 +314,8 @@ def instanced_cluster_intersect(inst_tab, cs: ClusterSet, o_planes, d_planes,
         out_shape += [f32(), f32(), f32()]
         if cs.has_uv:  # interpolated texture-UV planes
             out_shape += [f32(), f32()]
+            if tan:    # world texture-u tangent planes
+                out_shape += [f32(), f32(), f32()]
     from raytracing_engine_tpu.accel.clusters import visit_orders
 
     order = jnp.arange(cs.num_super, dtype=jnp.int32)

@@ -66,6 +66,8 @@ def pack_pt_scene(scene: PTScene):
         mat_cols += [scene.mat_tex_space[:, None]]
     if scene.has_image:
         mat_cols += [scene.mat_tex_rect]
+    if scene.has_normal_map:
+        mat_cols += [scene.mat_nrm_rect, scene.mat_nrm_scale[:, None]]
     if scene.has_dispersion:
         mat_cols += [scene.mat_dispersion[:, None]]
     mat = jnp.concatenate(mat_cols, axis=1)
@@ -89,12 +91,13 @@ def _unpack_scene(sph, tri, mat, light, counts,
                   has_dielectric=False, env=None,
                   has_texture=False, has_dispersion=False,
                   has_space=False, atlas=None, has_rect=False,
-                  has_triuv=False) -> PTScene:
+                  has_triuv=False, has_nrm=False) -> PTScene:
     """Rebuild a PTScene view (of in-kernel arrays) from the packed tables.
     Optional-feature column offsets mirror pack_pt_scene's layout."""
     i32 = jnp.int32
     col = 8  # running offset over pack_pt_scene's optional mat columns
     albedo2 = tex_scale = tex_space = tex_rect = dispersion = None
+    nrm_rect = nrm_scale = None
     if has_texture:
         albedo2, tex_scale = mat[:, col:col + 3], mat[:, col + 3]
         col += 4
@@ -104,6 +107,10 @@ def _unpack_scene(sph, tri, mat, light, counts,
     if has_rect:
         tex_rect = mat[:, col:col + 4]
         col += 4
+    if has_nrm:
+        nrm_rect = mat[:, col:col + 4]
+        nrm_scale = mat[:, col + 4]
+        col += 5
     if has_dispersion:
         dispersion = mat[:, col]
     return PTScene(
@@ -114,6 +121,8 @@ def _unpack_scene(sph, tri, mat, light, counts,
         mat_tex_space=tex_space,
         tex_atlas=atlas,
         mat_tex_rect=tex_rect,
+        mat_nrm_rect=nrm_rect,
+        mat_nrm_scale=nrm_scale,
         tri_uv=tri[:, 10:16] if has_triuv else None,
         mat_dispersion=dispersion,
         sph_pos=sph[:, 0:3],
@@ -149,12 +158,12 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                has_diel: bool = False, has_env: bool = False,
                has_tex: bool = False, has_disp: bool = False,
                has_space: bool = False, has_image: bool = False,
-               has_triuv: bool = False,
+               has_triuv: bool = False, has_nrm: bool = False,
                adaptive_tol: float = 0.0, adaptive_min: int = 8):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
     env_ref = rest.pop(0) if has_env else None
-    atlas_ref = rest.pop(0) if has_image else None
+    atlas_ref = rest.pop(0) if (has_image or has_nrm) else None
     spp_ref = rest.pop() if adaptive_tol > 0.0 else None  # trailing output
     if n_super:
         from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
@@ -169,7 +178,8 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
             (inst_ref, iorder_ref, iorders_ref, order_ref, sboxes_ref,
              cboxes_ref, ctri_ref, out_ref, nrays_ref) = rest
             kc = KernelClusters(order_ref, sboxes_ref, cboxes_ref, ctri_ref,
-                                n_super, approx_ok=approx_ok)
+                                n_super, approx_ok=approx_ok,
+                                emit_tan=has_nrm)
             bvh = KernelInstances(inst_ref, iorder_ref, kc, n_instances,
                                   t_pad, iorders_ref=iorders_ref)
         elif n_orders:
@@ -179,13 +189,13 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                                  n_super, approx_ok=approx_ok,
                                  orders_ref=orders_ref, refs_ref=refs_ref,
                                  n_orders=n_orders, groups=groups,
-                                 fast_math=fast_math)
+                                 fast_math=fast_math, emit_tan=has_nrm)
         else:
             (order_ref, sboxes_ref, cboxes_ref, ctri_ref,
              out_ref, nrays_ref) = rest
             bvh = KernelClusters(order_ref, sboxes_ref, cboxes_ref, ctri_ref,
                                  n_super, approx_ok=approx_ok, groups=groups,
-                                 fast_math=fast_math)
+                                 fast_math=fast_math, emit_tan=has_nrm)
     else:
         out_ref, nrays_ref = rest
         bvh = None
@@ -215,8 +225,9 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                           env=env_ref[:, :3] if has_env else None,
                           has_texture=has_tex, has_dispersion=has_disp,
                           has_space=has_space, has_rect=has_image,
-                          atlas=atlas_ref[:] if has_image else None,
-                          has_triuv=has_triuv)
+                          atlas=(atlas_ref[:] if (has_image or has_nrm)
+                                 else None),
+                          has_triuv=has_triuv, has_nrm=has_nrm)
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
 
@@ -376,7 +387,7 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
     h, w = (band_h or cfg.height), cfg.width
     from raytracing_engine_tpu.ops.pallas.common import pick_tile
 
-    if scene.has_image and tile[1] != scene.tex_atlas.shape[1]:
+    if scene.has_atlas and tile[1] != scene.tex_atlas.shape[1]:
         # the per-lane texel fetch gathers along the lane axis of a
         # broadcast atlas row — the VMEM tile's lane width must match
         # the atlas row width (128); narrow the tile automatically
@@ -429,6 +440,7 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         has_tex=scene.has_texture, has_disp=scene.has_dispersion,
         has_space=scene.mat_tex_space is not None,
         has_image=scene.has_image, has_triuv=scene.has_tri_uv,
+        has_nrm=scene.has_normal_map,
         adaptive_tol=float(adaptive_tol),
         adaptive_min=int(adaptive_min),
     )
@@ -459,7 +471,7 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
             [scene.env, jnp.zeros((2, 5), jnp.float32)], axis=1)
         in_specs += [full()]
         args += [env_tab]
-    if scene.has_image:
+    if scene.has_atlas:
         # (3K, 128) texture atlas; the per-lane fetch is a lane-axis
         # take_along_axis on a broadcast row — on hardware the VMEM
         # tile's lane width must match the atlas row width (interpret

@@ -65,9 +65,16 @@ def render_aovs(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         if scene.has_texture:  # textured albedo — the denoiser demodulates
             albedo = _textured_albedo(scene, isect["mat_id"], albedo,
                                       isect["p"], uv=isect.get("uv"))
+        shade_n = isect["n"]
+        if scene.has_normal_map:  # guide = the SHADING normal (perturbed)
+            from raytracing_engine_tpu.pathtracer.wavefront import (
+                _perturb_normal)
+
+            shade_n = _perturb_normal(scene, isect["mat_id"], shade_n,
+                                      isect["tan"], isect["uv"])
         alb, nrm, dep, ao = acc
         alb = v3.add(alb, v3.scale(albedo, gate))
-        nrm = v3.add(nrm, v3.scale(isect["n"], gate))
+        nrm = v3.add(nrm, v3.scale(shade_n, gate))
         dep = dep + jnp.where(hit, isect["t"], 0.0)
         if want_ao:
             from raytracing_engine_tpu.pathtracer import sampler

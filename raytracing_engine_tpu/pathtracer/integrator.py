@@ -178,20 +178,69 @@ def intersect_scene(scene: PTScene, o3, d3, t_min, bvh=None):
 
         su, sv = _sphere_uv(
             (n_sph[..., 0], n_sph[..., 1], n_sph[..., 2]))
+        tan3 = None
         if scene.tri_uv is not None:
-            nn = jnp.maximum(jnp.sum(cr * cr, axis=-1), 1e-30)
+            nn = jnp.maximum(jnp.sum(cr * cr, axis=-1), 1e-30)[..., None]
             rel = p3 - scene.tri_v0[i_t]
-            ub = jnp.sum(jnp.cross(e2_t, cr) * rel, axis=-1) / nn
-            vb = jnp.sum(jnp.cross(cr, e1_t) * rel, axis=-1) / nn
+            gu = jnp.cross(e2_t, cr) / nn  # grad of barycentric u
+            gv = jnp.cross(cr, e1_t) / nn  # grad of barycentric v
+            ub = jnp.sum(gu * rel, axis=-1)
+            vb = jnp.sum(gv * rel, axis=-1)
             uv6 = scene.tri_uv[i_t]
-            tu = (uv6[..., 0] + ub * (uv6[..., 2] - uv6[..., 0])
-                  + vb * (uv6[..., 4] - uv6[..., 0]))
+            du1 = uv6[..., 2] - uv6[..., 0]
+            du2 = uv6[..., 4] - uv6[..., 0]
+            tu = uv6[..., 0] + ub * du1 + vb * du2
             tv = (uv6[..., 1] + ub * (uv6[..., 3] - uv6[..., 1])
                   + vb * (uv6[..., 5] - uv6[..., 1]))
+            if scene.has_normal_map:
+                # world texture-u tangent: d(u_tex)/dp = du1*gu + du2*gv
+                tan3 = gu * du1[..., None] + gv * du2[..., None]
         else:
             tu = tv = jnp.zeros_like(t)
         out["uv"] = (jnp.where(use_tri, tu, su), jnp.where(use_tri, tv, sv))
+        if scene.has_normal_map:
+            # sphere: azimuthal direction d p/d u ∝ (-y, x, 0)
+            stan = jnp.stack([-n_sph[..., 1], n_sph[..., 0],
+                              jnp.zeros_like(t)], axis=-1)
+            if tan3 is None:
+                tan3 = jnp.zeros_like(stan)
+            out["tan3"] = jnp.where(use_tri[..., None], tan3, stan)
     return out
+
+
+def _perturb_normal3(scene: PTScene, mat_id, n3, tan3, uv):
+    """Stacked twin of wavefront._perturb_normal (same op order — the
+    parity contract): fetch the tangent-space normal-map texel, build the
+    (T, B, n) frame from the texture-u tangent, rotate, renormalize."""
+    from raytracing_engine_tpu.pathtracer.wavefront import _atlas_fetch
+
+    rect = scene.mat_nrm_rect[mat_id]  # (..., 4)
+    s = scene.mat_nrm_scale[mat_id]
+    tw, th = rect[..., 2], rect[..., 3]
+    fu = uv[0] * s
+    fv = uv[1] * s
+    fu = fu - jnp.floor(fu)
+    fv = fv - jnp.floor(fv)
+    tx = jnp.maximum(rect[..., 0] + jnp.clip(
+        jnp.floor(fu * tw), 0.0, tw - 1.0), 0.0).astype(jnp.int32)
+    ty = jnp.maximum(rect[..., 1] + jnp.clip(
+        jnp.floor(fv * th), 0.0, th - 1.0), 0.0).astype(jnp.int32)
+    rgb = _atlas_fetch(scene.tex_atlas, ty, tx)
+    nt = jnp.stack([2.0 * c - 1.0 for c in rgb], axis=-1)
+    tp = tan3 - n3 * jnp.sum(n3 * tan3, axis=-1, keepdims=True)
+    z = jnp.zeros_like(n3[..., 0])
+    one = jnp.ones_like(z)
+    fb_x = jnp.cross(jnp.stack([z, z, one], -1), n3)   # z × n
+    fb_y = jnp.cross(jnp.stack([one, z, z], -1), n3)   # x × n (n ~ ±z)
+    fb = jnp.where((jnp.abs(n3[..., 2]) < 0.9)[..., None], fb_x, fb_y)
+    tp = jnp.where((jnp.sum(tp * tp, -1) > 1e-12)[..., None], tp, fb)
+    T = tp / jnp.maximum(
+        jnp.linalg.norm(tp, axis=-1, keepdims=True), 1e-20)
+    B = jnp.cross(n3, T)
+    np_ = (nt[..., 0:1] * T + nt[..., 1:2] * B + nt[..., 2:3] * n3)
+    ln = jnp.linalg.norm(np_, axis=-1, keepdims=True)
+    np_ = jnp.where(ln > 1e-6, np_ / jnp.maximum(ln, 1e-20), n3)
+    return jnp.where((tw > 0.0)[..., None], np_, n3)
 
 
 def occluded(scene: PTScene, o3, d3, max_t, t_min, bvh=None):
@@ -393,6 +442,9 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         kind = scene.mat_kind[mat_id]
         n3 = isect["n3"]
         p3 = isect["p3"]
+        if scene.has_normal_map:  # static: unmapped scenes pay nothing
+            n3 = _perturb_normal3(scene, mat_id, n3, isect["tan3"],
+                                  isect["uv"])
         if scene.has_texture:  # static: untextured scenes pay nothing
             # checker in world or texture-UV space, then image-atlas
             # override (same math as wavefront._textured_albedo)
@@ -407,7 +459,7 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
             use2 = (s > 0.0) & (jnp.mod(cells, 2.0) >= 1.0)
             albedo = jnp.where(use2[..., None], scene.mat_albedo2[mat_id],
                                albedo)
-            if scene.tex_atlas is not None and "uv" in isect:
+            if scene.mat_tex_rect is not None and "uv" in isect:
                 from raytracing_engine_tpu.pathtracer.wavefront import (
                     _atlas_fetch,
                 )

@@ -167,6 +167,16 @@ class PTScene:
     mat_tex_space: jax.Array | None = None  # (M,) f32 — 1 = UV-space checker
     tex_atlas: jax.Array | None = None      # (3K, 128) f32 atlas rows
     mat_tex_rect: jax.Array | None = None   # (M, 4) f32 — x0, y0, w, h texels
+    # tangent-space normal maps: a rect into the SAME atlas whose RGB
+    # encodes the tangent-space normal as (n+1)/2 (standard encoding),
+    # plus a per-material UV tiling scale. The shading tangent frame is
+    # DERIVED, not stored: triangles use the texture-u gradient
+    # d(u_tex)/dp = du1*r1 + du2*r2 from the Baldwin–Weber barycentric
+    # gradient rows already in the tables (translation-invariant), and
+    # spheres the analytic azimuthal direction (-ny, nx, 0) — so normal
+    # maps add zero geometry storage on every path.
+    mat_nrm_rect: jax.Array | None = None   # (M, 4) f32 — x0, y0, w, h texels
+    mat_nrm_scale: jax.Array | None = None  # (M,) f32 — UV tiling
     tri_uv: jax.Array | None = None         # (T, 6) f32 — u0,v0,u1,v1,u2,v2
     #   per-corner UVs of the UNROLLED triangle slots (gather paths);
     #   cluster meshes carry UVs in the table rows instead
@@ -206,13 +216,25 @@ class PTScene:
 
     @property
     def has_image(self) -> bool:
-        """Image (atlas) textures present — static None-ness predicate."""
+        """Albedo image textures present — static None-ness predicate."""
+        return self.mat_tex_rect is not None
+
+    @property
+    def has_atlas(self) -> bool:
+        """Any atlas present (albedo images and/or normal maps)."""
         return self.tex_atlas is not None
 
     @property
+    def has_normal_map(self) -> bool:
+        """Tangent-space normal maps present — the intersectors then also
+        emit a `tan` (world tangent) plane triple."""
+        return self.mat_nrm_rect is not None
+
+    @property
     def needs_uv(self) -> bool:
-        """True when shading consumes hit UVs (image textures or UV-space
-        checkers) — the intersectors then emit a `uv` plane pair."""
+        """True when shading consumes hit UVs (image textures, normal
+        maps, or UV-space checkers) — the intersectors then emit a `uv`
+        plane pair."""
         return self.tex_atlas is not None or self.mat_tex_space is not None
 
     @property
@@ -292,7 +314,9 @@ def build_pt_scene(
     mat_tex_scale = np.zeros((M,), np.float32)
     mat_tex_space = np.zeros((M,), np.float32)
     mat_dispersion = np.zeros((M,), np.float32)
-    images = []  # (material index, (h, w, 3) pixels) for the atlas
+    mat_nrm_scale = np.zeros((M,), np.float32)
+    images = []   # (material index, (h, w, 3) pixels) for the atlas
+    normals = []  # (material index, (h, w, 3) (n+1)/2-encoded normal map)
     for i, m in enumerate(materials):
         mat_kind[i] = m.get("kind", DIFFUSE)
         # a clear dielectric tints nothing: albedo defaults to 1 there
@@ -314,16 +338,32 @@ def build_pt_scene(
                 pixels, scale = spec, 1.0
             images.append((i, np.asarray(pixels, np.float32)))
             mat_tex_scale[i] = scale
+        if "normal" in m:  # {"pixels": (h, w, 3) (n+1)/2, "scale"} | array
+            spec = m["normal"]
+            if isinstance(spec, dict):
+                pixels, scale = spec["pixels"], spec.get("scale", 1.0)
+            else:
+                pixels, scale = spec, 1.0
+            normals.append((i, np.asarray(pixels, np.float32)))
+            mat_nrm_scale[i] = scale
         mat_dispersion[i] = m.get("dispersion", 0.0)
     textured = bool((mat_tex_scale > 0).any())
     uv_space = bool((mat_tex_space > 0).any())
     dispersive = bool((mat_dispersion > 0).any())
-    tex_atlas = mat_rect = None
-    if images:
-        tex_atlas, rects = pack_texture_atlas([img for _, img in images])
-        mat_rect = np.zeros((M, 4), np.float32)  # w=0 -> no image texture
-        for (i, _), r in zip(images, rects):
-            mat_rect[i] = r
+    tex_atlas = mat_rect = nrm_rect = None
+    if images or normals:
+        # albedo images and normal maps share ONE atlas (one VMEM table,
+        # one fetch implementation)
+        tex_atlas, rects = pack_texture_atlas(
+            [img for _, img in images] + [img for _, img in normals])
+        if images:
+            mat_rect = np.zeros((M, 4), np.float32)  # w=0 -> no image tex
+            for (i, _), r in zip(images, rects[:len(images)]):
+                mat_rect[i] = r
+        if normals:
+            nrm_rect = np.zeros((M, 4), np.float32)  # w=0 -> no normal map
+            for (i, _), r in zip(normals, rects[len(images):]):
+                nrm_rect[i] = r
     tri_uv6 = None
     if tri_uvs is not None:
         uv_arr = np.asarray(tri_uvs, np.float32)
@@ -428,6 +468,8 @@ def build_pt_scene(
         mat_tex_space=jnp.asarray(mat_tex_space) if uv_space else None,
         tex_atlas=None if tex_atlas is None else jnp.asarray(tex_atlas),
         mat_tex_rect=None if mat_rect is None else jnp.asarray(mat_rect),
+        mat_nrm_rect=None if nrm_rect is None else jnp.asarray(nrm_rect),
+        mat_nrm_scale=None if nrm_rect is None else jnp.asarray(mat_nrm_scale),
         tri_uv=None if tri_uv6 is None else jnp.asarray(tri_uv6),
         mat_dispersion=jnp.asarray(mat_dispersion) if dispersive else None,
         light_kind=jnp.asarray(light_kind),

@@ -34,6 +34,9 @@ instead of code:
   "scale": cells-per-unit, "space": "world"|"uv"}` alternating with
   `albedo` — world-space cells by default, texture-UV cells with
   `"space": "uv"` (needs UV-carrying geometry).
+- `normal`: optional tangent-space normal map (same png/npy + scale
+  schema as `image`; texels encode (n+1)/2) — applied on any geometry
+  with UVs (meshes with `"uvs": true`, spheres analytically).
 - `image`: optional per-material image texture `{"png": path}` or
   `{"npy": path}` (relative to the JSON file; PNG texels are UNORM
   `u8/255` linear, matching the write path) with optional `"scale"`
@@ -83,7 +86,7 @@ _KINDS = {"diffuse": DIFFUSE, "mirror": MIRROR,
 _TOP_KEYS = {"materials", "spheres", "meshes", "camera", "mesh_lights",
              "env", "instances"}
 _MAT_KEYS = {"albedo", "emission", "kind", "ior", "checker",
-             "dispersion", "image"}
+             "dispersion", "image", "normal"}
 _SPH_KEYS = {"center", "radius", "mat"}
 _MESH_KEYS = {"obj", "icosphere", "knot", "mat", "scale", "translate",
               "smooth", "uvs"}
@@ -214,12 +217,16 @@ def load_scene_json(path: str) -> SceneBundle:
             mat["checker"] = {"color": tuple(m["checker"].get(
                 "color", (0, 0, 0))), "scale": float(m["checker"].get(
                     "scale", 1.0)), "space": space}
-        if "image" in m:  # {"png": path} | {"npy": path} [+ "scale"]
-            spec_i = m["image"]
+        for key in ("image", "normal"):
+            # {"png": path} | {"npy": path} [+ "scale"]; `normal` texels
+            # encode the tangent-space normal as (n+1)/2 (standard maps)
+            if key not in m:
+                continue
+            spec_i = m[key]
             extra = set(spec_i) - {"png", "npy", "scale"}
             if extra or ("png" in spec_i) == ("npy" in spec_i):
                 raise ValueError(
-                    f"materials[{i}].image needs exactly one of png/npy "
+                    f"materials[{i}].{key} needs exactly one of png/npy "
                     f"(+ optional scale); got {sorted(spec_i)}")
             ipath = spec_i.get("png") or spec_i.get("npy")
             if not os.path.isabs(ipath):
@@ -231,8 +238,8 @@ def load_scene_json(path: str) -> SceneBundle:
                 pixels = read_png(ipath).astype(np.float32) / 255.0
             else:
                 pixels = np.asarray(np.load(ipath), np.float32)
-            mat["image"] = {"pixels": pixels,
-                            "scale": float(spec_i.get("scale", 1.0))}
+            mat[key] = {"pixels": pixels,
+                        "scale": float(spec_i.get("scale", 1.0))}
         if "albedo" in m:
             mat["albedo"] = tuple(m["albedo"])
         elif kind != "dielectric":

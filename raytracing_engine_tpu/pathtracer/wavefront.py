@@ -191,22 +191,28 @@ def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
     )
 
     t_s, i_s = _sphere_hits(scene, o, d, t_min)
-    cuu = cvv = None
+    cuu = cvv = ctan = None
     if isinstance(cs, KernelClusters):
         big = jnp.full_like(o[0], BIG)
         t_t, sidx_f, attr = cluster_sweep(cs, o, d, big, t_min=t_min,
                                           attrs=True)
-        if len(attr) == 7:  # UV table: trailing interpolated-(u, v) planes
+        if len(attr) == 10:  # UV + tangent planes (kc.emit_tan)
+            cnx, cny, cnz, cmat, carea, cuu, cvv = attr[:7]
+            ctan = attr[7:10]
+        elif len(attr) == 7:  # UV table: trailing interpolated-(u, v)
             cnx, cny, cnz, cmat, carea, cuu, cvv = attr
         else:
             cnx, cny, cnz, cmat, carea = attr
         carea = carea * 0.5
         sidx = sidx_f.astype(jnp.int32)
     else:
-        res = cluster_intersect(cs, o, d, BIG, t_min=t_min, attrs=True)
+        res = cluster_intersect(cs, o, d, BIG, t_min=t_min, attrs=True,
+                                tan=scene.has_normal_map)
         t_t, sidx, cnx, cny, cnz, cmat, carea = res[:7]
-        if len(res) == 9:
+        if len(res) >= 9:
             cuu, cvv = res[7], res[8]
+        if len(res) == 12:
+            ctan = res[9:12]
     t_t = jnp.where(sidx >= 0, t_t, BIG)
 
     use_tri = t_t < t_s
@@ -241,6 +247,10 @@ def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
             cuu = cvv = jnp.zeros_like(t)
         out["uv"] = (jnp.where(use_tri, cuu, su),
                      jnp.where(use_tri, cvv, sv))
+    if scene.has_normal_map:  # static: raw texture-u tangent plane triple
+        if ctan is None:
+            ctan = (jnp.zeros_like(t),) * 3
+        out["tan"] = v3.where(use_tri, ctan, _sphere_tan(n_sph))
     return out
 
 
@@ -287,7 +297,7 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
         idx = jnp.maximum(cs.perm[safe], 0)
         n = (cs.tri[0, safe], cs.tri[1, safe], cs.tri[2, safe])
         nlen2 = cs.tri[13, safe]
-        tuv = None
+        tuv = ttan = None
         if cs.smooth:
             # smooth table (rows 21-29): recompute the hit barycentrics
             # from the affine rows at the hit point (cluster-local, row
@@ -310,7 +320,16 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
             if cs.has_uv:  # rows 32-37: interpolated texture UV
                 tuv = tuple(cs.tri[32 + a, safe] + u * cs.tri[34 + a, safe]
                             + v * cs.tri[36 + a, safe] for a in range(2))
-        return jnp.where(sidx >= 0, t, BIG), idx, n, nlen2, tuv
+                if scene.has_normal_map:
+                    # world texture-u tangent from the barycentric
+                    # gradient rows: d(u_tex)/dp = du1*r1 + du2*r2
+                    # (translation-invariant — rebasing shifts only the
+                    # affine constants c1/c2, never the gradients)
+                    du1, du2 = cs.tri[34, safe], cs.tri[36, safe]
+                    ttan = tuple(du1 * cs.tri[4 + a, safe]
+                                 + du2 * cs.tri[8 + a, safe]
+                                 for a in range(3))
+        return jnp.where(sidx >= 0, t, BIG), idx, n, nlen2, tuv, ttan
     if bvh is not None:
         if _use_packet(packet):
             from raytracing_engine_tpu.ops.pallas.bvh_traverse import (
@@ -332,7 +351,7 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
         e1 = v3.unstack(bvh.e1[safe])
         e2 = v3.unstack(bvh.e2[safe])
         n = v3.cross(e1, e2)
-        return jnp.where(ridx >= 0, t, BIG), idx, n, v3.length(n), None
+        return jnp.where(ridx >= 0, t, BIG), idx, n, v3.length(n), None, None
     if T <= TRI_UNROLL_MAX:
         t, idx = _tri_hits_unrolled(scene, o, d, t_min)
         safe = jnp.maximum(idx, 0)
@@ -343,7 +362,7 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
                _sel(safe, scene.tri_e2[:, 1], T),
                _sel(safe, scene.tri_e2[:, 2], T))
         n = v3.cross(e1c, e2c)
-        return t, safe, n, v3.length(n), None
+        return t, safe, n, v3.length(n), None, None
     # big mesh without a BVH: stacked fallback (slow — build a BVH instead)
     from raytracing_engine_tpu.pathtracer.intersect import ray_triangle
 
@@ -357,7 +376,7 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
     e1 = v3.unstack(scene.tri_e1[idx])
     e2 = v3.unstack(scene.tri_e2[idx])
     n = v3.cross(e1, e2)
-    return t, idx, n, v3.length(n), None
+    return t, idx, n, v3.length(n), None, None
 
 
 def _intersect_instanced(scene: PTScene, o, d, t_min, bvh):
@@ -376,12 +395,15 @@ def _intersect_instanced(scene: PTScene, o, d, t_min, bvh):
     )
 
     t_s, i_s = _sphere_hits(scene, o, d, t_min)
-    cuu = cvv = None
+    cuu = cvv = ctan = None
     if isinstance(bvh, KernelInstances):
         big = jnp.full_like(o[0], BIG)
         t_w, code, attr = instanced_sweep(bvh, o, d, big, t_min=t_min,
                                           attrs=True)
-        if len(attr) == 5:  # UV base table: trailing (u, v) planes
+        if len(attr) == 8:  # UV + tangent planes (kc.emit_tan)
+            cnx, cny, cnz, cuu, cvv = attr[:5]
+            ctan = attr[5:8]
+        elif len(attr) == 5:  # UV base table: trailing (u, v) planes
             cnx, cny, cnz, cuu, cvv = attr
         else:
             cnx, cny, cnz = attr
@@ -394,10 +416,13 @@ def _intersect_instanced(scene: PTScene, o, d, t_min, bvh):
         hit_tri = code >= 0.0
     else:
         res = instanced_cluster_intersect(
-            bvh.inst_tab, bvh.cs, o, d, t_min=t_min, attrs=True)
+            bvh.inst_tab, bvh.cs, o, d, t_min=t_min, attrs=True,
+            tan=scene.has_normal_map)
         t_w, code_i, cnx, cny, cnz = res[:5]
-        if len(res) == 7:
+        if len(res) >= 7:
             cuu, cvv = res[5], res[6]
+        if len(res) == 10:
+            ctan = res[7:10]
         n_inst = bvh.inst_tab.shape[0]
         inst_id = jnp.maximum(code_i, 0) // bvh.cs.padded_tris
         inst_mat = _sel(inst_id, bvh.inst_tab[:, 19], n_inst)
@@ -436,6 +461,10 @@ def _intersect_instanced(scene: PTScene, o, d, t_min, bvh):
             cuu = cvv = jnp.zeros_like(t)
         out["uv"] = (jnp.where(use_tri, cuu, su),
                      jnp.where(use_tri, cvv, sv))
+    if scene.has_normal_map:  # static: raw texture-u tangent plane triple
+        if ctan is None:
+            ctan = (jnp.zeros_like(t),) * 3
+        out["tan"] = v3.where(use_tri, ctan, _sphere_tan(n_sph))
     return out
 
 
@@ -453,7 +482,8 @@ def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
     if isinstance(bvh, KernelClusters):  # in-kernel: gathers impossible
         return _intersect_clusters(scene, o, d, t_min, bvh)
     t_s, i_s = _sphere_hits(scene, o, d, t_min)
-    t_t, i_t, n_tri, nlen2, tuv = _tri_hits(scene, o, d, t_min, bvh, packet)
+    t_t, i_t, n_tri, nlen2, tuv, ttan = _tri_hits(scene, o, d, t_min, bvh,
+                                                  packet)
 
     use_tri = t_t < t_s
     t = jnp.minimum(t_s, t_t)
@@ -499,17 +529,27 @@ def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
             ng = v3.cross(e1g, e2g)
             nn = jnp.maximum(v3.dot(ng, ng), 1e-30)
             rel = v3.sub(p, v0g)
-            ub = v3.dot(v3.cross(e2g, ng), rel) / nn
-            vb = v3.dot(v3.cross(ng, e1g), rel) / nn
+            gu = v3.scale(v3.cross(e2g, ng), 1.0 / nn)  # grad of bary u
+            gv = v3.scale(v3.cross(ng, e1g), 1.0 / nn)  # grad of bary v
+            ub = v3.dot(gu, rel)
+            vb = v3.dot(gv, rel)
             uv6 = scene.tri_uv[i_t]
-            tuv = (uv6[..., 0] + ub * (uv6[..., 2] - uv6[..., 0])
-                   + vb * (uv6[..., 4] - uv6[..., 0]),
+            du1 = uv6[..., 2] - uv6[..., 0]
+            du2 = uv6[..., 4] - uv6[..., 0]
+            tuv = (uv6[..., 0] + ub * du1 + vb * du2,
                    uv6[..., 1] + ub * (uv6[..., 3] - uv6[..., 1])
                    + vb * (uv6[..., 5] - uv6[..., 1]))
+            if scene.has_normal_map:
+                # world texture-u tangent: d(u_tex)/dp = du1*∇ub + du2*∇vb
+                ttan = v3.add(v3.scale(gu, du1), v3.scale(gv, du2))
         if tuv is None:
             tuv = (jnp.zeros_like(t), jnp.zeros_like(t))
         out["uv"] = (jnp.where(use_tri, tuv[0], su),
                      jnp.where(use_tri, tuv[1], sv))
+    if scene.has_normal_map:  # static: raw texture-u tangent plane triple
+        if ttan is None:
+            ttan = (jnp.zeros_like(t),) * 3
+        out["tan"] = v3.where(use_tri, ttan, _sphere_tan(n_sph))
     return out
 
 
@@ -743,6 +783,13 @@ def _sphere_uv(n_sph):
     return u, v
 
 
+def _sphere_tan(n_sph):
+    """Raw texture-u tangent of the spherical parametrization: the
+    azimuthal direction d p/d u ∝ (-y, x, 0) of the outward normal.
+    Degenerates at the poles (handled by _perturb_normal's fallback)."""
+    return (-n_sph[1], n_sph[0], jnp.zeros_like(n_sph[0]))
+
+
 def _atlas_fetch(atlas, ty, tx):
     """Per-lane nearest-texel fetch from the (3K, 128) channel-major atlas.
 
@@ -766,6 +813,66 @@ def _atlas_fetch(atlas, ty, tx):
     return tuple(out)
 
 
+def _rect_texel(x0, y0, tw, th, uv, s):
+    """Scale-tiled UV -> (ty, tx) int32 texel coordinates inside the
+    [x0, y0, tw, th] atlas rect (wrap addressing, nearest texel).
+    Kernel-safe: floor/clip/max only."""
+    fu = uv[0] * s
+    fv = uv[1] * s
+    fu = fu - jnp.floor(fu)  # wrap (tile) addressing
+    fv = fv - jnp.floor(fv)
+    # max(..., 0) also guards untextured lanes (tw=0 -> clip hi = -1)
+    tx = jnp.maximum(
+        x0 + jnp.clip(jnp.floor(fu * tw), 0.0, tw - 1.0), 0.0
+    ).astype(jnp.int32)
+    ty = jnp.maximum(
+        y0 + jnp.clip(jnp.floor(fv * th), 0.0, th - 1.0), 0.0
+    ).astype(jnp.int32)
+    return ty, tx
+
+
+def _perturb_normal(scene: PTScene, mat_id, n, tan, uv):
+    """Tangent-space normal mapping: fetch the map texel from the shared
+    atlas, decode n_t = 2*rgb - 1, and rotate it into the world frame
+    (T, B=n×T, n) built from the geometry's texture-u tangent direction.
+
+    `n` is the unit (already ray-facing) shading normal; `tan` the RAW
+    world-space texture-u gradient from the intersector (unnormalized,
+    possibly degenerate — poles, UV-less geometry). Degenerate tangents
+    fall back to an arbitrary axis orthogonal to n, and unmapped
+    materials (rect w=0) keep `n` exactly. Kernel-safe throughout; the
+    reference shades analytic SDF normals only (shaders/fragment.glsl) —
+    normal maps are a north-star material extension."""
+    M = scene.mat_albedo.shape[0]
+    x0 = _sel(mat_id, scene.mat_nrm_rect[:, 0], M)
+    y0 = _sel(mat_id, scene.mat_nrm_rect[:, 1], M)
+    tw = _sel(mat_id, scene.mat_nrm_rect[:, 2], M)
+    th = _sel(mat_id, scene.mat_nrm_rect[:, 3], M)
+    s = _sel(mat_id, scene.mat_nrm_scale, M)
+    ty, tx = _rect_texel(x0, y0, tw, th, uv, s)
+    rgb = _atlas_fetch(scene.tex_atlas, ty, tx)
+    ntx = 2.0 * rgb[0] - 1.0
+    nty = 2.0 * rgb[1] - 1.0
+    ntz = 2.0 * rgb[2] - 1.0
+    # orthonormalize the tangent against n; degenerate -> any axis ⊥ n
+    tp = v3.sub(tan, v3.scale(n, v3.dot(n, tan)))
+    fb_x = v3.cross((jnp.zeros_like(n[0]), jnp.zeros_like(n[0]),
+                     jnp.ones_like(n[0])), n)      # z × n
+    fb_y = v3.cross((jnp.ones_like(n[0]), jnp.zeros_like(n[0]),
+                     jnp.zeros_like(n[0])), n)     # x × n (n ~ ±z)
+    fb = v3.where(jnp.abs(n[2]) < 0.9, fb_x, fb_y)
+    tp = v3.where(v3.dot(tp, tp) > 1e-12, tp, fb)
+    T = v3.scale(tp, 1.0 / jnp.maximum(v3.length(tp), 1e-20))
+    B = v3.cross(n, T)
+    np_ = (ntx * T[0] + nty * B[0] + ntz * n[0],
+           ntx * T[1] + nty * B[1] + ntz * n[1],
+           ntx * T[2] + nty * B[2] + ntz * n[2])
+    # guard an all-zero decoded texel (rgb = 0.5): fall back to n
+    ln = v3.length(np_)
+    np_ = v3.where(ln > 1e-6, v3.scale(np_, 1.0 / jnp.maximum(ln, 1e-20)), n)
+    return v3.where(tw > 0.0, np_, n)  # unmapped materials keep n exactly
+
+
 def _textured_albedo(scene: PTScene, mat_id, albedo, p, uv=None):
     """Procedural checker + image-atlas textures. Checker cells of size
     1/scale alternate albedo and mat_albedo2 (scale 0 = flat), evaluated
@@ -784,22 +891,12 @@ def _textured_albedo(scene: PTScene, mat_id, albedo, p, uv=None):
         cells = jnp.where(space > 0.5, cells_uv, cells)
     odd = jnp.mod(cells, 2.0) >= 1.0  # mod handles negative cells
     out = v3.where((s > 0.0) & odd, a2, albedo)
-    if scene.tex_atlas is not None and uv is not None:
+    if scene.mat_tex_rect is not None and uv is not None:
         x0 = _sel(mat_id, scene.mat_tex_rect[:, 0], M)
         y0 = _sel(mat_id, scene.mat_tex_rect[:, 1], M)
         tw = _sel(mat_id, scene.mat_tex_rect[:, 2], M)
         th = _sel(mat_id, scene.mat_tex_rect[:, 3], M)
-        fu = uv[0] * s
-        fv = uv[1] * s
-        fu = fu - jnp.floor(fu)  # wrap (tile) addressing
-        fv = fv - jnp.floor(fv)
-        # max(..., 0) also guards untextured lanes (tw=0 -> clip hi = -1)
-        tx = jnp.maximum(
-            x0 + jnp.clip(jnp.floor(fu * tw), 0.0, tw - 1.0), 0.0
-        ).astype(jnp.int32)
-        ty = jnp.maximum(
-            y0 + jnp.clip(jnp.floor(fv * th), 0.0, th - 1.0), 0.0
-        ).astype(jnp.int32)
+        ty, tx = _rect_texel(x0, y0, tw, th, uv, s)
         rgb = _atlas_fetch(scene.tex_atlas, ty, tx)
         out = v3.where(tw > 0.0, rgb, out)
     return out
@@ -1077,6 +1174,11 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         albedo, emission, kind, ior = _mat_lookup(scene, isect["mat_id"])
         n = isect["n"]
         p = isect["p"]
+        if scene.has_normal_map:  # static: unmapped scenes pay nothing
+            # every downstream consumer (MIS cos, NEE, BSDF scatter) sees
+            # the perturbed shading normal, matching integrator.py
+            n = _perturb_normal(scene, isect["mat_id"], n, isect["tan"],
+                                isect["uv"])
         if scene.has_texture:  # static: untextured scenes pay nothing
             albedo = _textured_albedo(scene, isect["mat_id"], albedo, p,
                                       uv=isect.get("uv"))
