@@ -276,7 +276,8 @@ def cmd_pt(args):
     cfg = PTConfig(width=w, height=h, max_bounces=args.bounces, rng=args.rng,
                    aperture=args.aperture, focus_dist=args.focus,
                    rr_start=args.rr, sampler=args.sampler,
-                   fog_density=args.fog, fog_color=tuple(args.fog_color))
+                   fog_density=args.fog, fog_color=tuple(args.fog_color),
+                   tex_filter=args.tex_filter)
     bvh = None
     if args.scene.endswith(".json"):
         # declarative scene file (pathtracer/sceneio.py schema)
@@ -606,6 +607,9 @@ def main(argv=None):
     p.add_argument("--gamma", type=float, default=1.0,
                    help="final 1/gamma encode (2.2 for sRGB-ish output; "
                         "default 1.0 = the reference's linear UNORM present)")
+    p.add_argument("--tex-filter", choices=["nearest", "bilinear"],
+                   default="nearest", dest="tex_filter",
+                   help="atlas texture filtering (images + normal maps)")
     p.add_argument("--rng", choices=["threefry", "pcg", "pallas"], default="pcg")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bvh", action="store_true")

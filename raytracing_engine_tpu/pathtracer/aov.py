@@ -64,14 +64,16 @@ def render_aovs(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         albedo, _, _, _ = _mat_lookup(scene, isect["mat_id"])
         if scene.has_texture:  # textured albedo — the denoiser demodulates
             albedo = _textured_albedo(scene, isect["mat_id"], albedo,
-                                      isect["p"], uv=isect.get("uv"))
+                                      isect["p"], uv=isect.get("uv"),
+                                      bilinear=cfg.tex_filter == "bilinear")
         shade_n = isect["n"]
         if scene.has_normal_map:  # guide = the SHADING normal (perturbed)
             from raytracing_engine_tpu.pathtracer.wavefront import (
                 _perturb_normal)
 
-            shade_n = _perturb_normal(scene, isect["mat_id"], shade_n,
-                                      isect["tan"], isect["uv"])
+            shade_n = _perturb_normal(
+                scene, isect["mat_id"], shade_n, isect["tan"], isect["uv"],
+                bilinear=cfg.tex_filter == "bilinear")
         alb, nrm, dep, ao = acc
         alb = v3.add(alb, v3.scale(albedo, gate))
         nrm = v3.add(nrm, v3.scale(shade_n, gate))

@@ -89,6 +89,12 @@ class PTConfig:
     #                sharding/tiling-invariant (the production choice)
     #   "pallas"   — TPU hardware PRNG planes (kept for comparison)
     rng: str = "threefry"
+    # atlas texture filtering: "nearest" (default — exact texel reads,
+    # bit-identical to the pre-filtering program) or "bilinear" (4-texel
+    # lerp with rect-clamped corners; ~4x the per-hit fetch cost, still
+    # the same lane-axis gather — kernel-safe everywhere). Applies to
+    # image textures AND normal maps.
+    tex_filter: str = "nearest"
 
     @property
     def ratio(self):
@@ -208,24 +214,17 @@ def intersect_scene(scene: PTScene, o3, d3, t_min, bvh=None):
     return out
 
 
-def _perturb_normal3(scene: PTScene, mat_id, n3, tan3, uv):
+def _perturb_normal3(scene: PTScene, mat_id, n3, tan3, uv, bilinear=False):
     """Stacked twin of wavefront._perturb_normal (same op order — the
     parity contract): fetch the tangent-space normal-map texel, build the
     (T, B, n) frame from the texture-u tangent, rotate, renormalize."""
-    from raytracing_engine_tpu.pathtracer.wavefront import _atlas_fetch
+    from raytracing_engine_tpu.pathtracer.wavefront import _sample_rect
 
     rect = scene.mat_nrm_rect[mat_id]  # (..., 4)
     s = scene.mat_nrm_scale[mat_id]
     tw, th = rect[..., 2], rect[..., 3]
-    fu = uv[0] * s
-    fv = uv[1] * s
-    fu = fu - jnp.floor(fu)
-    fv = fv - jnp.floor(fv)
-    tx = jnp.maximum(rect[..., 0] + jnp.clip(
-        jnp.floor(fu * tw), 0.0, tw - 1.0), 0.0).astype(jnp.int32)
-    ty = jnp.maximum(rect[..., 1] + jnp.clip(
-        jnp.floor(fv * th), 0.0, th - 1.0), 0.0).astype(jnp.int32)
-    rgb = _atlas_fetch(scene.tex_atlas, ty, tx)
+    rgb = _sample_rect(scene.tex_atlas, rect[..., 0], rect[..., 1], tw, th,
+                       uv, s, bilinear=bilinear)
     nt = jnp.stack([2.0 * c - 1.0 for c in rgb], axis=-1)
     tp = tan3 - n3 * jnp.sum(n3 * tan3, axis=-1, keepdims=True)
     z = jnp.zeros_like(n3[..., 0])
@@ -444,7 +443,8 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         p3 = isect["p3"]
         if scene.has_normal_map:  # static: unmapped scenes pay nothing
             n3 = _perturb_normal3(scene, mat_id, n3, isect["tan3"],
-                                  isect["uv"])
+                                  isect["uv"],
+                                  bilinear=cfg.tex_filter == "bilinear")
         if scene.has_texture:  # static: untextured scenes pay nothing
             # checker in world or texture-UV space, then image-atlas
             # override (same math as wavefront._textured_albedo)
@@ -461,22 +461,15 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
                                albedo)
             if scene.mat_tex_rect is not None and "uv" in isect:
                 from raytracing_engine_tpu.pathtracer.wavefront import (
-                    _atlas_fetch,
+                    _sample_rect,
                 )
 
                 rect = scene.mat_tex_rect[mat_id]  # (..., 4)
-                tu, tv = isect["uv"]
-                fu = tu * s
-                fv = tv * s
-                fu = fu - jnp.floor(fu)
-                fv = fv - jnp.floor(fv)
                 tw, th = rect[..., 2], rect[..., 3]
-                tx = jnp.maximum(rect[..., 0] + jnp.clip(
-                    jnp.floor(fu * tw), 0.0, tw - 1.0), 0.0).astype(jnp.int32)
-                ty = jnp.maximum(rect[..., 1] + jnp.clip(
-                    jnp.floor(fv * th), 0.0, th - 1.0), 0.0).astype(jnp.int32)
-                rgb = jnp.stack(
-                    _atlas_fetch(scene.tex_atlas, ty, tx), axis=-1)
+                rgb = jnp.stack(_sample_rect(
+                    scene.tex_atlas, rect[..., 0], rect[..., 1], tw, th,
+                    isect["uv"], s,
+                    bilinear=cfg.tex_filter == "bilinear"), axis=-1)
                 albedo = jnp.where((tw > 0.0)[..., None], rgb, albedo)
 
         # --- emission on hit (MIS-weighted against NEE) -------------------

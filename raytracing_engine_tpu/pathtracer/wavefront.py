@@ -831,7 +831,44 @@ def _rect_texel(x0, y0, tw, th, uv, s):
     return ty, tx
 
 
-def _perturb_normal(scene: PTScene, mat_id, n, tan, uv):
+def _sample_rect(atlas, x0, y0, tw, th, uv, s, bilinear=False):
+    """Sample the [x0, y0, tw, th] atlas rect at scale-tiled UV.
+
+    nearest (default): one texel read — exact, the pre-filtering program.
+    bilinear: texel centers at (i + 0.5)/w; 4 _atlas_fetch reads with
+    rect-CLAMPED corner coordinates + 2D lerp — kernel-safe (the corner
+    fetches are the same lane-axis gather), shared by planes and stacked
+    callers (shapes broadcast identically)."""
+    if not bilinear:
+        ty, tx = _rect_texel(x0, y0, tw, th, uv, s)
+        return _atlas_fetch(atlas, ty, tx)
+    fu = uv[0] * s
+    fv = uv[1] * s
+    fu = fu - jnp.floor(fu)  # wrap (tile) addressing
+    fv = fv - jnp.floor(fv)
+    fx = fu * tw - 0.5
+    fy = fv * th - 0.5
+    xf = jnp.floor(fx)
+    yf = jnp.floor(fy)
+    wx = fx - xf
+    wy = fy - yf
+    # clamp corners to the rect (no cross-rect bleeding at edges)
+    xa = jnp.clip(xf, 0.0, tw - 1.0)
+    xb = jnp.clip(xf + 1.0, 0.0, tw - 1.0)
+    ya = jnp.clip(yf, 0.0, th - 1.0)
+    yb = jnp.clip(yf + 1.0, 0.0, th - 1.0)
+    toi = lambda base, c: jnp.maximum(base + c, 0.0).astype(jnp.int32)
+    c00 = _atlas_fetch(atlas, toi(y0, ya), toi(x0, xa))
+    c10 = _atlas_fetch(atlas, toi(y0, ya), toi(x0, xb))
+    c01 = _atlas_fetch(atlas, toi(y0, yb), toi(x0, xa))
+    c11 = _atlas_fetch(atlas, toi(y0, yb), toi(x0, xb))
+    return tuple(
+        (c00[c] * (1.0 - wx) + c10[c] * wx) * (1.0 - wy)
+        + (c01[c] * (1.0 - wx) + c11[c] * wx) * wy
+        for c in range(3))
+
+
+def _perturb_normal(scene: PTScene, mat_id, n, tan, uv, bilinear=False):
     """Tangent-space normal mapping: fetch the map texel from the shared
     atlas, decode n_t = 2*rgb - 1, and rotate it into the world frame
     (T, B=n×T, n) built from the geometry's texture-u tangent direction.
@@ -849,8 +886,8 @@ def _perturb_normal(scene: PTScene, mat_id, n, tan, uv):
     tw = _sel(mat_id, scene.mat_nrm_rect[:, 2], M)
     th = _sel(mat_id, scene.mat_nrm_rect[:, 3], M)
     s = _sel(mat_id, scene.mat_nrm_scale, M)
-    ty, tx = _rect_texel(x0, y0, tw, th, uv, s)
-    rgb = _atlas_fetch(scene.tex_atlas, ty, tx)
+    rgb = _sample_rect(scene.tex_atlas, x0, y0, tw, th, uv, s,
+                       bilinear=bilinear)
     ntx = 2.0 * rgb[0] - 1.0
     nty = 2.0 * rgb[1] - 1.0
     ntz = 2.0 * rgb[2] - 1.0
@@ -873,7 +910,8 @@ def _perturb_normal(scene: PTScene, mat_id, n, tan, uv):
     return v3.where(tw > 0.0, np_, n)  # unmapped materials keep n exactly
 
 
-def _textured_albedo(scene: PTScene, mat_id, albedo, p, uv=None):
+def _textured_albedo(scene: PTScene, mat_id, albedo, p, uv=None,
+                     bilinear=False):
     """Procedural checker + image-atlas textures. Checker cells of size
     1/scale alternate albedo and mat_albedo2 (scale 0 = flat), evaluated
     in world space or — for mat_tex_space=1 materials — texture-UV space.
@@ -896,8 +934,8 @@ def _textured_albedo(scene: PTScene, mat_id, albedo, p, uv=None):
         y0 = _sel(mat_id, scene.mat_tex_rect[:, 1], M)
         tw = _sel(mat_id, scene.mat_tex_rect[:, 2], M)
         th = _sel(mat_id, scene.mat_tex_rect[:, 3], M)
-        ty, tx = _rect_texel(x0, y0, tw, th, uv, s)
-        rgb = _atlas_fetch(scene.tex_atlas, ty, tx)
+        rgb = _sample_rect(scene.tex_atlas, x0, y0, tw, th, uv, s,
+                           bilinear=bilinear)
         out = v3.where(tw > 0.0, rgb, out)
     return out
 
@@ -1178,10 +1216,12 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             # every downstream consumer (MIS cos, NEE, BSDF scatter) sees
             # the perturbed shading normal, matching integrator.py
             n = _perturb_normal(scene, isect["mat_id"], n, isect["tan"],
-                                isect["uv"])
+                                isect["uv"],
+                                bilinear=cfg.tex_filter == "bilinear")
         if scene.has_texture:  # static: untextured scenes pay nothing
             albedo = _textured_albedo(scene, isect["mat_id"], albedo, p,
-                                      uv=isect.get("uv"))
+                                      uv=isect.get("uv"),
+                                      bilinear=cfg.tex_filter == "bilinear")
 
         # --- emission (MIS vs NEE of the previous vertex) ------------------
         emissive = (emission[0] > 0.0) | (emission[1] > 0.0) | (emission[2] > 0.0)

@@ -356,3 +356,74 @@ def test_sceneio_uv_errors(tmp_path):
     with pytest.raises(ValueError, match="space"):
         _load({"materials": [{"albedo": [1, 1, 1],
                               "checker": {"scale": 1.0, "space": "bad"}}]})
+
+
+# ------------------------------------------------- bilinear filtering
+
+def test_sample_rect_bilinear_matches_manual_lerp():
+    """_sample_rect(bilinear=True) equals the hand-computed 4-corner lerp
+    with texel centers at (i + 0.5)/n and rect-clamped corners."""
+    from raytracing_engine_tpu.pathtracer.scene import pack_texture_atlas
+    from raytracing_engine_tpu.pathtracer.wavefront import _sample_rect
+
+    rng = np.random.RandomState(3)
+    img = rng.rand(4, 4, 3).astype(np.float32)
+    atlas, rects = pack_texture_atlas([img])
+    x0, y0, tw, th = rects[0]
+    uu = rng.rand(8, 128).astype(np.float32)
+    vv = rng.rand(8, 128).astype(np.float32)
+    like = jnp.asarray(uu)
+    got = _sample_rect(jnp.asarray(atlas),
+                       jnp.full_like(like, x0), jnp.full_like(like, y0),
+                       jnp.full_like(like, tw), jnp.full_like(like, th),
+                       (jnp.asarray(uu), jnp.asarray(vv)),
+                       jnp.ones_like(like), bilinear=True)
+    got = np.stack([np.asarray(c) for c in got], -1)
+
+    fx = uu * 4 - 0.5
+    fy = vv * 4 - 0.5
+    xa = np.clip(np.floor(fx), 0, 3).astype(int)
+    xb = np.clip(np.floor(fx) + 1, 0, 3).astype(int)
+    ya = np.clip(np.floor(fy), 0, 3).astype(int)
+    yb = np.clip(np.floor(fy) + 1, 0, 3).astype(int)
+    wx = (fx - np.floor(fx))[..., None]
+    wy = (fy - np.floor(fy))[..., None]
+    want = ((img[ya, xa] * (1 - wx) + img[ya, xb] * wx) * (1 - wy)
+            + (img[yb, xa] * (1 - wx) + img[yb, xb] * wx) * wy)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_bilinear_mega_matches_wavefront_bitexact():
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+
+    scene = textured_sphere_scene()
+    cfg = PTConfig(width=64, height=64, max_bounces=2, rng="pcg",
+                   tex_filter="bilinear")
+    a, _ = render_pt_fast(cfg, scene, POS, QUAT, 4, KEY)
+    b, _ = render_pt_mega(cfg, scene, POS, QUAT, 4, KEY, tile=(32, 128))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # filtering actually changes the render vs nearest
+    cfg_n = PTConfig(width=64, height=64, max_bounces=2, rng="pcg")
+    c, _ = render_pt_fast(cfg_n, scene, POS, QUAT, 4, KEY)
+    assert float(jnp.abs(a - c).max()) > 1e-3
+
+
+def test_bilinear_integrator_parity():
+    tris, uvs = quad_with_uvs()
+    tex = np.zeros((8, 8, 3), np.float32)
+    tex[:, :4, 0] = 1.0
+    tex[:, 4:, 1] = 1.0
+    scene = build_pt_scene(
+        spheres=[((0.0, 14.0, -103.0), 100.0, 1)],
+        triangles=tris, tri_mats=np.zeros(2, np.int32), tri_uvs=uvs,
+        materials=[
+            {"albedo": (0.5, 0.5, 0.5), "kind": DIFFUSE,
+             "image": {"pixels": tex, "scale": 1.0}},
+            {"albedo": (0, 0, 0), "emission": (30.0, 30.0, 30.0),
+             "kind": DIFFUSE},
+        ])
+    cfg = PTConfig(width=32, height=32, max_bounces=2, rng="threefry",
+                   tex_filter="bilinear")
+    a, _ = render_pt(cfg, scene, POS, QUAT, 2, jax.random.PRNGKey(3))
+    b, _ = render_pt_fast(cfg, scene, POS, QUAT, 2, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -363,3 +363,66 @@ def test_denoise_compiles_on_chip():
                    jnp.zeros((16, 16, 3)).at[..., 2].set(1.0),
                    jnp.full((16, 16), 5.0), iterations=2)
     np.testing.assert_allclose(np.asarray(flat), 0.3, rtol=1e-5)
+
+
+def test_megakernel_textures_on_chip():
+    """Round-3 texture surface compiled on chip: UV image textures +
+    UV-space checker + tangent-space normal map + bilinear filtering
+    through the megakernel (sphere analytic UVs AND mesh cluster-table
+    UVs/tangents), compiled vs interpret parity on identical inputs."""
+    import numpy as np
+
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+
+    tex = np.zeros((8, 8, 3), np.float32)
+    tex[:4, :, 0] = 1.0
+    tex[4:, :, 2] = 1.0
+    nm = np.zeros((8, 8, 3), np.float32)
+    z = np.sqrt(1.0 - 0.8 * 0.8)
+    for yy in range(8):
+        for xx in range(8):
+            sgn = 1.0 if (xx + yy) % 2 == 0 else -1.0
+            nm[yy, xx] = (np.array([sgn * 0.8, 0.0, z]) + 1.0) / 2.0
+    mats = [
+        {"albedo": (0.5, 0.5, 0.5), "kind": DIFFUSE,
+         "image": {"pixels": tex, "scale": 2.0},
+         "normal": {"pixels": nm, "scale": 4.0}},
+        {"albedo": (0, 0, 0), "emission": (20.0,) * 3, "kind": DIFFUSE},
+        {"albedo": (0.8, 0.3, 0.2), "kind": DIFFUSE,
+         "checker": {"color": (0.1, 0.8, 0.2), "scale": 4.0, "space": "uv"}},
+    ]
+    key = jax.random.PRNGKey(5)
+    cfg = PTConfig(width=W, height=H, max_bounces=2, rng="pcg",
+                   tex_filter="bilinear")
+
+    # sphere scene: analytic UVs + tangents
+    scene_s = build_pt_scene(
+        spheres=[((0.0, 6.0, 0.0), 2.0, 0), ((0.0, 14.0, -103.0), 100.0, 1),
+                 ((4.0, 6.0, 5.0), 1.5, 2)],
+        materials=mats)
+    got, _ = render_pt_mega(cfg, scene_s, jnp.zeros(3), QUAT, 2, key,
+                            interpret=False, tile=(H, 128))
+    want, _ = render_pt_mega(cfg, scene_s, jnp.zeros(3), QUAT, 2, key,
+                             interpret=True, tile=(H, 128))
+    _assert_close(got, want, label="textures-sphere", frac=1e-4, atol=1e-4)
+
+    # mesh scene: cluster-table UVs, in-kernel tangent emission
+    v = lambda x, zz: (x, 5.0, zz)  # noqa: E731
+    tris = np.array([[v(-2, -2), v(2, -2), v(2, 2)],
+                     [v(-2, -2), v(2, 2), v(-2, 2)]], np.float32)
+    uvf = lambda x, zz: ((x + 2) / 4, (zz + 2) / 4)  # noqa: E731
+    uvs = np.array([[uvf(-2, -2), uvf(2, -2), uvf(2, 2)],
+                    [uvf(-2, -2), uvf(2, 2), uvf(-2, 2)]], np.float32)
+    cs = build_clusters(tris, vertex_uvs=uvs)
+    scene_m = build_pt_scene(
+        spheres=[((0.0, 14.0, -103.0), 100.0, 1)],
+        triangles=tris, tri_mats=np.zeros(2, np.int32), tri_uvs=uvs,
+        materials=mats)
+    got_m, _ = render_pt_mega(cfg, scene_m, jnp.zeros(3), QUAT, 2, key,
+                              bvh=cs, interpret=False, tile=(H, 128))
+    want_m, _ = render_pt_mega(cfg, scene_m, jnp.zeros(3), QUAT, 2, key,
+                               bvh=cs, interpret=True, tile=(H, 128))
+    _assert_close(got_m, want_m, label="textures-mesh", frac=1e-4, atol=1e-4)
