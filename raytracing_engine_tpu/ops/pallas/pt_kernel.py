@@ -68,6 +68,8 @@ def pack_pt_scene(scene: PTScene):
         mat_cols += [scene.mat_tex_rect]
     if scene.has_normal_map:
         mat_cols += [scene.mat_nrm_rect, scene.mat_nrm_scale[:, None]]
+    if scene.has_metal:
+        mat_cols += [scene.mat_rough[:, None]]
     if scene.has_dispersion:
         mat_cols += [scene.mat_dispersion[:, None]]
     mat = jnp.concatenate(mat_cols, axis=1)
@@ -91,7 +93,8 @@ def _unpack_scene(sph, tri, mat, light, counts,
                   has_dielectric=False, env=None,
                   has_texture=False, has_dispersion=False,
                   has_space=False, atlas=None, has_rect=False,
-                  has_triuv=False, has_nrm=False) -> PTScene:
+                  has_triuv=False, has_nrm=False,
+                  has_metal=False) -> PTScene:
     """Rebuild a PTScene view (of in-kernel arrays) from the packed tables.
     Optional-feature column offsets mirror pack_pt_scene's layout."""
     i32 = jnp.int32
@@ -111,6 +114,10 @@ def _unpack_scene(sph, tri, mat, light, counts,
         nrm_rect = mat[:, col:col + 4]
         nrm_scale = mat[:, col + 4]
         col += 5
+    rough = None
+    if has_metal:
+        rough = mat[:, col]
+        col += 1
     if has_dispersion:
         dispersion = mat[:, col]
     return PTScene(
@@ -123,6 +130,7 @@ def _unpack_scene(sph, tri, mat, light, counts,
         mat_tex_rect=tex_rect,
         mat_nrm_rect=nrm_rect,
         mat_nrm_scale=nrm_scale,
+        mat_rough=rough,
         tri_uv=tri[:, 10:16] if has_triuv else None,
         mat_dispersion=dispersion,
         sph_pos=sph[:, 0:3],
@@ -159,6 +167,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                has_tex: bool = False, has_disp: bool = False,
                has_space: bool = False, has_image: bool = False,
                has_triuv: bool = False, has_nrm: bool = False,
+               has_metal: bool = False,
                adaptive_tol: float = 0.0, adaptive_min: int = 8):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
@@ -227,7 +236,8 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                           has_space=has_space, has_rect=has_image,
                           atlas=(atlas_ref[:] if (has_image or has_nrm)
                                  else None),
-                          has_triuv=has_triuv, has_nrm=has_nrm)
+                          has_triuv=has_triuv, has_nrm=has_nrm,
+                          has_metal=has_metal)
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
 
@@ -440,7 +450,7 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         has_tex=scene.has_texture, has_disp=scene.has_dispersion,
         has_space=scene.mat_tex_space is not None,
         has_image=scene.has_image, has_triuv=scene.has_tri_uv,
-        has_nrm=scene.has_normal_map,
+        has_nrm=scene.has_normal_map, has_metal=scene.has_metal,
         adaptive_tol=float(adaptive_tol),
         adaptive_min=int(adaptive_min),
     )

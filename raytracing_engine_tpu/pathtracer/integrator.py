@@ -32,6 +32,7 @@ from raytracing_engine_tpu.pathtracer.intersect import ray_sphere, ray_triangle
 from raytracing_engine_tpu.pathtracer.scene import (
     DIELECTRIC,
     DIFFUSE,
+    METAL,
     MIRROR,
     PTScene,
 )
@@ -515,8 +516,11 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
             cos_s = jnp.sum(n3 * wi3, axis=-1)
             cos_ll = jnp.abs(jnp.sum(ln3 * -wi3, axis=-1))
 
+            nee_kind = kind == DIFFUSE
+            if scene.has_metal:  # GGX surfaces are NEE-sampled too
+                nee_kind = nee_kind | (kind == METAL)
             nee_candidate = (
-                hit & (kind == DIFFUSE) & (scene.light_count > 0)
+                hit & nee_kind & (scene.light_count > 0)
                 & (cos_s > 0.0) & (cos_ll > 1e-6) & (dist > cfg.eps)
             )
             shadow_o = p3 + n3 * cfg.eps
@@ -528,7 +532,17 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
 
             pdf_w = pdf_area * dist**2 / jnp.maximum(cos_ll, 1e-6)
             f = albedo / _PI
-            w_nee = sampler.power_heuristic(pdf_w, cos_s / _PI)
+            pdf_b = cos_s / _PI
+            if scene.has_metal:  # GGX BRDF toward the light + its pdf
+                rough = scene.mat_rough[mat_id]
+                alpha = jnp.maximum(rough * rough, 1e-4)
+                un = lambda a: (a[..., 0], a[..., 1], a[..., 2])
+                f_m, pdf_m = sampler.ggx_eval(
+                    un(n3), un(-st["d3"]), un(wi3), un(albedo), alpha)
+                is_met = kind == METAL
+                f = jnp.where(is_met[..., None], jnp.stack(f_m, -1), f)
+                pdf_b = jnp.where(is_met, pdf_m, pdf_b)
+            w_nee = sampler.power_heuristic(pdf_w, pdf_b)
             nee_gain = cos_s / jnp.maximum(pdf_w, 1e-20) * w_nee
             if cfg.fog_density > 0.0:  # shadow segment transmittance
                 nee_gain = nee_gain * jnp.exp(-cfg.fog_density * dist)
@@ -584,7 +598,28 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
             # refracted rays continue THROUGH the surface: offset inward
             off = jnp.where(is_diel & ~reflect, -cfg.eps, cfg.eps)
             new_o3 = p3 + n3 * off[..., None]
-        new_thr = st["throughput"] * albedo  # diffuse: f*cos/pdf = albedo; mirror: albedo
+        if scene.has_metal:  # GGX conductor scatter (same math as
+            # wavefront.py: NDF half-vector sample, reflect, f*cos/pdf)
+            rough = scene.mat_rough[mat_id]
+            alpha = jnp.maximum(rough * rough, 1e-4)
+            un = lambda a: (a[..., 0], a[..., 1], a[..., 2])
+            h_t, _ = sampler.sample_ggx_h(u[0], u[1], un(n3), alpha)
+            met_t = sampler.reflect(un(st["d3"]), h_t)
+            f_s, pdf_s = sampler.ggx_eval(un(n3), un(-st["d3"]), met_t,
+                                          un(albedo), alpha)
+            cos_i_s = sum(nc * mc for nc, mc in zip(un(n3), met_t))
+            w_met = jnp.stack(f_s, -1) * jnp.where(
+                pdf_s > 0.0,
+                cos_i_s / jnp.maximum(pdf_s, 1e-12), 0.0)[..., None]
+            is_metal = kind == METAL
+            new_d3 = jnp.where(is_metal[..., None], jnp.stack(met_t, -1),
+                               new_d3)
+            w_mat = jnp.where(is_metal[..., None], w_met, albedo)
+            new_thr = st["throughput"] * w_mat
+            pdf_bsdf = jnp.where(is_metal, pdf_s, pdf_cos)
+        else:
+            new_thr = st["throughput"] * albedo  # f*cos/pdf = albedo
+            pdf_bsdf = pdf_cos
 
         cont = hit & (jnp.max(new_thr, axis=-1) > 0.0)
         if cfg.rr_start > 0:  # static: RR-off keeps the 5-plane stream
@@ -598,11 +633,14 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         st["o3"] = jnp.where(cont[..., None], new_o3, st["o3"])
         st["d3"] = jnp.where(cont[..., None], new_d3, st["d3"])
         st["alive"] = cont
+        nee_kinds = kind == DIFFUSE
+        if scene.has_metal:
+            nee_kinds = nee_kinds | (kind == METAL)
         st["prev_did_nee"] = (
-            hit & (kind == DIFFUSE) & (scene.light_count > 0)
+            hit & nee_kinds & (scene.light_count > 0)
             & jnp.bool_(cfg.use_nee)
         )
-        st["prev_pdf"] = pdf_cos
+        st["prev_pdf"] = pdf_bsdf
         return st
 
     state = lax.fori_loop(0, cfg.max_bounces + 1, bounce, state)

@@ -69,3 +69,66 @@ def power_heuristic(pdf_a, pdf_b):
     """MIS power heuristic (β=2): w_a = pdf_a² / (pdf_a² + pdf_b²)."""
     a2 = pdf_a * pdf_a
     return a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-24)
+
+
+# ---------------------------------------------------------------------------
+# GGX microfacet (rough conductor) — kernel-safe (sqrt/sin/cos/select only)
+# ---------------------------------------------------------------------------
+
+def ggx_d(cos_h, alpha):
+    """GGX/Trowbridge-Reitz NDF D(h) for unit half-vector cosine cos_h
+    (against the shading normal). alpha = roughness² (Disney remap)."""
+    a2 = alpha * alpha
+    c2 = cos_h * cos_h
+    denom = c2 * (a2 - 1.0) + 1.0
+    return a2 / jnp.maximum(_PI * denom * denom, 1e-12)
+
+
+def ggx_smith_g1(cos_v, alpha):
+    """Smith height-correlated-separable masking term G1 for one
+    direction (cosine against the shading normal)."""
+    a2 = alpha * alpha
+    c = jnp.maximum(cos_v, 1e-6)
+    return 2.0 * c / jnp.maximum(
+        c + jnp.sqrt(a2 + (1.0 - a2) * c * c), 1e-12)
+
+
+def sample_ggx_h(u1, u2, normal, alpha):
+    """Sample a half-vector from the GGX NDF about `normal`
+    (pdf_h = D(h)·cos_h). Returns (h V3, cos_h plane)."""
+    a2 = alpha * alpha
+    cos_h = jnp.sqrt(jnp.clip((1.0 - u1) / (1.0 + (a2 - 1.0) * u1),
+                              0.0, 1.0))
+    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+    phi = 2.0 * _PI * u2
+    t, s = build_onb(normal)
+    h = v3.add(
+        v3.add(v3.scale(t, sin_h * jnp.cos(phi)),
+               v3.scale(s, sin_h * jnp.sin(phi))),
+        v3.scale(normal, cos_h))
+    return h, cos_h
+
+
+def ggx_eval(n, wo, wi, f0, alpha):
+    """GGX conductor BRDF f(wo, wi) with Schlick Fresnel (F0 = `f0` V3)
+    and separable Smith masking, plus the solid-angle pdf of
+    sample_ggx_h-driven reflection (D·cos_h / (4·(wo·h))).
+    Returns (f V3, pdf plane); both 0 where wi is under the surface."""
+    h_raw = v3.add(wo, wi)
+    hl = jnp.maximum(v3.length(h_raw), 1e-12)
+    h = v3.scale(h_raw, 1.0 / hl)
+    cos_h = v3.dot(n, h)
+    cos_o = v3.dot(n, wo)
+    cos_i = v3.dot(n, wi)
+    oh = v3.dot(wo, h)
+    d = ggx_d(cos_h, alpha)
+    g = ggx_smith_g1(cos_o, alpha) * ggx_smith_g1(cos_i, alpha)
+    fres = tuple(f0[c] + (1.0 - f0[c])
+                 * (1.0 - jnp.clip(oh, 0.0, 1.0)) ** 5 for c in range(3))
+    denom = jnp.maximum(4.0 * cos_o * cos_i, 1e-6)
+    valid = (cos_i > 0.0) & (cos_o > 0.0) & (oh > 0.0)
+    spec = jnp.where(valid, d * g / denom, 0.0)
+    f = v3.scale(fres, spec)
+    pdf = jnp.where(valid, d * jnp.maximum(cos_h, 0.0)
+                    / jnp.maximum(4.0 * oh, 1e-6), 0.0)
+    return f, pdf

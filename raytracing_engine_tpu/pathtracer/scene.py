@@ -17,6 +17,11 @@ Material model (BASELINE config 2: diffuse/specular/emissive):
                           compression factor is deliberately omitted (it
                           cancels on enter/exit pairs of closed objects) —
                           consistent across all three integrators.
+    kind 4 = METAL      — GGX rough conductor: Trowbridge-Reitz NDF,
+                          separable Smith masking, Schlick Fresnel with
+                          albedo as F0, NDF half-vector sampling
+                          (f·cos/pdf weight), NEE+MIS like diffuse.
+                          `roughness` per material (alpha = roughness²).
     emission is a per-material RGB; any primitive with a nonzero-emission
     material is a light for NEE.
 """
@@ -33,6 +38,7 @@ DIFFUSE = 0
 MIRROR = 1
 EMISSIVE = 2  # alias: a diffuse surface whose emission dominates
 DIELECTRIC = 3
+METAL = 4        # GGX rough conductor: albedo = F0, mat_rough = roughness
 
 # Triangle slots the plane-native integrators unroll into scalar selects
 # (wavefront._tri_hits_unrolled / _sample_light). Bigger meshes ride the
@@ -153,6 +159,11 @@ class PTScene:
     # None = no material textures anywhere (static; zero cost).
     mat_albedo2: jax.Array | None = None    # (M, 3)
     mat_tex_scale: jax.Array | None = None  # (M,) f32 — 0 = flat
+    # METAL (GGX rough conductor) roughness r; the microfacet alpha is the
+    # Disney remap a = r*r. None when no metal material exists — the
+    # static gate that keeps metal-free scenes compiling the prior
+    # program (same None-gating contract as every optional feature).
+    mat_rough: jax.Array | None = None      # (M,) f32
     # UV texturing. Geometry carries per-corner UVs (ClusterSet rows
     # 32-37 / `tri_uv` below); spheres get the analytic spherical
     # parametrization. Procedural checkers may evaluate in UV space
@@ -204,6 +215,11 @@ class PTScene:
     @property
     def num_triangle_slots(self) -> int:
         return self.tri_v0.shape[0]
+
+    @property
+    def has_metal(self) -> bool:
+        """GGX rough-conductor materials present — static predicate."""
+        return self.mat_rough is not None
 
     @property
     def has_mesh_light(self) -> bool:
@@ -310,6 +326,7 @@ def build_pt_scene(
     mat_emission = np.zeros((M, 3), np.float32)
     mat_kind = np.zeros((M,), np.int32)
     mat_ior = np.ones((M,), np.float32)
+    mat_rough = np.zeros((M,), np.float32)
     mat_albedo2 = np.zeros((M, 3), np.float32)
     mat_tex_scale = np.zeros((M,), np.float32)
     mat_tex_space = np.zeros((M,), np.float32)
@@ -325,6 +342,8 @@ def build_pt_scene(
         mat_albedo[i] = m.get("albedo", default_albedo)
         mat_emission[i] = m.get("emission", (0.0, 0.0, 0.0))
         mat_ior[i] = m.get("ior", 1.5)
+        mat_rough[i] = m.get("roughness", 0.3 if mat_kind[i] == METAL
+                             else 0.0)
         if "checker" in m:  # {"color": (3,), "scale", "space": "world"|"uv"}
             mat_albedo2[i] = m["checker"].get("color", (0.0, 0.0, 0.0))
             mat_tex_scale[i] = m["checker"].get("scale", 1.0)
@@ -463,6 +482,8 @@ def build_pt_scene(
         mat_emission=jnp.asarray(mat_emission),
         mat_kind=jnp.asarray(mat_kind),
         mat_ior=jnp.asarray(mat_ior),
+        mat_rough=(jnp.asarray(mat_rough)
+                   if bool((mat_kind == METAL).any()) else None),
         mat_albedo2=jnp.asarray(mat_albedo2) if textured else None,
         mat_tex_scale=jnp.asarray(mat_tex_scale) if textured else None,
         mat_tex_space=jnp.asarray(mat_tex_space) if uv_space else None,

@@ -34,6 +34,9 @@ instead of code:
   "scale": cells-per-unit, "space": "world"|"uv"}` alternating with
   `albedo` — world-space cells by default, texture-UV cells with
   `"space": "uv"` (needs UV-carrying geometry).
+- `kind: "metal"` is a GGX rough conductor: `albedo` is the F0
+  reflectance, `roughness` (default 0.3) the perceptual roughness
+  (microfacet alpha = roughness²).
 - `normal`: optional tangent-space normal map (same png/npy + scale
   schema as `image`; texels encode (n+1)/2) — applied on any geometry
   with UVs (meshes with `"uvs": true`, spheres analytically).
@@ -79,14 +82,14 @@ from typing import NamedTuple
 import numpy as np
 
 from raytracing_engine_tpu.pathtracer.scene import (
-    DIELECTRIC, DIFFUSE, MIRROR, PTScene, build_pt_scene)
+    DIELECTRIC, DIFFUSE, METAL, MIRROR, PTScene, build_pt_scene)
 
 _KINDS = {"diffuse": DIFFUSE, "mirror": MIRROR,
-          "dielectric": DIELECTRIC}
+          "dielectric": DIELECTRIC, "metal": METAL}
 _TOP_KEYS = {"materials", "spheres", "meshes", "camera", "mesh_lights",
              "env", "instances"}
 _MAT_KEYS = {"albedo", "emission", "kind", "ior", "checker",
-             "dispersion", "image", "normal"}
+             "dispersion", "image", "normal", "roughness"}
 _SPH_KEYS = {"center", "radius", "mat"}
 _MESH_KEYS = {"obj", "icosphere", "knot", "mat", "scale", "translate",
               "smooth", "uvs"}
@@ -205,6 +208,8 @@ def load_scene_json(path: str) -> SceneBundle:
         mat = {"emission": tuple(m.get("emission", (0, 0, 0))),
                "kind": _KINDS[kind], "ior": float(m.get("ior", 1.5)),
                "dispersion": float(m.get("dispersion", 0.0))}
+        if "roughness" in m or kind == "metal":
+            mat["roughness"] = float(m.get("roughness", 0.3))
         if "checker" in m:  # {"color", "scale", "space": "world"|"uv"}
             extra = set(m["checker"]) - {"color", "scale", "space"}
             if extra:

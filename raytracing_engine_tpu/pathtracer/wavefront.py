@@ -33,6 +33,7 @@ from raytracing_engine_tpu.pathtracer.scene import (
     DIELECTRIC,
     DIFFUSE,
     LIGHT_MESH,
+    METAL,
     MIRROR,
     TRI_UNROLL_MAX,
     PTScene,
@@ -1210,6 +1211,11 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         alive_b = st["alive"] != 0.0
         hit = isect["hit"] & alive_b
         albedo, emission, kind, ior = _mat_lookup(scene, isect["mat_id"])
+        alpha = None
+        if scene.has_metal:  # static: metal-free scenes pay nothing
+            Mn = scene.mat_albedo.shape[0]
+            rough = _sel(isect["mat_id"], scene.mat_rough, Mn)
+            alpha = jnp.maximum(rough * rough, 1e-4)  # Disney remap
         n = isect["n"]
         p = isect["p"]
         if scene.has_normal_map:  # static: unmapped scenes pay nothing
@@ -1281,8 +1287,11 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             cos_s = v3.dot(n, wi)
             cos_ll = jnp.abs(v3.dot(ln, wi))
 
+            nee_kind = kind == DIFFUSE
+            if scene.has_metal:  # GGX surfaces are NEE-sampled too
+                nee_kind = nee_kind | (kind == METAL)
             cand = (
-                hit & (kind == DIFFUSE) & (scene.light_count > 0)
+                hit & nee_kind & (scene.light_count > 0)
                 & (cos_s > 0.0) & (cos_ll > 1e-6) & (dist > cfg.eps)
             )
             st["nrays"] = st["nrays"] + jnp.sum(cand)
@@ -1301,13 +1310,31 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             vis = cand & ~blocked
 
             pdf_w = pdf_area * dist**2 / jnp.maximum(cos_ll, 1e-6)
-            w_nee = sampler.power_heuristic(pdf_w, cos_s / _PI)
-            scale = jnp.where(
-                vis, cos_s / jnp.maximum(pdf_w, 1e-20) * w_nee / _PI, 0.0
-            )
-            if cfg.fog_density > 0.0:  # shadow segment transmittance
-                scale = scale * jnp.exp(-cfg.fog_density * dist)
-            contrib = v3.mul(v3.mul(st["thr"], albedo), v3.scale(le, scale))
+            if scene.has_metal:
+                # general form: f = albedo/π (diffuse) or the GGX
+                # conductor BRDF (metal); the MIS counter-pdf follows
+                f_m, pdf_m = sampler.ggx_eval(n, v3.neg(st["d"]), wi,
+                                              albedo, alpha)
+                is_met = kind == METAL
+                pdf_b = jnp.where(is_met, pdf_m, cos_s / _PI)
+                f_nee = v3.where(is_met, f_m,
+                                 v3.scale(albedo, 1.0 / _PI))
+                w_nee = sampler.power_heuristic(pdf_w, pdf_b)
+                scale = jnp.where(
+                    vis, cos_s / jnp.maximum(pdf_w, 1e-20) * w_nee, 0.0)
+                if cfg.fog_density > 0.0:  # shadow segment transmittance
+                    scale = scale * jnp.exp(-cfg.fog_density * dist)
+                contrib = v3.mul(v3.mul(st["thr"], f_nee),
+                                 v3.scale(le, scale))
+            else:  # metal-free: the exact prior program (bit-identical)
+                w_nee = sampler.power_heuristic(pdf_w, cos_s / _PI)
+                scale = jnp.where(
+                    vis, cos_s / jnp.maximum(pdf_w, 1e-20) * w_nee / _PI,
+                    0.0)
+                if cfg.fog_density > 0.0:  # shadow segment transmittance
+                    scale = scale * jnp.exp(-cfg.fog_density * dist)
+                contrib = v3.mul(v3.mul(st["thr"], albedo),
+                                 v3.scale(le, scale))
             st["rad"] = v3.add(st["rad"], contrib)
 
         # --- scatter ----------------------------------------------------------
@@ -1358,7 +1385,30 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             # refracted rays continue THROUGH the surface: offset inward
             off = jnp.where(is_diel & ~reflect, -cfg.eps, cfg.eps)
             new_o = v3.add(p, v3.scale(n, off))
-        new_thr = v3.mul(st["thr"], albedo)
+        if scene.has_metal:  # static: metal-free scenes pay nothing
+            # GGX conductor: sample an NDF half-vector (u[0]/u[1] are free
+            # on metal lanes — no cosine-hemisphere sample, the same
+            # non-collision argument as the dielectric R/T coin), reflect,
+            # and weight by f·cos/pdf. Under-surface samples get f=pdf=0
+            # from ggx_eval, so their throughput dies at the cont gate —
+            # the standard NDF-sampling rejection, consistent across all
+            # engines.
+            h_vec, _ = sampler.sample_ggx_h(u[0], u[1], n, alpha)
+            met_d = sampler.reflect(st["d"], h_vec)
+            f_s, pdf_s = sampler.ggx_eval(n, v3.neg(st["d"]), met_d,
+                                          albedo, alpha)
+            w_met = v3.scale(
+                f_s, jnp.where(pdf_s > 0.0,
+                               v3.dot(n, met_d)
+                               / jnp.maximum(pdf_s, 1e-12), 0.0))
+            is_metal = kind == METAL
+            new_d = v3.where(is_metal, met_d, new_d)
+            w_mat = v3.where(is_metal, w_met, albedo)
+            new_thr = v3.mul(st["thr"], w_mat)
+            pdf_bsdf = jnp.where(is_metal, pdf_s, pdf_cos)
+        else:
+            new_thr = v3.mul(st["thr"], albedo)
+            pdf_bsdf = pdf_cos
 
         cont = hit & (
             jnp.maximum(new_thr[0], jnp.maximum(new_thr[1], new_thr[2])) > 0.0
@@ -1383,12 +1433,15 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         st["o"] = v3.where(cont, new_o, dead_o)
         st["d"] = v3.where(cont, new_d, dead_d)
         st["alive"] = jnp.where(cont, 1.0, 0.0)
+        nee_kinds = kind == DIFFUSE
+        if scene.has_metal:
+            nee_kinds = nee_kinds | (kind == METAL)
         did_nee = (
-            hit & (kind == DIFFUSE) & (scene.light_count > 0)
+            hit & nee_kinds & (scene.light_count > 0)
             & jnp.bool_(cfg.use_nee)
         )
         st["prev_did_nee"] = jnp.where(did_nee, 1.0, 0.0)
-        st["prev_pdf"] = pdf_cos
+        st["prev_pdf"] = pdf_bsdf
 
         if sort:
             if sort is True:
