@@ -426,3 +426,35 @@ def test_megakernel_textures_on_chip():
     want_m, _ = render_pt_mega(cfg, scene_m, jnp.zeros(3), QUAT, 2, key,
                                bvh=cs, interpret=True, tile=(H, 128))
     _assert_close(got_m, want_m, label="textures-mesh", frac=1e-4, atol=1e-4)
+
+
+def test_megakernel_metal_on_chip():
+    """GGX rough-conductor shading compiled on chip: NDF sampling +
+    Smith masking + NEE/MIS through the megakernel, compiled vs
+    interpret parity on identical inputs."""
+    import numpy as np
+
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scene import (
+        DIFFUSE,
+        METAL,
+        build_pt_scene,
+    )
+
+    scene = build_pt_scene(
+        spheres=[((0.0, 6.0, 0.0), 2.0, 0), ((3.0, 4.0, 4.0), 1.0, 1),
+                 ((0.0, 8.0, -1001.0), 1000.0, 2)],
+        materials=[
+            {"albedo": (0.9, 0.7, 0.4), "kind": METAL, "roughness": 0.3},
+            {"albedo": (0, 0, 0), "emission": (25.0,) * 3, "kind": DIFFUSE},
+            {"albedo": (0.5, 0.5, 0.5), "kind": DIFFUSE},
+        ], env=((0.2, 0.2, 0.3), (0.6, 0.7, 1.0)))
+    cfg = PTConfig(width=W, height=H, max_bounces=3, rng="pcg")
+    key = jax.random.PRNGKey(3)
+    got, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                            interpret=False)
+    want, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                             interpret=True)
+    _assert_close(got, want, label="metal", frac=1e-4, atol=1e-4)
+    assert float(np.asarray(got).mean()) > 1e-3
