@@ -76,13 +76,18 @@ def pack_pt_scene(scene: PTScene):
     if mat.shape[1] % 4:  # pad to a lane-friendly multiple
         mat = jnp.concatenate(
             [mat, jnp.zeros((M, 4 - mat.shape[1] % 4), f32)], axis=1)
+    if scene.has_light_tree:  # tree slot columns ride the spare cols 9-11
+        lt_cols = jnp.stack([scene.lt_cluster, scene.lt_cdf_intra,
+                             scene.lt_pick_intra], axis=1)
+    else:
+        lt_cols = jnp.zeros((L, 3), f32)
     light = jnp.concatenate(
         [scene.light_kind[:, None].astype(f32),
          scene.light_prim[:, None].astype(f32),
          scene.light_area[:, None], scene.light_le,
          scene.light_pick[:, None], scene.light_cdf[:, None],
          jnp.broadcast_to(scene.light_total_power, (L, 1)),
-         jnp.zeros((L, 3), f32)], axis=1)
+         lt_cols], axis=1)
     counts = jnp.stack(
         [scene.sph_count, scene.tri_count, jnp.int32(M), scene.light_count]
     )
@@ -94,7 +99,7 @@ def _unpack_scene(sph, tri, mat, light, counts,
                   has_texture=False, has_dispersion=False,
                   has_space=False, atlas=None, has_rect=False,
                   has_triuv=False, has_nrm=False,
-                  has_metal=False) -> PTScene:
+                  has_metal=False, ltree=None) -> PTScene:
     """Rebuild a PTScene view (of in-kernel arrays) from the packed tables.
     Optional-feature column offsets mirror pack_pt_scene's layout."""
     i32 = jnp.int32
@@ -154,6 +159,12 @@ def _unpack_scene(sph, tri, mat, light, counts,
         light_pick=light[:, 6],
         light_cdf=light[:, 7],
         light_total_power=light[0, 8],
+        lt_center=None if ltree is None else ltree[:, 0:3],
+        lt_radius=None if ltree is None else ltree[:, 3],
+        lt_power=None if ltree is None else ltree[:, 4],
+        lt_cluster=None if ltree is None else light[:, 9],
+        lt_cdf_intra=None if ltree is None else light[:, 10],
+        lt_pick_intra=None if ltree is None else light[:, 11],
     )
 
 
@@ -167,11 +178,12 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                has_tex: bool = False, has_disp: bool = False,
                has_space: bool = False, has_image: bool = False,
                has_triuv: bool = False, has_nrm: bool = False,
-               has_metal: bool = False,
+               has_metal: bool = False, has_ltree: bool = False,
                adaptive_tol: float = 0.0, adaptive_min: int = 8):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
     env_ref = rest.pop(0) if has_env else None
+    ltree_ref = rest.pop(0) if has_ltree else None
     atlas_ref = rest.pop(0) if (has_image or has_nrm) else None
     spp_ref = rest.pop() if adaptive_tol > 0.0 else None  # trailing output
     if n_super:
@@ -237,7 +249,8 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                           atlas=(atlas_ref[:] if (has_image or has_nrm)
                                  else None),
                           has_triuv=has_triuv, has_nrm=has_nrm,
-                          has_metal=has_metal)
+                          has_metal=has_metal,
+                          ltree=ltree_ref[:] if has_ltree else None)
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
 
@@ -451,6 +464,7 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         has_space=scene.mat_tex_space is not None,
         has_image=scene.has_image, has_triuv=scene.has_tri_uv,
         has_nrm=scene.has_normal_map, has_metal=scene.has_metal,
+        has_ltree=scene.has_light_tree,
         adaptive_tol=float(adaptive_tol),
         adaptive_min=int(adaptive_min),
     )
@@ -481,6 +495,15 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
             [scene.env, jnp.zeros((2, 5), jnp.float32)], axis=1)
         in_specs += [full()]
         args += [env_tab]
+    if scene.has_light_tree:
+        # (C, 8) zero-padded cluster rows [center(3), radius, power];
+        # the per-slot tree columns ride the light table's cols 9-11
+        ltree_tab = jnp.concatenate(
+            [scene.lt_center, scene.lt_radius[:, None],
+             scene.lt_power[:, None],
+             jnp.zeros((scene.lt_center.shape[0], 3), jnp.float32)], axis=1)
+        in_specs += [full()]
+        args += [ltree_tab]
     if scene.has_atlas:
         # (3K, 128) texture atlas; the per-lane fetch is a lane-axis
         # take_along_axis on a broadcast row — on hardware the VMEM

@@ -59,6 +59,12 @@ def compacted_trace(cfg, scene, cam_pos, cam_quat, key, spp=1):
     """
     from jax import lax
 
+    if getattr(cfg, "light_sampling", "power") == "tree":
+        raise ValueError(
+            "compacted_trace is the power-sampling mechanism demo; "
+            "light_sampling='tree' runs on the production paths "
+            "(render_pt_fast / render_pt_mega / render_pt)")
+
     from raytracing_engine_tpu.ops.pallas.rng import key_to_seed
     from raytracing_engine_tpu.ops.rng_pcg import uniform_pcg
     from raytracing_engine_tpu.pathtracer import wavefront as wf

@@ -70,9 +70,12 @@ class PTConfig:
     sampler: str = "random"
     # NEE light selection: "power" (default) picks lights with probability
     # proportional to area * luminance(Le) — a dim big light stops eating
-    # samples a bright small one needs; "uniform" is the classic 1/count.
-    # Both are unbiased (the MIS pdfs follow the selection); single-light
-    # scenes are identical either way.
+    # samples a bright small one needs; "uniform" is the classic 1/count;
+    # "tree" is the two-level light tree (distance-discounted cluster
+    # pick, then within-cluster power CDF — scene must be built with
+    # build_pt_scene(light_tree=C)) for many-light scenes where the
+    # nearest lights matter most. All are unbiased (the MIS pdfs follow
+    # the selection); single-light scenes are identical either way.
     light_sampling: str = "power"
     # homogeneous fog: every path segment (camera, bounce, NEE shadow)
     # is attenuated by Beer-Lambert exp(-fog_density * length), and the
@@ -177,6 +180,9 @@ def intersect_scene(scene: PTScene, o3, d3, t_min, bvh=None):
         light_area=light_area,
         front=~flip,
     )
+    if scene.has_light_tree:  # slot index of the hit primitive (tree MIS)
+        out["prim"] = jnp.where(use_tri, i_t, i_s)
+        out["is_tri"] = use_tri
     if scene.needs_uv:  # static: UV-free scenes compile the prior program
         # sphere: analytic spherical parametrization (Z-up); triangle:
         # barycentrics recomputed at the hit, interpolating scene.tri_uv
@@ -271,15 +277,50 @@ def occluded(scene: PTScene, o3, d3, max_t, t_min, bvh=None):
 # NEE light sampling
 # ---------------------------------------------------------------------------
 
-def sample_light_point(scene: PTScene, u_sel, u1, u2, uniform=False):
-    """Pick a light (power-weighted by default, uniform with uniform=True),
-    sample a uniform-area point on it.
+def tree_cluster_weights(scene: PTScene, p3):
+    """Light-tree cluster importances at (..., 3) points: (..., C) array
+    of power_c / max(dist^2, radius_c^2) plus its sum (see
+    scene._build_light_tree). Vectorized over the cluster axis — the
+    gather-based cross-check of wavefront._tree_cluster_weights."""
+    d2 = jnp.sum((p3[..., None, :] - scene.lt_center) ** 2, axis=-1)
+    floor = jnp.maximum(d2, scene.lt_radius ** 2)
+    w = scene.lt_power / jnp.maximum(floor, 1e-12)
+    return w, jnp.sum(w, axis=-1)
+
+
+def sample_light_point(scene: PTScene, u_sel, u1, u2, uniform=False,
+                       tree_p3=None):
+    """Pick a light (power-weighted by default, uniform with uniform=True,
+    light tree with tree_p3=the shading point), sample a uniform-area
+    point on it.
 
     Returns (point (...,3), normal (...,3), Le (...,3), pdf_area (...,),
     any_light bool scalar). pdf_area includes the selection probability.
     """
     count = jnp.maximum(scene.light_count, 1)
-    if uniform:
+    tree_pick = None
+    if tree_p3 is not None:
+        # two-level tree selection, written with gathers/argmax as the
+        # independent cross-check of the plane-native unrolled walks
+        w, wtot = tree_cluster_weights(scene, tree_p3)
+        cum = jnp.cumsum(w, axis=-1)
+        uw = (u_sel * wtot)[..., None]
+        cl = jnp.sum((uw >= cum[..., :-1]).astype(jnp.int32), axis=-1)
+        w_sel = jnp.take_along_axis(w, cl[..., None], axis=-1)[..., 0]
+        lo = jnp.where(cl > 0,
+                       jnp.take_along_axis(
+                           cum, jnp.maximum(cl - 1, 0)[..., None],
+                           axis=-1)[..., 0], 0.0)
+        p_cl = w_sel / jnp.maximum(wtot, 1e-30)
+        u_in = jnp.clip((uw[..., 0] - lo) / jnp.maximum(w_sel, 1e-30),
+                        0.0, 1.0 - 1e-7)
+        # first slot of the chosen cluster whose within-cluster CDF
+        # exceeds u_in (argmax returns the first True)
+        passed = ((scene.lt_cluster == cl[..., None].astype(jnp.float32))
+                  & (u_in[..., None] < scene.lt_cdf_intra))
+        idx = jnp.argmax(passed, axis=-1).astype(jnp.int32)
+        tree_pick = p_cl * scene.lt_pick_intra[idx]
+    elif uniform:
         idx = jnp.minimum((u_sel * count).astype(jnp.int32), count - 1)
     else:
         # inclusive-CDF walk (padded slots pinned to 1 -> never chosen);
@@ -319,7 +360,9 @@ def sample_light_point(scene: PTScene, u_sel, u1, u2, uniform=False):
     mat = jnp.where(kind == 1, mat_t, mat_s)
     le = scene.mat_emission[mat]
 
-    if uniform:
+    if tree_pick is not None:
+        pdf_area = tree_pick / jnp.maximum(area, 1e-20)
+    elif uniform:
         pdf_area = 1.0 / (area * count)
     else:
         pick = scene.light_pick[idx]
@@ -375,6 +418,10 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
             "the stacked reference integrator samples per-slot lights and "
             "cannot use a mesh-light scene; build the cross-check scene "
             "with allow_many_tri_lights=True instead of mesh_lights=True")
+    if cfg.light_sampling == "tree" and not scene.has_light_tree:
+        raise ValueError(
+            "light_sampling='tree' needs the scene's light-tree tables — "
+            "build it with build_pt_scene(..., light_tree=C)")
     if cfg.sampler == "r2":
         raise ValueError(
             "sampler='r2' is a production-path (rng='pcg') feature — the "
@@ -480,6 +527,25 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
             sel_density = 1.0 / jnp.maximum(
                 isect["light_area"] * jnp.maximum(scene.light_count, 1),
                 1e-20)
+        elif cfg.light_sampling == "tree":
+            # exact tree-selection pdf of the hit light as seen from the
+            # previous vertex (st["o3"] — the same p + eps*n the NEE
+            # sampler there used). Slot recovered by a vectorized
+            # (prim, kind) match; zero-pick padding keeps non-lights at
+            # density 0 = full BSDF weight, the correct MIS for a light
+            # the other strategy cannot sample.
+            match = ((isect["prim"][..., None] == scene.light_prim)
+                     & (isect["is_tri"][..., None]
+                        == (scene.light_kind == 1)))
+            clh = jnp.sum(jnp.where(match, scene.lt_cluster, 0.0), axis=-1)
+            pick_h = jnp.sum(jnp.where(match, scene.lt_pick_intra, 0.0),
+                             axis=-1)
+            w, wtot = tree_cluster_weights(scene, st["o3"])
+            w_sel = jnp.take_along_axis(
+                w, clh.astype(jnp.int32)[..., None], axis=-1)[..., 0]
+            p_cl = w_sel / jnp.maximum(wtot, 1e-30)
+            sel_density = (p_cl * pick_h
+                           / jnp.maximum(isect["light_area"], 1e-20))
         else:
             # pick/area = lum(Le)/total_power — no table walk on the hit
             lum_e = (0.2126 * emission[..., 0] + 0.7152 * emission[..., 1]
@@ -509,7 +575,11 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         if cfg.use_nee:
             lp3, ln3, le, pdf_area = sample_light_point(
                 scene, u[2], u[3], u[4],
-                uniform=cfg.light_sampling == "uniform")
+                uniform=cfg.light_sampling == "uniform",
+                # evaluated at p + eps*n — the next segment's o3, so the
+                # hit-side tree pdf above reproduces this pdf exactly
+                tree_p3=(p3 + n3 * cfg.eps
+                         if cfg.light_sampling == "tree" else None))
             to_l = lp3 - p3
             dist = jnp.linalg.norm(to_l, axis=-1)
             wi3 = to_l / jnp.maximum(dist[..., None], 1e-20)

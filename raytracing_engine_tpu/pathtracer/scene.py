@@ -197,6 +197,22 @@ class PTScene:
     # (one-hot x3 throughput — unbiased, 3x chroma noise on glass paths).
     # None = no dispersive materials anywhere (static; zero cost).
     mat_dispersion: jax.Array | None = None  # (M,) f32 — 0 = achromatic
+    # two-level LIGHT TREE for many-light NEE (build_pt_scene
+    # light_tree=C, PTConfig.light_sampling="tree"): the TPU-native
+    # answer to a pointer-chasing light BVH is a fixed two-level CDF —
+    # C position-bounded clusters whose per-lane importance
+    # w_c = power_c / max(dist(p, center_c)^2, radius_c^2) is pure
+    # vector math over a STATIC C axis, then a power-CDF over the
+    # cluster's member slots. Selection and the hit-side MIS pdf are
+    # both exact per-lane expressions — no gathers, no stack, no
+    # data-dependent control flow. None = flat power/uniform selection
+    # only (static; zero cost — the tables below never ship).
+    lt_center: jax.Array | None = None      # (C, 3) cluster bound centers
+    lt_radius: jax.Array | None = None      # (C,) cluster bound radii
+    lt_power: jax.Array | None = None       # (C,) cluster total power
+    lt_cluster: jax.Array | None = None     # (L,) f32 slot -> cluster id
+    lt_cdf_intra: jax.Array | None = None   # (L,) within-cluster incl. CDF
+    lt_pick_intra: jax.Array | None = None  # (L,) within-cluster pick prob
     # environment light: (2, 3) [bottom, top] radiance rows, linearly
     # interpolated on the ray direction's z (Z-up gradient sky; equal rows
     # = constant sky). Escaped rays add throughput * env(d) at FULL weight:
@@ -262,11 +278,85 @@ class PTScene:
         return self.mat_dispersion is not None
 
     @property
+    def has_light_tree(self) -> bool:
+        """Two-level light-tree tables present — static None-ness
+        predicate; required by PTConfig.light_sampling="tree"."""
+        return self.lt_center is not None
+
+    @property
     def has_env(self) -> bool:
         # None-ness is part of the pytree structure, so this is a
         # trace-time (static) predicate: env-free scenes compile the
         # exact pre-env program
         return self.env is not None
+
+
+def _morton3(q):
+    """Interleave the bits of (N, 3) integer coords (10 bits/axis)."""
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+    q = q.astype(np.uint32)
+    return (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+            | (spread(q[:, 2]) << 2))
+
+
+def _build_light_tree(pos, rad, powers, C, light_pad):
+    """Host build of the two-level light tree (see PTScene.lt_* fields).
+
+    Morton-orders the L light slots by position and splits the order into
+    C contiguous, count-balanced clusters — spatially coherent groups
+    without any reordering of the slot tables themselves (selection at
+    render time walks the ORIGINAL slot axis with a cluster mask, so the
+    base light table stays bit-identical to the tree-free build).
+
+    Returns (center (C,3), radius (C,), power (C,), cluster (light_pad,),
+    cdf_intra (light_pad,), pick_intra (light_pad,)) — padded slots carry
+    cluster 0 / pick 0 / cdf 1, which the render-time walks were designed
+    around: zero pick keeps them out of every pdf sum, and real clusters
+    always terminate the masked CDF walk before padding is reached.
+    """
+    L = pos.shape[0]
+    C = max(1, min(int(C), L))
+    lo = pos.min(axis=0)
+    span = np.maximum(pos.max(axis=0) - lo, 1e-12)
+    q = np.clip(((pos - lo) / span) * 1023.0, 0.0, 1023.0).astype(np.int64)
+    order = np.argsort(_morton3(q), kind="stable")
+
+    cluster = np.zeros((light_pad,), np.float32)
+    # count-balanced contiguous split of the Morton order
+    bounds = np.linspace(0, L, C + 1).round().astype(int)
+    for c in range(C):
+        for j in order[bounds[c]:bounds[c + 1]]:
+            cluster[j] = float(c)
+
+    center = np.zeros((C, 3), np.float32)
+    radius = np.zeros((C,), np.float32)
+    cpow = np.zeros((C,), np.float64)
+    pick = np.zeros((light_pad,), np.float32)
+    cdf = np.ones((light_pad,), np.float32)  # padding pinned to 1
+    for c in range(C):
+        members = [k for k in range(L) if cluster[k] == c]
+        mp = pos[members]
+        center[c] = mp.mean(axis=0)
+        radius[c] = max(float(np.linalg.norm(mp[i] - center[c]) + rad[k])
+                        for i, k in enumerate(members))
+        cpow[c] = sum(powers[k] for k in members)
+        # within-cluster power CDF over members IN SLOT ORDER; uniform
+        # fallback when the cluster's total power is zero
+        n = len(members)
+        w = [powers[k] / cpow[c] if cpow[c] > 0 else 1.0 / n
+             for k in members]
+        run = 0.0
+        for i, k in enumerate(members):
+            run += w[i]
+            pick[k] = w[i]
+            cdf[k] = min(run, 1.0)
+        cdf[members[-1]] = 1.0  # guard fp drift: the walk must terminate
+    return (center, radius, cpow.astype(np.float32), cluster, cdf, pick)
 
 
 def build_pt_scene(
@@ -281,6 +371,7 @@ def build_pt_scene(
     allow_many_tri_lights: bool = False,
     env=None,            # (3,) constant sky, or ((3,), (3,)) = (bottom, top)
     tri_uvs=None,        # (T, 3, 2) per-corner UVs of the unrolled slots
+    light_tree: int = 0,  # > 0: build a C-cluster two-level light tree
 ) -> PTScene:
     """Host-side scene assembly: pads SoA arrays, derives the light table.
 
@@ -297,6 +388,14 @@ def build_pt_scene(
     unroll limit anyway — ONLY the stacked reference integrator
     (pathtracer/integrator.py, gather-based) samples those correctly; use
     it for statistical cross-checks of the mesh-light estimator.
+
+    light_tree=C builds a two-level light hierarchy over the slot lights
+    for position-aware NEE selection (PTConfig.light_sampling="tree"):
+    slots are Morton-ordered by position and split into C contiguous
+    clusters; a render-time lane picks a cluster by distance-discounted
+    power, then a slot by the cluster's power CDF. Incompatible with
+    mesh_lights (the per-pass mesh pseudo-slot has no fixed position) —
+    this constructor refuses the combination loudly.
     """
     S = len(spheres)
     sphere_pad = sphere_pad or max(S, 1)
@@ -468,6 +567,36 @@ def build_pt_scene(
     if mesh_tri is not None and total_power > 0:
         mesh_pick = np.float32(mesh_power / total_power)
 
+    lt = None
+    if light_tree:
+        if mesh_lights:
+            raise ValueError(
+                "light_tree is incompatible with mesh_lights: the mesh "
+                "pseudo-slot is sampled per pass and has no fixed "
+                "position for the tree's distance term. Use per-slot "
+                "triangle lights (<= TRI_UNROLL_MAX) with light_tree, or "
+                "mesh_lights alone.")
+        if L == 0:
+            raise ValueError("light_tree > 0 but the scene has no "
+                             "emissive primitives")
+        # slot positions + bounding radii (sphere center/radius, triangle
+        # centroid/max corner distance)
+        pos = np.zeros((L, 3), np.float64)
+        rad = np.zeros((L,), np.float64)
+        for k in range(L):
+            if lk[k] == LIGHT_SPHERE:
+                pos[k] = sph_pos[lp[k]]
+                rad[k] = float(sph_radius[lp[k]])
+            else:  # LIGHT_TRI
+                cen = v0[lp[k]] + (e1[lp[k]] + e2[lp[k]]) / 3.0
+                pos[k] = cen
+                rad[k] = max(
+                    float(np.linalg.norm(v0[lp[k]] - cen)),
+                    float(np.linalg.norm(v0[lp[k]] + e1[lp[k]] - cen)),
+                    float(np.linalg.norm(v0[lp[k]] + e2[lp[k]] - cen)))
+        lt = _build_light_tree(pos, rad, powers[:L], int(light_tree),
+                               light_pad)
+
     return PTScene(
         sph_pos=jnp.asarray(sph_pos),
         sph_radius=jnp.asarray(sph_radius),
@@ -507,6 +636,12 @@ def build_pt_scene(
         mesh_light_pick=None if mesh_pick is None else jnp.float32(mesh_pick),
         env=_env_rows(env),
         has_dielectric=bool((mat_kind == DIELECTRIC).any()),
+        lt_center=None if lt is None else jnp.asarray(lt[0]),
+        lt_radius=None if lt is None else jnp.asarray(lt[1]),
+        lt_power=None if lt is None else jnp.asarray(lt[2]),
+        lt_cluster=None if lt is None else jnp.asarray(lt[3]),
+        lt_cdf_intra=None if lt is None else jnp.asarray(lt[4]),
+        lt_pick_intra=None if lt is None else jnp.asarray(lt[5]),
     )
 
 

@@ -242,6 +242,8 @@ def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
 
     out = dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
                is_tri=use_tri, front=~flip)
+    if scene.has_light_tree:  # cluster tris are never slot lights: -1
+        out["prim"] = jnp.where(use_tri, -1, si)
     if scene.needs_uv:  # static: UV-free scenes compile the prior program
         su, sv = _sphere_uv(n_sph)
         if cuu is None:
@@ -456,6 +458,8 @@ def _intersect_instanced(scene: PTScene, o, d, t_min, bvh):
 
     out = dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
                is_tri=use_tri, front=~flip)
+    if scene.has_light_tree:  # instanced tris are never slot lights: -1
+        out["prim"] = jnp.where(use_tri, -1, si)
     if scene.needs_uv:  # static: UV-free scenes compile the prior program
         su, sv = _sphere_uv(n_sph)
         if cuu is None:
@@ -519,6 +523,8 @@ def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
 
     out = dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
                is_tri=use_tri, front=~flip)
+    if scene.has_light_tree:  # slot index of the hit primitive
+        out["prim"] = jnp.where(use_tri, i_t, si)
     if scene.needs_uv:  # static: UV-free scenes compile the prior program
         su, sv = _sphere_uv(n_sph)
         if tuv is None and scene.tri_uv is not None:
@@ -643,8 +649,31 @@ def _occluded(scene: PTScene, o, d, max_t, t_min, bvh, packet=None):
     return blocked
 
 
+def _tree_cluster_weights(scene: PTScene, p):
+    """Per-lane light-tree cluster importances at shading point p:
+    w_c = power_c / max(dist(p, center_c)^2, radius_c^2). The radius
+    clamp keeps the weight finite (and conservative) for points inside a
+    cluster's bounding sphere — the standard lightcuts-style bound. Pure
+    mul/add/max over a STATIC C axis: kernel-safe, no gathers. Returns
+    the per-cluster weight list and its sum."""
+    C = scene.lt_center.shape[0]
+    ws = []
+    for c in range(C):
+        dx = p[0] - scene.lt_center[c, 0]
+        dy = p[1] - scene.lt_center[c, 1]
+        dz = p[2] - scene.lt_center[c, 2]
+        d2 = dx * dx + dy * dy + dz * dz
+        r2 = scene.lt_radius[c] * scene.lt_radius[c]
+        ws.append(scene.lt_power[c]
+                  / jnp.maximum(jnp.maximum(d2, r2), 1e-12))
+    total = ws[0]
+    for c in range(1, C):
+        total = total + ws[c]
+    return ws, total
+
+
 def _sample_light(scene: PTScene, u_sel, u1, u2, mesh_light=None,
-                  uniform=False):
+                  uniform=False, tree_p=None):
     """Plane-native NEE light sample (see integrator.sample_light_point).
 
     mesh_light: optional tuple of 14 SCALARS [v0(3), e1(3), e2(3), Le(3),
@@ -653,10 +682,53 @@ def _sample_light(scene: PTScene, u_sel, u1, u2, mesh_light=None,
     point on it with per-lane barycentric jitter; the pseudo-slot's
     stored area is the TOTAL emissive area, so pick/area (or
     1/(area*count) for uniform selection) is already the marginal pdf of
-    the whole scheme."""
+    the whole scheme.
+
+    tree_p: optional V3 shading point — two-level LIGHT-TREE selection
+    (scene must carry lt_* tables; see scene._build_light_tree). Pick a
+    cluster by distance-discounted power (per-lane CDF over the static C
+    axis), rescale u_sel into the chosen interval (standard CDF-inversion
+    reuse — no extra random number), then walk the ORIGINAL slot axis
+    for the first slot of that cluster whose within-cluster power CDF
+    exceeds the rescaled u. Callers that pass tree_p MUST evaluate it at
+    the NEXT segment's origin (p + eps*n) so the hit-side MIS pdf —
+    computed from st["o"] one bounce later — matches bit-for-bit."""
     L = scene.light_kind.shape[0]
     count = jnp.maximum(scene.light_count, 1)
-    if uniform:
+    tree_pick = None
+    if tree_p is not None:
+        ws, wtot = _tree_cluster_weights(scene, tree_p)
+        C = len(ws)
+        uw = u_sel * wtot
+        # inclusive running-CDF walk over the static cluster axis,
+        # tracking the chosen cluster's weight and CDF floor as we go
+        cum = ws[0]
+        cl = jnp.zeros(jnp.shape(u_sel), jnp.float32)
+        lo = jnp.zeros(jnp.shape(u_sel), jnp.float32)
+        w_sel = ws[0]
+        for c in range(1, C):
+            step = uw >= cum
+            cl = cl + jnp.where(step, 1.0, 0.0)
+            lo = jnp.where(step, cum, lo)
+            w_sel = jnp.where(step, ws[c], w_sel)
+            cum = cum + ws[c]
+        p_cl = w_sel / jnp.maximum(wtot, 1e-30)
+        u_in = jnp.clip((uw - lo) / jnp.maximum(w_sel, 1e-30),
+                        0.0, 1.0 - 1e-7)
+        # masked first-hit walk over the original slot axis: the first
+        # slot of cluster `cl` whose within-cluster CDF exceeds u_in
+        # (each cluster's last member is pinned to 1.0 at build, so the
+        # walk always terminates before the zero-pick padding)
+        found = jnp.zeros(jnp.shape(u_sel), jnp.float32)
+        idxf = jnp.zeros(jnp.shape(u_sel), jnp.float32)
+        for k in range(L):
+            passed = ((scene.lt_cluster[k] == cl)
+                      & (u_in < scene.lt_cdf_intra[k]))
+            idxf = idxf + jnp.where((found > 0.0) | passed, 0.0, 1.0)
+            found = jnp.maximum(found, jnp.where(passed, 1.0, 0.0))
+        idx = jnp.minimum(idxf, float(L - 1)).astype(jnp.int32)
+        tree_pick = p_cl * _sel(idx, scene.lt_pick_intra, L)
+    elif uniform:
         idx = jnp.minimum((u_sel * count).astype(jnp.int32), count - 1)
     else:
         # power-weighted: inclusive-CDF walk, unrolled over the static
@@ -727,7 +799,9 @@ def _sample_light(scene: PTScene, u_sel, u1, u2, mesh_light=None,
               jnp.where(is_mesh, mle[1], le[1]),
               jnp.where(is_mesh, mle[2], le[2]))
 
-    if uniform:
+    if tree_pick is not None:
+        pdf_area = tree_pick / jnp.maximum(area, 1e-20)
+    elif uniform:
         pdf_area = 1.0 / (area * count)
     else:
         pick = _sel(idx, scene.light_pick, L)
@@ -1078,6 +1152,10 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
 
     if pix is not None and cfg.rng != "pcg":
         raise ValueError("pix coordinate planes require rng='pcg'")
+    if cfg.light_sampling == "tree" and not scene.has_light_tree:
+        raise ValueError(
+            "light_sampling='tree' needs the scene's light-tree tables — "
+            "build it with build_pt_scene(..., light_tree=C)")
     if cfg.rng == "pcg":
         from raytracing_engine_tpu.ops.rng_pcg import uniform_pcg, uniform_pcg_coords
 
@@ -1241,6 +1319,32 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
                                        light_area)
             sel_density = 1.0 / jnp.maximum(
                 light_area * jnp.maximum(scene.light_count, 1), 1e-20)
+        elif cfg.light_sampling == "tree":
+            # exact tree-selection pdf of THIS light as seen from the
+            # previous vertex: st["o"] for a prev-NEE (diffuse/metal)
+            # lane is exactly the p + eps*n the sampler used, so the
+            # MIS weights sum to one bit-for-bit. The hit's light slot
+            # is recovered by an unrolled (prim, kind) match over the
+            # static slot axis — zero-pick padding keeps non-lights
+            # (and lights NEE can't address, e.g. cluster-mesh
+            # emitters) at density 0 = full BSDF weight, which is the
+            # correct MIS for a light the other strategy can't sample.
+            Ln = scene.light_kind.shape[0]
+            clh = zero
+            pick_h = zero
+            for k in range(Ln):
+                match = ((isect["prim"] == scene.light_prim[k])
+                         & (isect["is_tri"] == (scene.light_kind[k] == 1)))
+                clh = clh + jnp.where(match, scene.lt_cluster[k], 0.0)
+                pick_h = pick_h + jnp.where(match, scene.lt_pick_intra[k],
+                                            0.0)
+            ws, wtot = _tree_cluster_weights(scene, st["o"])
+            w_sel = jnp.zeros_like(wtot)
+            for c in range(len(ws)):
+                w_sel = w_sel + jnp.where(clh == float(c), ws[c], 0.0)
+            p_cl = w_sel / jnp.maximum(wtot, 1e-30)
+            sel_density = (p_cl * pick_h
+                           / jnp.maximum(isect["light_area"], 1e-20))
         else:
             # power-weighted selection: pick/area = lum(Le)/total_power
             # for slot lights; the mesh pseudo-slot's marginal is its
@@ -1280,7 +1384,12 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         if cfg.use_nee:
             lp, ln, le, pdf_area = _sample_light(
                 scene, u[2], u[3], u[4], mesh_light=mesh_light,
-                uniform=cfg.light_sampling == "uniform")
+                uniform=cfg.light_sampling == "uniform",
+                # tree weights are evaluated at p + eps*n — the exact
+                # origin the next segment carries in st["o"], so the
+                # hit-side MIS pdf above reproduces this pdf exactly
+                tree_p=(v3.add(p, v3.scale(n, cfg.eps))
+                        if cfg.light_sampling == "tree" else None))
             to_l = v3.sub(lp, p)
             dist = v3.length(to_l)
             wi = v3.scale(to_l, 1.0 / jnp.maximum(dist, 1e-20))
