@@ -223,6 +223,15 @@ class PTScene:
     # scatter planes entirely — no per-bounce cost for configs 2/3/4
     has_dielectric: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # number of TRIANGLE slot lights in the NEE table (static, set by
+    # build_pt_scene). The light-tree render guard needs it: in-kernel
+    # cluster/instanced sweeps return padded-reordered triangle indices,
+    # so a BSDF hit on a slot-light triangle there cannot be matched back
+    # to its light slot — its hit-side MIS density would read 0 (full
+    # BSDF weight) while NEE also samples it, double-counting direct
+    # light. The combination is rejected at render entry instead.
+    n_tri_slot_lights: int = dataclasses.field(
+        default=0, metadata=dict(static=True))
 
     @property
     def num_sphere_slots(self) -> int:
@@ -579,6 +588,16 @@ def build_pt_scene(
         if L == 0:
             raise ValueError("light_tree > 0 but the scene has no "
                              "emissive primitives")
+        over = [lp[k] for k in range(L)
+                if lk[k] == LIGHT_TRI and lp[k] >= TRI_UNROLL_MAX]
+        if over:
+            raise ValueError(
+                f"light_tree with emissive triangle slots >= "
+                f"TRI_UNROLL_MAX={TRI_UNROLL_MAX} (slots {over}): the "
+                "tree walk can select lights the unrolled point samplers "
+                "cannot address (allow_many_tri_lights only defers the "
+                "hole to render time). Keep emissive triangles in the "
+                f"first {TRI_UNROLL_MAX} slots.")
         # slot positions + bounding radii (sphere center/radius, triangle
         # centroid/max corner distance)
         pos = np.zeros((L, 3), np.float64)
@@ -636,6 +655,7 @@ def build_pt_scene(
         mesh_light_pick=None if mesh_pick is None else jnp.float32(mesh_pick),
         env=_env_rows(env),
         has_dielectric=bool((mat_kind == DIELECTRIC).any()),
+        n_tri_slot_lights=sum(1 for k in lk if k == LIGHT_TRI),
         lt_center=None if lt is None else jnp.asarray(lt[0]),
         lt_radius=None if lt is None else jnp.asarray(lt[1]),
         lt_power=None if lt is None else jnp.asarray(lt[2]),
