@@ -21,12 +21,17 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--stripes", type=int, default=None)
-    ap.add_argument("--path", default="mega", choices=["mega", "fast"],
+    ap.add_argument("--path", default="mega",
+                    choices=["mega", "fast", "rebin"],
                     help="mega = in-kernel bounce loop; fast = per-bounce "
-                         "XLA wavefront (supports --sort)")
+                         "XLA wavefront (supports --sort); rebin = "
+                         "per-bounce megakernel + lax.sort regroup")
     ap.add_argument("--sort", default="none",
                     choices=["none", "true", "compact", "compact_oct"],
                     help="between-bounce regroup mode (fast path only)")
+    ap.add_argument("--rebin", default="oct",
+                    help="regroup key(s), comma-joined per gap (rebin "
+                         "path): oct | morton | oct_morton")
     ap.add_argument("--groups", type=int, default=1,
                     help="row-group-gated test issue (mega path)")
     ap.add_argument("--fast-math", action="store_true",
@@ -49,7 +54,10 @@ def main():
     import jax.numpy as jnp
 
     from run_all import config3_scene
-    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import (
+        render_pt_mega,
+        render_pt_rebin,
+    )
     from raytracing_engine_tpu.pathtracer.wavefront import render_pt_fast
 
     mesh, bvh, scene, cfg, _ = config3_scene(size=args.size,
@@ -66,6 +74,10 @@ def main():
         if args.path == "fast":
             img, nr = render_pt_fast(cfg, scene, pos, quat, 1, key, bvh=bvh,
                                      sort=sort)
+        elif args.path == "rebin":
+            img, nr = render_pt_rebin(cfg, scene, pos, quat, 1, key, bvh=bvh,
+                                      tile=tile, rebin=args.rebin,
+                                      stripes=args.stripes)
         else:
             img, nr = render_pt_mega(cfg, scene, pos, quat, 1, key, bvh=bvh,
                                      tile=tile, stripes=args.stripes,
@@ -87,7 +99,8 @@ def main():
         dt = (time.perf_counter() - t0) / n
         best = min(best, dt)
     nrays = float(nr)
-    print(f"path={args.path} sort={args.sort} groups={args.groups} "
+    print(f"path={args.path} sort={args.sort} rebin={args.rebin} "
+          f"groups={args.groups} "
           f"fast_math={args.fast_math} bvh={args.bvh} "
           f"descend={args.descend} align={args.align} "
           f"tile={tile} stripes={args.stripes} size={args.size}: "

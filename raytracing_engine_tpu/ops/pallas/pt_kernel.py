@@ -391,6 +391,18 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         )
     instanced = isinstance(bvh, InstancedClusters)
     cs = bvh.cs if instanced else bvh
+    if (cfg.light_sampling == "tree" and bvh is not None
+            and scene.n_tri_slot_lights):
+        # The in-kernel cluster/instanced sweeps return padded-reordered
+        # triangle indices, so a BSDF hit on a slot-light triangle cannot
+        # be matched to its slot — its hit-side MIS density would read 0
+        # while NEE also samples it (double-counted direct light). The
+        # unpacked in-kernel scene view loses the static count, so the
+        # guard lives here, where the real scene and the bvh meet.
+        raise ValueError(
+            "light_sampling='tree' with triangle slot lights cannot run "
+            "over the cluster/instanced megakernel — use sphere lights, "
+            "render_pt_fast with a gather BVH, or light_sampling='power'.")
     if bvh is None and scene.tri_v0.shape[0] > TRI_UNROLL_MAX:
         raise ValueError(
             f"megakernel unrolls triangles; {scene.tri_v0.shape[0]} slots > "
@@ -603,3 +615,359 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
             spp_map = jnp.full(grid, float(spp), jnp.float32)
         return jnp.moveaxis(out, 0, -1), jnp.sum(nrays), spp_map
     return jnp.moveaxis(out, 0, -1), jnp.sum(nrays)
+
+
+# ---------------------------------------------------------------------------
+# Rebin renderer: per-BOUNCE megakernel launches with an image-wide ray
+# regroup (one multi-operand lax.sort) between them. Attacks the measured
+# bounce-sweep occupancy collapse (benchmarks/experiment_regroup.json: by
+# bounce 2 only ~6% of rays are live, spread over most tiles, and the
+# replayed gate/test model says frame-wide regrouping cuts the bounce-2
+# closest sweep ~4-5x) from BETWEEN dispatches — every in-kernel gating
+# granularity finer than a tile measured negative on Mosaic (ROADMAP §1).
+# Bit-identical to render_pt_mega / render_pt_fast: all RNG draws are
+# counter-keyed on each ray's ORIGINAL pixel coordinates (px, py planes
+# carried through every permutation), so regrouping only changes which
+# VMEM tile executes a ray, never its arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
+                     mat_ref, light_ref, *rest, cfg: PTConfig,
+                     bounce_lo: int, bounce_hi: int,
+                     tile_h: int, tile_w: int, stripes: int = 1,
+                     n_super: int = 0, approx_ok: bool = False,
+                     has_mlt: bool = False, n_orders: int = 0,
+                     fast_math: bool = False, has_diel: bool = False,
+                     has_env: bool = False, has_tex: bool = False,
+                     has_disp: bool = False, has_space: bool = False,
+                     has_image: bool = False, has_triuv: bool = False,
+                     has_nrm: bool = False, has_metal: bool = False,
+                     has_ltree: bool = False):
+    """One bounce window [bounce_lo, bounce_hi] of the wavefront core per
+    tile. bounce_lo == 0 generates camera rays from (striped) pixel ids;
+    later windows read the packed state planes emitted by the previous
+    launch (in whatever ray order the driver regrouped them to)."""
+    from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
+        KernelClusters,
+    )
+    from raytracing_engine_tpu.pathtracer.wavefront import (
+        pack_state,
+        trace_window_planes,
+        unpack_state,
+    )
+
+    rest = list(rest)
+    mlt_ref = rest.pop(0) if has_mlt else None
+    env_ref = rest.pop(0) if has_env else None
+    ltree_ref = rest.pop(0) if has_ltree else None
+    atlas_ref = rest.pop(0) if (has_image or has_nrm) else None
+    if n_orders:
+        (order_ref, sboxes_ref, cboxes_ref, ctri_ref, orders_ref,
+         refs_ref, *rest) = rest
+    else:
+        (order_ref, sboxes_ref, cboxes_ref, ctri_ref, *rest) = rest
+        orders_ref = refs_ref = None
+    state_in_ref = None
+    if bounce_lo > 0:
+        state_in_ref, *rest = rest
+    out_ref, nrays_ref = rest
+    bvh = KernelClusters(order_ref, sboxes_ref, cboxes_ref, ctri_ref,
+                         n_super, approx_ok=approx_ok,
+                         orders_ref=orders_ref, refs_ref=refs_ref,
+                         n_orders=n_orders, fast_math=fast_math,
+                         emit_tan=has_nrm)
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    cam = (params_ref[0], params_ref[1], params_ref[2])
+    quat = (params_ref[3], params_ref[4], params_ref[5], params_ref[6])
+    base = seeds_ref[0]
+    gpass = seeds_ref[1]
+    seed_pass = base + gpass * _PRIME
+
+    scene = _unpack_scene(sph_ref[:], tri_ref[:], mat_ref[:], light_ref[:],
+                          (counts_ref[0], counts_ref[1], counts_ref[2],
+                           counts_ref[3]), has_dielectric=has_diel,
+                          env=env_ref[:, :3] if has_env else None,
+                          has_texture=has_tex, has_dispersion=has_disp,
+                          has_space=has_space, has_rect=has_image,
+                          atlas=(atlas_ref[:] if (has_image or has_nrm)
+                                 else None),
+                          has_triuv=has_triuv, has_nrm=has_nrm,
+                          has_metal=has_metal,
+                          ltree=ltree_ref[:] if has_ltree else None)
+    mlt = tuple(mlt_ref[0, c] for c in range(14)) if has_mlt else None
+
+    kw = dict(band_h=tile_h, band_w=tile_w, seed0=seed_pass,
+              mesh_light=mlt, gpass=gpass, seed_base=base, packet=False,
+              bounce_lo=bounce_lo, bounce_hi=bounce_hi, emit_state=True)
+    if bounce_lo == 0:
+        # striped pixel mapping, exactly as _pt_kernel: camera + RNG are
+        # keyed on TRUE global pixel coordinates
+        sub_w = tile_w // stripes
+        rr = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        sidx = cc // sub_w
+        py = i * (tile_h * stripes) + sidx * tile_h + rr
+        px = j * sub_w + (cc - sidx * sub_w)
+        st = trace_window_planes(cfg, scene, cam, quat, None, bvh=bvh,
+                                 pix=(py, px), **kw)
+    else:
+        st = trace_window_planes(cfg, scene, cam, quat, None, bvh=bvh,
+                                 state_in=unpack_state(state_in_ref[:],
+                                                       has_disp), **kw)
+    out_ref[:] = pack_state(st)
+    nrays_ref[i, j] = st["nrays"]
+
+
+def rebin_keys(state, mode: str, lo, hi):
+    """int32 regroup sort key per ray from a packed state array.
+
+    All modes put parked/dead rays (|o| >= 1e17) last; live sub-order:
+
+      oct         direction octant, then original pixel order (the stable
+                  sort preserves it) — the model's 'compact+oct'
+      morton      24-bit origin Morton, then octant — 'morton+oct'
+      oct_morton  octant major, origin Morton minor — direction coherence
+                  first (it gates the most boxes), origin locality within
+    """
+    ox, oy, oz = state[0], state[1], state[2]
+    dx, dy, dz = state[3], state[4], state[5]
+    dead = (jnp.abs(ox) >= 1e17).astype(jnp.int32)
+    octant = ((dx > 0.0).astype(jnp.int32) * 4
+              + (dy > 0.0).astype(jnp.int32) * 2
+              + (dz > 0.0).astype(jnp.int32))
+    if mode == "oct":
+        return dead * 8 + octant
+
+    def q(x, a, b):
+        c = (x - a) / jnp.maximum(b - a, 1e-6) * 256.0
+        return jnp.clip(c.astype(jnp.int32), 0, 255)
+
+    qx, qy, qz = q(ox, lo[0], hi[0]), q(oy, lo[1], hi[1]), q(oz, lo[2], hi[2])
+    m = jnp.zeros_like(qx)
+    for bit in range(8):
+        m = (m | (((qx >> bit) & 1) << (3 * bit + 2))
+             | (((qy >> bit) & 1) << (3 * bit + 1))
+             | (((qz >> bit) & 1) << (3 * bit)))
+    if mode == "morton":
+        return dead * (1 << 27) + m * 8 + octant
+    if mode == "oct_morton":
+        return (dead * (1 << 27)) + octant * (1 << 24) + m
+    raise ValueError(f"rebin mode {mode!r}")
+
+
+@functools.partial(
+    jax.jit, static_argnums=(0, 4),
+    static_argnames=("interpret", "tile", "stripes", "rebin", "fast_math"),
+)
+def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
+                    spp: int, key=None, bvh=None, spp_offset=0,
+                    interpret=None, tile=(32, 128), stripes=None,
+                    rebin="oct", fast_math=False):
+    """Rebin render: ((H, W, 3) image, nrays) — bit-identical estimator to
+    render_pt_mega, executed as one Pallas launch per bounce with an
+    image-wide ray regroup (stable multi-operand lax.sort on a coherence
+    key) between launches. Requires a ClusterSet bvh and rng='pcg'.
+
+    rebin: 'oct' (alive-partition + direction octant, pixel order within —
+    the replay model's compact+oct), 'morton' (origin Morton major),
+    'oct_morton' (octant major, Morton minor), or a comma-joined
+    per-gap list ('oct,morton' = oct before bounce 1, morton before 2+;
+    the last entry repeats for deeper bounces).
+    """
+    from raytracing_engine_tpu.accel.clusters import ClusterSet, visit_order
+
+    if not isinstance(bvh, ClusterSet):
+        raise TypeError("render_pt_rebin needs a ClusterSet bvh "
+                        "(accel.clusters.build_clusters)")
+    if scene.has_mesh_light:
+        raise NotImplementedError(
+            "mesh_lights over the rebin path: ship the per-pass row table "
+            "once it has a consumer (render_pt_mega covers it today)")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if cfg.rng != "pcg":
+        cfg = __import__("dataclasses").replace(cfg, rng="pcg")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    from raytracing_engine_tpu.ops.pallas.rng import key_to_seed
+    from raytracing_engine_tpu.pathtracer.wavefront import (
+        TRI_UNROLL_MAX,
+        state_plane_count,
+    )
+
+    base = key_to_seed(key)
+    h, w = cfg.height, cfg.width
+    from raytracing_engine_tpu.ops.pallas.common import pick_tile
+
+    if scene.has_atlas and tile[1] != scene.tex_atlas.shape[1]:
+        tile = (tile[0], scene.tex_atlas.shape[1])
+    tile_h, tile_w = pick_tile(h, w, *tile)
+    if stripes is None:
+        stripes = 1
+    while stripes > 1 and not (
+        tile_w % stripes == 0
+        and h % (tile_h * stripes) == 0
+        and w % (tile_w // stripes) == 0
+    ):
+        stripes //= 2
+    grid = (h // (tile_h * stripes), w // (tile_w // stripes))
+    grid_b = (h // tile_h, w // tile_w)  # later launches: plain blocks
+
+    import dataclasses as _dc
+
+    n = min(scene.tri_v0.shape[0], TRI_UNROLL_MAX)
+    scene_k = _dc.replace(
+        scene,
+        tri_v0=scene.tri_v0[:n], tri_e1=scene.tri_e1[:n],
+        tri_e2=scene.tri_e2[:n], tri_mat=scene.tri_mat[:n],
+        tri_uv=None if scene.tri_uv is None else scene.tri_uv[:n],
+        tri_count=jnp.minimum(scene.tri_count, n),
+    )
+    sph, tri, mat, light, counts = pack_pt_scene(scene_k)
+    params = jnp.concatenate([
+        jnp.asarray(cam_pos, jnp.float32),
+        jnp.asarray(cam_quat, jnp.float32),
+    ])
+
+    cs = bvh
+    multi_order = cs.order_refs is not None and cs.order_refs.shape[0] > 0
+    n_orders = 1 + cs.order_refs.shape[0] if multi_order else 0
+    S = state_plane_count(scene)
+
+    static_kw = dict(
+        cfg=cfg, tile_h=tile_h, tile_w=tile_w, n_super=cs.num_super,
+        approx_ok=not interpret, has_mlt=False, n_orders=n_orders,
+        fast_math=fast_math, has_diel=scene.has_dielectric,
+        has_env=scene.has_env, has_tex=scene.has_texture,
+        has_disp=scene.has_dispersion,
+        has_space=scene.mat_tex_space is not None,
+        has_image=scene.has_image, has_triuv=scene.has_tri_uv,
+        has_nrm=scene.has_normal_map, has_metal=scene.has_metal,
+        has_ltree=scene.has_light_tree,
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    base_specs = [smem(), smem(), smem(), full(), full(), full(), full()]
+
+    def common_args(gpass):
+        seeds = jnp.stack([base, gpass])
+        args = [params, seeds, counts, sph, tri, mat, light]
+        specs = list(base_specs)
+        if scene.has_env:
+            args += [jnp.concatenate(
+                [scene.env, jnp.zeros((2, 5), jnp.float32)], axis=1)]
+            specs += [full()]
+        if scene.has_light_tree:
+            args += [jnp.concatenate(
+                [scene.lt_center, scene.lt_radius[:, None],
+                 scene.lt_power[:, None],
+                 jnp.zeros((scene.lt_center.shape[0], 3), jnp.float32)],
+                axis=1)]
+            specs += [full()]
+        if scene.has_atlas:
+            if tile_w != scene.tex_atlas.shape[1] and not interpret:
+                raise ValueError(
+                    f"image textures need tile width "
+                    f"{scene.tex_atlas.shape[1]}; got {tile_h, tile_w}")
+            args += [scene.tex_atlas]
+            specs += [full()]
+        order = visit_order(cs, jnp.asarray(cam_pos, jnp.float32))
+        args += [order, cs.super_boxes, cs.boxes, cs.tri]
+        specs += [smem(), smem(), smem(), full()]
+        if multi_order:
+            from raytracing_engine_tpu.accel.clusters import visit_orders
+
+            refs = jnp.concatenate(
+                [jnp.asarray(cam_pos, jnp.float32)[None, :],
+                 cs.order_refs], axis=0)
+            args += [visit_orders(cs, refs),
+                     jnp.concatenate(
+                         [refs, jnp.zeros((refs.shape[0], 1), jnp.float32)],
+                         axis=1)]
+            specs += [smem(), smem()]
+        return args, specs
+
+    state_spec = lambda g: pl.BlockSpec((S, tile_h, tile_w),
+                                        lambda i, j: (0, i, j),
+                                        memory_space=pltpu.VMEM)
+    modes = rebin.split(",")
+    gap_mode = lambda b: modes[min(b - 1, len(modes) - 1)]
+
+    def live_bbox(state):
+        """AABB of the LIVE ray origins — the Morton quantization domain.
+        The scene bbox is useless here (a big floor primitive shrinks the
+        interesting region to a couple of cells); live origins sit on the
+        surfaces that produced them, so 2^8 cells land at sweep-relevant
+        granularity. Perf hint only — any box yields a correct render."""
+        live = jnp.abs(state[0]) < 1e17
+        lo = tuple(jnp.min(jnp.where(live, state[a], jnp.inf))
+                   for a in range(3))
+        hi = tuple(jnp.max(jnp.where(live, state[a], -jnp.inf))
+                   for a in range(3))
+        return lo, hi
+
+    def one_pass(gpass):
+        args, specs = common_args(gpass)
+        kernel0 = functools.partial(_pt_rebin_kernel, bounce_lo=0,
+                                    bounce_hi=0, stripes=stripes,
+                                    **static_kw)
+        state, nr = pl.pallas_call(
+            kernel0,
+            out_shape=(jax.ShapeDtypeStruct(
+                (S, grid[0] * tile_h, grid[1] * tile_w), jnp.float32),
+                jax.ShapeDtypeStruct(grid, jnp.float32)),
+            grid=grid,
+            in_specs=tuple(specs),
+            out_specs=(state_spec(grid), smem()),
+            interpret=interpret,
+        )(*args)
+        nrays = jnp.sum(nr)
+        for b in range(1, cfg.max_bounces + 1):
+            # regroup image-wide: ONE stable variadic sort moves the key
+            # and every state plane together (argsort + per-plane gathers
+            # measured ~4 ms/plane of scalarized HBM gather at 512^2 —
+            # see benchmarks/experiment_transport.json)
+            mode = gap_mode(b)
+            bbox_lo = bbox_hi = None
+            if mode != "oct":
+                bbox_lo, bbox_hi = live_bbox(state)
+            keys = rebin_keys(state, mode, bbox_lo, bbox_hi).reshape(-1)
+            ops = [keys] + [state[k].reshape(-1) for k in range(S)]
+            srt = jax.lax.sort(ops, num_keys=1, is_stable=True)
+            state = jnp.stack(srt[1:]).reshape(S, h, w)
+            kernel_b = functools.partial(_pt_rebin_kernel, bounce_lo=b,
+                                         bounce_hi=b, **static_kw)
+            state, nr = pl.pallas_call(
+                kernel_b,
+                out_shape=(jax.ShapeDtypeStruct((S, h, w), jnp.float32),
+                           jax.ShapeDtypeStruct(grid_b, jnp.float32)),
+                grid=grid_b,
+                in_specs=tuple(specs) + (state_spec(grid_b),),
+                out_specs=(state_spec(grid_b), smem()),
+                interpret=interpret,
+            )(*(args + [state]))
+            nrays = nrays + jnp.sum(nr)
+        # un-permute radiance to pixel order: the carried (py*w + px) ids
+        # are exactly a permutation of 0..N-1, so one more small sort on
+        # them restores row-major order (cheaper than 3 HBM scatters —
+        # benchmarks/experiment_transport.json)
+        pixid = (state[16].astype(jnp.int32) * w
+                 + state[15].astype(jnp.int32)).reshape(-1)
+        srt = jax.lax.sort(
+            [pixid, state[9].reshape(-1), state[10].reshape(-1),
+             state[11].reshape(-1)], num_keys=1, is_stable=False)
+        img = jnp.stack(srt[1:], axis=-1).reshape(h, w, 3)
+        return img, nrays
+
+    def body(s, carry):
+        acc, nrays = carry
+        img, nr = one_pass(jnp.asarray(spp_offset, jnp.int32) + s)
+        return acc + img, nrays + nr
+
+    acc, nrays = lax.fori_loop(
+        0, spp, body,
+        (jnp.zeros((h, w, 3), jnp.float32), jnp.float32(0.0)))
+    return acc / spp, nrays

@@ -242,8 +242,20 @@ def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
 
     out = dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
                is_tri=use_tri, front=~flip)
-    if scene.has_light_tree:  # cluster tris are never slot lights: -1
-        out["prim"] = jnp.where(use_tri, -1, si)
+    if scene.has_light_tree:
+        if isinstance(cs, KernelClusters):
+            # In-kernel the original slot is unrecoverable (padded-
+            # reordered index, no gathers); -1 = "not a slot light".
+            # _trace_core REJECTS tree + tri slot lights over this path,
+            # so -1 is only ever reached for non-light triangles here.
+            prim_tri = jnp.full_like(si, -1)
+        else:
+            # host path: map the padded-reordered hit slot back to the
+            # ORIGINAL triangle index so the hit-side MIS (prim, kind)
+            # match finds slot lights (XLA gather, outside any kernel)
+            prim_tri = jnp.take(cs.perm, jnp.maximum(sidx, 0), axis=0)
+            prim_tri = jnp.where(sidx >= 0, prim_tri, -1)
+        out["prim"] = jnp.where(use_tri, prim_tri, si)
     if scene.needs_uv:  # static: UV-free scenes compile the prior program
         su, sv = _sphere_uv(n_sph)
         if cuu is None:
@@ -458,7 +470,10 @@ def _intersect_instanced(scene: PTScene, o, d, t_min, bvh):
 
     out = dict(t=t, hit=hit, p=p, n=n, mat_id=mat_id, light_area=light_area,
                is_tri=use_tri, front=~flip)
-    if scene.has_light_tree:  # instanced tris are never slot lights: -1
+    if scene.has_light_tree:
+        # Instanced replicas can never be identified with a scene tri
+        # slot (the mesh is replicated); _trace_core rejects tree + tri
+        # slot lights over this path, so -1 here is always a non-light.
         out["prim"] = jnp.where(use_tri, -1, si)
     if scene.needs_uv:  # static: UV-free scenes compile the prior program
         su, sv = _sphere_uv(n_sph)
@@ -1108,10 +1123,55 @@ def _permute_state(st, perm, h, w):
     return out
 
 
+_STATE_V3 = ("o", "d", "thr", "rad")
+_STATE_SCALAR = ("alive", "prev_did_nee", "prev_pdf")
+
+
+def state_plane_count(scene: PTScene) -> int:
+    """Number of (h, w) f32 planes in a packed inter-launch ray state."""
+    return 4 * 3 + 3 + 2 + (1 if scene.has_dispersion else 0)
+
+
+def pack_state(st) -> jnp.ndarray:
+    """Stack a _trace_core state dict into one (S, h, w) f32 array — the
+    transport format between per-bounce launches (and the operand list of
+    the regroup sort). px/py ride as f32 (exact below 2^24)."""
+    planes = []
+    for k in _STATE_V3:
+        planes.extend(st[k])
+    for k in _STATE_SCALAR:
+        planes.append(st[k])
+    planes.append(st["px"].astype(jnp.float32))
+    planes.append(st["py"].astype(jnp.float32))
+    if "chan" in st:
+        planes.append(st["chan"])
+    return jnp.stack(planes)
+
+
+def unpack_state(arr, has_chan: bool):
+    """Inverse of pack_state (arr: (S, h, w) f32 — array or kernel ref)."""
+    st = {}
+    i = 0
+    for k in _STATE_V3:
+        st[k] = (arr[i], arr[i + 1], arr[i + 2])
+        i += 3
+    for k in _STATE_SCALAR:
+        st[k] = arr[i]
+        i += 1
+    st["px"] = arr[i].astype(jnp.int32)
+    st["py"] = arr[i + 1].astype(jnp.int32)
+    i += 2
+    if has_chan:
+        st["chan"] = arr[i]
+    return st
+
+
 def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
                 bvh=None, row0=0, band_h=None, packet=None,
                 col0=0, band_w=None, seed0=None, sort=False, pix=None,
-                probe=None, mesh_light=None, gpass=None, seed_base=None):
+                probe=None, mesh_light=None, gpass=None, seed_base=None,
+                state_in=None, bounce_lo=0, bounce_hi=None,
+                emit_state=False):
     """One sample per pixel, plane layout. Returns (rad V3 planes, nrays).
 
     pix: optional (py, px) int32 GLOBAL pixel-coordinate planes (rng='pcg'
@@ -1147,15 +1207,59 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
     The compact modes target the measured occupancy collapse at depth (by
     bounce 2, ~5% of rays alive spread over most tiles — see
     benchmarks/experiment_regroup.py for the replayed-work-count model).
+
+    state_in / bounce_lo / bounce_hi / emit_state — the per-BOUNCE launch
+    interface behind the rebin renderer (ops/pallas/pt_kernel.render_pt_rebin):
+    a launch runs bounces [bounce_lo, bounce_hi] of this same integrator and
+    emits the full ray-state dict instead of radiance, so the driver can
+    REGROUP rays image-wide between launches (the cross-dispatch compaction
+    the in-kernel levers couldn't buy — see ROADMAP §1). The state carries
+    each ray's ORIGINAL pixel coordinates (px, py) and every RNG draw is
+    counter-keyed on them, so any permutation of the state between launches
+    renders bit-identically. rng='pcg' only.
+
+      state_in     dict of state planes from a previous emit_state launch
+                   (skips camera generation; bounce_lo > 0)
+      bounce_lo    first bounce index this launch runs (default 0)
+      bounce_hi    last bounce index, inclusive (default cfg.max_bounces)
+      emit_state   return the state dict (with rad/nrays inside) instead
+                   of (rad, nrays)
     """
     h, w = (band_h or cfg.height), (band_w or cfg.width)
 
     if pix is not None and cfg.rng != "pcg":
         raise ValueError("pix coordinate planes require rng='pcg'")
+    staged = emit_state or state_in is not None or bounce_lo > 0
+    if staged and cfg.rng != "pcg":
+        raise ValueError("state_in/emit_state staging requires rng='pcg'")
+    if bounce_hi is None:
+        bounce_hi = cfg.max_bounces
+    if staged and sort:
+        raise ValueError("staged launches regroup OUTSIDE the core; "
+                         "sort modes only apply to full in-core traces")
     if cfg.light_sampling == "tree" and not scene.has_light_tree:
         raise ValueError(
             "light_sampling='tree' needs the scene's light-tree tables — "
             "build it with build_pt_scene(..., light_tree=C)")
+    if cfg.light_sampling == "tree" and scene.n_tri_slot_lights:
+        from raytracing_engine_tpu.accel.instancing import InstancedClusters
+        from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
+            KernelClusters,
+        )
+        from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
+            KernelInstances,
+        )
+
+        if isinstance(bvh, (KernelClusters, KernelInstances,
+                            InstancedClusters)):
+            raise ValueError(
+                "light_sampling='tree' with triangle slot lights cannot "
+                "run over an in-kernel cluster/instanced intersector: "
+                "those sweeps cannot recover a hit triangle's original "
+                "slot, so its hit-side MIS density reads 0 while NEE also "
+                "samples the light (double-counted direct lighting). Use "
+                "sphere lights, the gather BVH path, or "
+                "light_sampling='power'.")
     if cfg.rng == "pcg":
         from raytracing_engine_tpu.ops.rng_pcg import uniform_pcg, uniform_pcg_coords
 
@@ -1227,46 +1331,57 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         def draw_r2(n, channel):
             return r2_planes(_r2_seed, gpass, n, r2px, r2py, channel=channel)
 
-    n_cam = 4 if cfg.aperture > 0.0 else 2  # +2 lens dims when DOF is on
-    u = draw_r2(n_cam, 0x52AD1A7E) if use_r2 else draw_b(0, n_cam)
-    o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0,
-                        col0=col0, coords=pix,
-                        lens=(u[2], u[3]) if n_cam == 4 else None)
+    if state_in is not None:
+        st = dict(state_in)
+        zero = st["alive"] * 0.0
+        st.setdefault("nrays", jnp.sum(zero))
+    else:
+        n_cam = 4 if cfg.aperture > 0.0 else 2  # +2 lens dims when DOF is on
+        u = draw_r2(n_cam, 0x52AD1A7E) if use_r2 else draw_b(0, n_cam)
+        o, d = _camera_rays(cfg, cam_pos, cam_quat, u[0], u[1], row0=row0,
+                            col0=col0, coords=pix,
+                            lens=(u[2], u[3]) if n_cam == 4 else None)
 
-    zero = d[0] * 0.0
-    o = v3.add(o, v3.scale(d, 0.0))  # make o device-varying like d
-    # masks carried as f32 0/1 planes (Mosaic cannot carry i1 vectors in
-    # loop state; harmless for the XLA path)
-    st = dict(
-        o=o, d=d,
-        thr=(zero + 1.0, zero + 1.0, zero + 1.0),
-        rad=(zero, zero, zero),
-        alive=zero + 1.0,
-        prev_did_nee=zero,
-        prev_pdf=zero,
-        nrays=jnp.sum(zero),
-    )
-    if scene.has_dispersion:
-        # committed color channel per lane (-1 = achromatic so far);
-        # set at the first dispersive-glass hit — see scene.mat_dispersion
-        st["chan"] = zero - 1.0
-    if sort:
-        st["px"] = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        st["py"] = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        zero = d[0] * 0.0
+        o = v3.add(o, v3.scale(d, 0.0))  # make o device-varying like d
+        # masks carried as f32 0/1 planes (Mosaic cannot carry i1 vectors in
+        # loop state; harmless for the XLA path)
+        st = dict(
+            o=o, d=d,
+            thr=(zero + 1.0, zero + 1.0, zero + 1.0),
+            rad=(zero, zero, zero),
+            alive=zero + 1.0,
+            prev_did_nee=zero,
+            prev_pdf=zero,
+            nrays=jnp.sum(zero),
+        )
+        if scene.has_dispersion:
+            # committed color channel per lane (-1 = achromatic so far);
+            # set at the first dispersive-glass hit — see scene.mat_dispersion
+            st["chan"] = zero - 1.0
+        if sort or staged:
+            if pix is not None:
+                st["py"], st["px"] = pix[0], pix[1]
+            else:
+                st["px"] = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + col0
+                st["py"] = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row0
 
     def bounce(b, st):
         st = dict(st)
         if probe is not None:  # instrumentation: pre-sweep ray state
             probe("ray", b, dict(o=st["o"], d=st["d"], alive=st["alive"]))
         nu = 6 if cfg.rr_start > 0 else 5  # [5] = roulette coin
-        if sort:
+        if sort or staged:
+            from raytracing_engine_tpu.ops.rng_pcg import uniform_pcg_coords
+
             u = uniform_pcg_coords(seed0, b + 1, nu, st["px"], st["py"])
         else:
             u = draw_b(b + 1, nu)
-        if use_r2 and cfg.use_nee:
+        if use_r2 and cfg.use_nee and not (isinstance(b, int) and b != 0):
             # bounce-0 NEE light dims (area-light penumbras — the direct-
             # lighting integral): 3D R_d sequence on an independent
-            # rotation channel; deeper bounces stay random
+            # rotation channel; deeper bounces stay random (a staged launch
+            # knows b statically and skips the dead draw outright)
             r2u = draw_r2(3, 0x1D0C0FFE)
             first = b == 0
             u = tuple(jnp.where(first, r2u[k - 2], u[k]) if 2 <= k <= 4
@@ -1528,7 +1643,9 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             p_c = jnp.clip(
                 jnp.maximum(new_thr[0],
                             jnp.maximum(new_thr[1], new_thr[2])), 0.05, 1.0)
-            rr_on = b >= cfg.rr_start
+            # jnp.bool_: a staged launch's b is a python int, and python's
+            # `~bool` is an int bitwise-not, not negation
+            rr_on = jnp.bool_(b >= cfg.rr_start)
             cont = cont & (~rr_on | (u[5] < p_c))
             inv_p = jnp.where(rr_on, 1.0 / p_c, 1.0)
             new_thr = v3.scale(new_thr, inv_p)
@@ -1563,12 +1680,19 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             st = _permute_state(st, perm, h, w)
         return st
 
-    if probe is None:
-        st = lax.fori_loop(0, cfg.max_bounces + 1, bounce, st)
+    if staged:
+        # per-bounce launch window: unrolled (b is static — the enclosing
+        # Pallas bounce kernel compiles one program per bounce index)
+        for b in range(bounce_lo, bounce_hi + 1):
+            st = bounce(b, st)
+        if emit_state:
+            return st
+    elif probe is None:
+        st = lax.fori_loop(0, bounce_hi + 1, bounce, st)
     else:
         # instrumentation mode: unrolled python loop so the probe callback
         # sees concrete per-bounce ray states (call un-jitted)
-        for b in range(cfg.max_bounces + 1):
+        for b in range(bounce_hi + 1):
             st = bounce(b, st)
     if sort:
         # un-permute radiance back to pixel order (one ray per pixel)
