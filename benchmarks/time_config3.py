@@ -29,9 +29,11 @@ def main():
     ap.add_argument("--sort", default="none",
                     choices=["none", "true", "compact", "compact_oct"],
                     help="between-bounce regroup mode (fast path only)")
-    ap.add_argument("--rebin", default="oct",
+    ap.add_argument("--rebin", default="morton",
                     help="regroup key(s), comma-joined per gap (rebin "
                          "path): oct | morton | oct_morton")
+    ap.add_argument("--bounces", type=int, default=None,
+                    help="override cfg.max_bounces (per-bounce profiling)")
     ap.add_argument("--groups", type=int, default=1,
                     help="row-group-gated test issue (mega path)")
     ap.add_argument("--fast-math", action="store_true",
@@ -65,6 +67,10 @@ def main():
                                              descend=args.descend,
                                              align=args.align,
                                              dp_kc=args.dp_kc)
+    if args.bounces is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, max_bounces=args.bounces)
     quat = jnp.array([0.0, 0.0, 0.0, 1.0])
     key = jax.random.PRNGKey(1)
     sort = {"none": False, "true": True}.get(args.sort, args.sort)

@@ -99,7 +99,7 @@ def _unpack_scene(sph, tri, mat, light, counts,
                   has_texture=False, has_dispersion=False,
                   has_space=False, atlas=None, has_rect=False,
                   has_triuv=False, has_nrm=False,
-                  has_metal=False, ltree=None) -> PTScene:
+                  has_metal=False, ltree=None, envm=None) -> PTScene:
     """Rebuild a PTScene view (of in-kernel arrays) from the packed tables.
     Optional-feature column offsets mirror pack_pt_scene's layout."""
     i32 = jnp.int32
@@ -128,6 +128,9 @@ def _unpack_scene(sph, tri, mat, light, counts,
     return PTScene(
         has_dielectric=has_dielectric,
         env=env,
+        env_img=None if envm is None else envm[0],
+        env_smp=None if envm is None else envm[1],
+        env_pick=None if envm is None else envm[2],
         mat_albedo2=albedo2,
         mat_tex_scale=tex_scale,
         mat_tex_space=tex_space,
@@ -179,11 +182,17 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                has_space: bool = False, has_image: bool = False,
                has_triuv: bool = False, has_nrm: bool = False,
                has_metal: bool = False, has_ltree: bool = False,
+               has_envm: bool = False,
                adaptive_tol: float = 0.0, adaptive_min: int = 8):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
     env_ref = rest.pop(0) if has_env else None
     ltree_ref = rest.pop(0) if has_ltree else None
+    envm = None
+    if has_envm:  # env-map radiance + sampling tables + pick scalar
+        envm_img_ref, envm_smp_ref, envm_meta_ref = rest[:3]
+        rest = rest[3:]
+        envm = (envm_img_ref[:], envm_smp_ref[:], envm_meta_ref[0])
     atlas_ref = rest.pop(0) if (has_image or has_nrm) else None
     spp_ref = rest.pop() if adaptive_tol > 0.0 else None  # trailing output
     if n_super:
@@ -250,7 +259,8 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                                  else None),
                           has_triuv=has_triuv, has_nrm=has_nrm,
                           has_metal=has_metal,
-                          ltree=ltree_ref[:] if has_ltree else None)
+                          ltree=ltree_ref[:] if has_ltree else None,
+                          envm=envm)
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
 
@@ -427,6 +437,8 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         # broadcast atlas row — the VMEM tile's lane width must match
         # the atlas row width (128); narrow the tile automatically
         tile = (tile[0], scene.tex_atlas.shape[1])
+    if scene.has_env_map and tile[1] != scene.env_img.shape[1]:
+        tile = (tile[0], scene.env_img.shape[1])  # same lane-gather rule
     tile_h, tile_w = pick_tile(h, w, *tile)
     if stripes is None:
         stripes = 1
@@ -477,6 +489,7 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         has_image=scene.has_image, has_triuv=scene.has_tri_uv,
         has_nrm=scene.has_normal_map, has_metal=scene.has_metal,
         has_ltree=scene.has_light_tree,
+        has_envm=scene.has_env_map,
         adaptive_tol=float(adaptive_tol),
         adaptive_min=int(adaptive_min),
     )
@@ -516,6 +529,16 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
              jnp.zeros((scene.lt_center.shape[0], 3), jnp.float32)], axis=1)
         in_specs += [full()]
         args += [ltree_tab]
+    if scene.has_env_map:
+        # env-map radiance + alias-sampling tables + the NEE pick scalar;
+        # the per-lane texel fetch needs lane width 128, like the atlas
+        if tile_w != scene.env_img.shape[1] and not interpret:
+            raise ValueError(
+                f"env maps need tile width {scene.env_img.shape[1]} "
+                f"(lane rows); got tile={tile_h, tile_w}")
+        in_specs += [full(), full(), pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args += [scene.env_img, scene.env_smp,
+                 jnp.stack([scene.env_pick])]
     if scene.has_atlas:
         # (3K, 128) texture atlas; the per-lane fetch is a lane-axis
         # take_along_axis on a broadcast row — on hardware the VMEM
@@ -643,7 +666,7 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
                      has_disp: bool = False, has_space: bool = False,
                      has_image: bool = False, has_triuv: bool = False,
                      has_nrm: bool = False, has_metal: bool = False,
-                     has_ltree: bool = False):
+                     has_ltree: bool = False, has_envm: bool = False):
     """One bounce window [bounce_lo, bounce_hi] of the wavefront core per
     tile. bounce_lo == 0 generates camera rays from (striped) pixel ids;
     later windows read the packed state planes emitted by the previous
@@ -661,6 +684,11 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
     mlt_ref = rest.pop(0) if has_mlt else None
     env_ref = rest.pop(0) if has_env else None
     ltree_ref = rest.pop(0) if has_ltree else None
+    envm = None
+    if has_envm:  # env-map radiance + sampling tables + pick scalar
+        envm_img_ref, envm_smp_ref, envm_meta_ref = rest[:3]
+        rest = rest[3:]
+        envm = (envm_img_ref[:], envm_smp_ref[:], envm_meta_ref[0])
     atlas_ref = rest.pop(0) if (has_image or has_nrm) else None
     if n_orders:
         (order_ref, sboxes_ref, cboxes_ref, ctri_ref, orders_ref,
@@ -696,7 +724,8 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
                                  else None),
                           has_triuv=has_triuv, has_nrm=has_nrm,
                           has_metal=has_metal,
-                          ltree=ltree_ref[:] if has_ltree else None)
+                          ltree=ltree_ref[:] if has_ltree else None,
+                          envm=envm)
     mlt = tuple(mlt_ref[0, c] for c in range(14)) if has_mlt else None
 
     kw = dict(band_h=tile_h, band_w=tile_w, seed0=seed_pass,
@@ -765,7 +794,7 @@ def rebin_keys(state, mode: str, lo, hi):
 def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
                     spp: int, key=None, bvh=None, spp_offset=0,
                     interpret=None, tile=(32, 128), stripes=None,
-                    rebin="oct", fast_math=False):
+                    rebin="morton", fast_math=False):
     """Rebin render: ((H, W, 3) image, nrays) — bit-identical estimator to
     render_pt_mega, executed as one Pallas launch per bounce with an
     image-wide ray regroup (stable multi-operand lax.sort on a coherence
@@ -804,6 +833,8 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
 
     if scene.has_atlas and tile[1] != scene.tex_atlas.shape[1]:
         tile = (tile[0], scene.tex_atlas.shape[1])
+    if scene.has_env_map and tile[1] != scene.env_img.shape[1]:
+        tile = (tile[0], scene.env_img.shape[1])  # same lane-gather rule
     tile_h, tile_w = pick_tile(h, w, *tile)
     if stripes is None:
         stripes = 1
@@ -847,6 +878,7 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
         has_image=scene.has_image, has_triuv=scene.has_tri_uv,
         has_nrm=scene.has_normal_map, has_metal=scene.has_metal,
         has_ltree=scene.has_light_tree,
+        has_envm=scene.has_env_map,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -867,6 +899,15 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
                  jnp.zeros((scene.lt_center.shape[0], 3), jnp.float32)],
                 axis=1)]
             specs += [full()]
+        if scene.has_env_map:
+            if tile_w != scene.env_img.shape[1] and not interpret:
+                raise ValueError(
+                    f"env maps need tile width {scene.env_img.shape[1]}; "
+                    f"got {tile_h, tile_w}")
+            args += [scene.env_img, scene.env_smp,
+                     jnp.stack([scene.env_pick])]
+            specs += [full(), full(),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)]
         if scene.has_atlas:
             if tile_w != scene.tex_atlas.shape[1] and not interpret:
                 raise ValueError(

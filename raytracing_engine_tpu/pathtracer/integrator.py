@@ -551,6 +551,10 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
             lum_e = (0.2126 * emission[..., 0] + 0.7152 * emission[..., 1]
                      + 0.0722 * emission[..., 2])
             sel_density = lum_e / jnp.maximum(scene.light_total_power, 1e-20)
+        if scene.has_env_map and cfg.use_nee:
+            # the light-table branch runs with probability 1 - env_pick
+            # (see wavefront._trace_core — the engines must agree exactly)
+            sel_density = sel_density * (1.0 - scene.env_pick)
         pdf_light_w = sel_density * isect["t"] ** 2 / jnp.maximum(cos_l, 1e-6)
         w_bsdf = jnp.where(
             st["prev_did_nee"],
@@ -560,6 +564,32 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         add_e = jnp.where((hit & emissive)[..., None],
                           st["throughput"] * emission * w_bsdf[..., None], 0.0)
         st["radiance"] = st["radiance"] + add_e
+
+        if scene.has_env_map:  # static: map-free scenes pay nothing
+            # same math as wavefront._trace_core: escaped rays fetch their
+            # direction's texel and MIS-weight against the previous
+            # vertex's env NEE strategy
+            from raytracing_engine_tpu.pathtracer.wavefront import (
+                _atlas_fetch,
+                _env_pdf_w,
+                _env_texel_of,
+            )
+
+            esc = st["alive"] & ~isect["hit"]
+            K_env = scene.env_img.shape[0] // 3
+            dxy = (st["d3"][..., 0], st["d3"][..., 1], st["d3"][..., 2])
+            e_ty, e_tx = _env_texel_of(dxy, K_env)
+            e_rad = jnp.stack(_atlas_fetch(scene.env_img, e_ty, e_tx), -1)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - dxy[2] * dxy[2], 1e-12))
+            pdf_env_h = _env_pdf_w(scene, e_ty, e_tx, sin_t)
+            w_esc = jnp.where(
+                st["prev_did_nee"] & jnp.bool_(cfg.use_nee),
+                sampler.power_heuristic(st["prev_pdf"],
+                                        scene.env_pick * pdf_env_h),
+                1.0)
+            st["radiance"] = st["radiance"] + jnp.where(
+                esc[..., None],
+                st["throughput"] * e_rad * w_esc[..., None], 0.0)
 
         if scene.env is not None:  # static: env-free scenes pay nothing
             # escaped rays read the gradient sky at FULL weight (the env is
@@ -573,8 +603,17 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
 
         # --- NEE from diffuse surfaces ------------------------------------
         if cfg.use_nee:
+            u_sel = u[2]
+            if scene.has_env_map:
+                # one-coin env-vs-lights split with CDF-reuse rescaling —
+                # identical construction to wavefront._trace_core
+                pick = scene.env_pick
+                sel_env = u[2] < pick
+                u_sel = jnp.clip((u[2] - pick)
+                                 / jnp.maximum(1.0 - pick, 1e-6),
+                                 0.0, 1.0 - 1e-7)
             lp3, ln3, le, pdf_area = sample_light_point(
-                scene, u[2], u[3], u[4],
+                scene, u_sel, u[3], u[4],
                 uniform=cfg.light_sampling == "uniform",
                 # evaluated at p + eps*n — the next segment's o3, so the
                 # hit-side tree pdf above reproduces this pdf exactly
@@ -583,24 +622,42 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
             to_l = lp3 - p3
             dist = jnp.linalg.norm(to_l, axis=-1)
             wi3 = to_l / jnp.maximum(dist[..., None], 1e-20)
-            cos_s = jnp.sum(n3 * wi3, axis=-1)
             cos_ll = jnp.abs(jnp.sum(ln3 * -wi3, axis=-1))
+            light_ok = ((scene.light_count > 0) & (cos_ll > 1e-6)
+                        & (dist > cfg.eps))
+            if scene.has_env_map:
+                from raytracing_engine_tpu.pathtracer.wavefront import (
+                    _sample_env,
+                )
+
+                e_d, e_pdf, e_le = _sample_env(
+                    scene,
+                    jnp.clip(u[2] / jnp.maximum(pick, 1e-6),
+                             0.0, 1.0 - 1e-7), u[3], u[4])
+                wi3 = jnp.where(sel_env[..., None], jnp.stack(e_d, -1), wi3)
+                le = jnp.where(sel_env[..., None], jnp.stack(e_le, -1), le)
+                light_ok = sel_env | light_ok
+                dist = jnp.where(sel_env, 1e4, dist)
+            cos_s = jnp.sum(n3 * wi3, axis=-1)
 
             nee_kind = kind == DIFFUSE
             if scene.has_metal:  # GGX surfaces are NEE-sampled too
                 nee_kind = nee_kind | (kind == METAL)
-            nee_candidate = (
-                hit & nee_kind & (scene.light_count > 0)
-                & (cos_s > 0.0) & (cos_ll > 1e-6) & (dist > cfg.eps)
-            )
+            nee_candidate = hit & nee_kind & light_ok & (cos_s > 0.0)
             shadow_o = p3 + n3 * cfg.eps
             st["nrays"] += jnp.sum(nee_candidate)
+            max_t = dist * (1.0 - 1e-3)
+            if scene.has_env_map:
+                max_t = jnp.where(sel_env, jnp.float32(3.4e38), max_t)
             blocked = occluded(
-                scene, shadow_o, wi3, dist * (1.0 - 1e-3), cfg.t_min, bvh=bvh
+                scene, shadow_o, wi3, max_t, cfg.t_min, bvh=bvh
             )
             vis = nee_candidate & ~blocked
 
             pdf_w = pdf_area * dist**2 / jnp.maximum(cos_ll, 1e-6)
+            if scene.has_env_map:
+                pdf_w = jnp.where(sel_env, pick * e_pdf,
+                                  (1.0 - pick) * pdf_w)
             f = albedo / _PI
             pdf_b = cos_s / _PI
             if scene.has_metal:  # GGX BRDF toward the light + its pdf
@@ -706,10 +763,11 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         nee_kinds = kind == DIFFUSE
         if scene.has_metal:
             nee_kinds = nee_kinds | (kind == METAL)
-        st["prev_did_nee"] = (
-            hit & nee_kinds & (scene.light_count > 0)
-            & jnp.bool_(cfg.use_nee)
-        )
+        # an env map is an NEE target even with zero slot lights (matches
+        # wavefront._trace_core — next-segment MIS must down-weight)
+        nee_avail = (jnp.bool_(True) if scene.has_env_map
+                     else scene.light_count > 0)
+        st["prev_did_nee"] = hit & nee_kinds & nee_avail & jnp.bool_(cfg.use_nee)
         st["prev_pdf"] = pdf_bsdf
         return st
 

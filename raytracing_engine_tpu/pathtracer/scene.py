@@ -219,6 +219,21 @@ class PTScene:
     # the env is BSDF-sampling-only (never in the NEE light table), which
     # is unbiased — put bright small suns in the scene as area lights.
     env: jax.Array | None = None
+    # HDR environment MAP with NEE importance sampling (build_pt_scene
+    # env=(H, W, 3) image). env_img: (3K, 128) channel-major equirect
+    # texels (atlas-format rows — the per-lane fetch is the same K-row
+    # select chain + lane gather as the texture atlas, kernel-safe).
+    # env_smp: (3K, 128) = [p_sel; alias-prob; alias-index] — a Vose
+    # alias table over the K*128 texels, luminance-x-solid-angle
+    # weighted, so ONE uniform picks a texel in O(1) with two per-lane
+    # table reads. env_pick: probability NEE samples the env instead of
+    # the light table (power-proportional by default); both strategies
+    # MIS against BSDF sampling with their selection-scaled pdfs.
+    # Mutually exclusive with the gradient `env`. None = no env map
+    # (static; zero cost — same None-gating contract as every feature).
+    env_img: jax.Array | None = None   # (3K, 128) radiance rows
+    env_smp: jax.Array | None = None   # (3K, 128) sampling tables
+    env_pick: jax.Array | None = None  # () f32 NEE env-vs-lights prob
     # static (trace-time) flag: scenes without glass skip the dielectric
     # scatter planes entirely — no per-bounce cost for configs 2/3/4
     has_dielectric: bool = dataclasses.field(
@@ -299,6 +314,11 @@ class PTScene:
         # exact pre-env program
         return self.env is not None
 
+    @property
+    def has_env_map(self) -> bool:
+        """Importance-sampled HDR env map present — static predicate."""
+        return self.env_img is not None
+
 
 def _morton3(q):
     """Interleave the bits of (N, 3) integer coords (10 bits/axis)."""
@@ -378,9 +398,13 @@ def build_pt_scene(
     light_pad: int | None = None,
     mesh_lights: bool = False,
     allow_many_tri_lights: bool = False,
-    env=None,            # (3,) constant sky, or ((3,), (3,)) = (bottom, top)
+    env=None,            # (3,) constant sky, ((3,), (3,)) = (bottom, top)
+    #                      gradient, or an (H, W, 3) equirect HDR image ->
+    #                      importance-sampled env map (build_env_map)
     tri_uvs=None,        # (T, 3, 2) per-corner UVs of the unrolled slots
     light_tree: int = 0,  # > 0: build a C-cluster two-level light tree
+    env_pick=None,       # NEE env-vs-lights probability override (map env)
+    env_rows=None,       # env-map polar resolution override (<= 32)
 ) -> PTScene:
     """Host-side scene assembly: pads SoA arrays, derives the light table.
 
@@ -616,6 +640,18 @@ def build_pt_scene(
         lt = _build_light_tree(pos, rad, powers[:L], int(light_tree),
                                light_pad)
 
+    env_img = env_smp = env_pick_v = None
+    if env is not None and np.asarray(env, object).ndim == 3:
+        env_img, env_smp, env_power = build_env_map(env, rows=env_rows)
+        if env_pick is None:
+            # default: power-proportional split between the env and the
+            # light table (any value in (0, 1] is unbiased — MIS covers
+            # the other strategy at full weight where one can't sample)
+            env_pick = (1.0 if total_power <= 0
+                        else env_power / (env_power + total_power))
+        env_pick_v = np.float32(np.clip(env_pick, 1e-3 if L else 1.0, 1.0))
+        env = None  # the gradient env and the map are mutually exclusive
+
     return PTScene(
         sph_pos=jnp.asarray(sph_pos),
         sph_radius=jnp.asarray(sph_radius),
@@ -654,6 +690,9 @@ def build_pt_scene(
         mesh_light_area=None if mesh_area is None else jnp.float32(mesh_area),
         mesh_light_pick=None if mesh_pick is None else jnp.float32(mesh_pick),
         env=_env_rows(env),
+        env_img=None if env_img is None else jnp.asarray(env_img),
+        env_smp=None if env_smp is None else jnp.asarray(env_smp),
+        env_pick=None if env_pick_v is None else jnp.float32(env_pick_v),
         has_dielectric=bool((mat_kind == DIELECTRIC).any()),
         n_tri_slot_lights=sum(1 for k in lk if k == LIGHT_TRI),
         lt_center=None if lt is None else jnp.asarray(lt[0]),
@@ -663,6 +702,82 @@ def build_pt_scene(
         lt_cdf_intra=None if lt is None else jnp.asarray(lt[4]),
         lt_pick_intra=None if lt is None else jnp.asarray(lt[5]),
     )
+
+
+ENV_W = 128         # env-map texels per row = one TPU lane row
+ENV_MAX_ROWS = 32   # polar rows budget (same fetch-chain bound as the atlas)
+
+
+def _alias_table(p):
+    """Vose alias table for the normalized pmf p (N,): returns
+    (accept_prob (N,) f32, alias_index (N,) f32). Sampling with ONE
+    uniform u: x = u*N, j = floor(x), f = x - j; take j if f < prob[j]
+    else alias[j] — exact, O(1) per sample, gather-light (two per-lane
+    table reads)."""
+    p = np.asarray(p, np.float64)
+    n = p.size
+    scaled = p * n
+    prob = np.ones(n, np.float64)
+    alias = np.arange(n, dtype=np.int64)
+    small = [i for i in range(n) if scaled[i] < 1.0]
+    large = [i for i in range(n) if scaled[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = scaled[l] - (1.0 - scaled[s])
+        (small if scaled[l] < 1.0 else large).append(l)
+    return prob.astype(np.float32), alias.astype(np.float32)
+
+
+def build_env_map(img, rows: int | None = None):
+    """Equirect HDR environment map -> kernel tables.
+
+    img: (H, W, 3) radiance (θ from +z top row to -z bottom row, φ wrapping
+    the full azimuth with u=0.5 at +x — the same spherical parametrization
+    as _sphere_uv). Resampled (nearest) to (K, ENV_W=128) with
+    K = min(rows or H, ENV_MAX_ROWS): the per-lane fetch is a K-row select
+    chain + a lane gather, identical machinery to the texture atlas, so it
+    runs bit-identically in XLA and inside the Pallas kernels.
+
+    Returns (env_img (3K, 128) channel-major rows,
+             env_smp (3K, 128) = [p_sel rows; alias-prob rows; alias-index
+             rows] — p_sel is each texel's SELECTION probability
+             (∝ luminance × texel solid angle, floored so any texel with
+             energy stays samplable),
+             env_power — ∫ lum(L) dω, the default NEE pick-ratio weight).
+
+    Generalizes the reference's black-beyond-RENDER_DIST sky
+    (/root/reference/shaders/fragment.glsl:137-140) and the round-3
+    2-stop gradient into an arbitrary importance-sampled HDR image.
+    """
+    img = np.asarray(img, np.float32)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"env map must be (H, W, 3); got {img.shape}")
+    H, W = img.shape[:2]
+    K = min(rows or H, ENV_MAX_ROWS)
+    iy = np.minimum(((np.arange(K) + 0.5) / K * H).astype(np.int64), H - 1)
+    ix = np.minimum(((np.arange(ENV_W) + 0.5) / ENV_W * W).astype(np.int64),
+                    W - 1)
+    tex = img[iy][:, ix]  # (K, 128, 3) nearest resample
+    lum = tex @ _LUM      # (K, 128) float64
+    # texel solid angle: (2π/W) * (cos θ_top - cos θ_bot) per row
+    th = np.arange(K + 1) / K * np.pi
+    domega = (2.0 * np.pi / ENV_W) * (np.cos(th[:-1]) - np.cos(th[1:]))
+    w = lum * domega[:, None]
+    env_power = float(w.sum())
+    # floor: texels with any energy must stay samplable (pdf > 0 wherever
+    # Le > 0 keeps MIS/NEE unbiased); a tiny uniform floor also lets
+    # all-black maps build
+    w = w + max(env_power, 1e-12) * 1e-4 * (domega[:, None] / (4 * np.pi))
+    p_sel = (w / w.sum()).astype(np.float32)
+    ap, ai = _alias_table(p_sel.reshape(-1))
+    env_img = np.concatenate([tex[:, :, c] for c in range(3)], axis=0)
+    env_smp = np.concatenate(
+        [p_sel, ap.reshape(K, ENV_W), ai.reshape(K, ENV_W)], axis=0)
+    return (env_img.astype(np.float32), env_smp.astype(np.float32),
+            env_power)
 
 
 def _env_rows(env):

@@ -56,9 +56,12 @@ instead of code:
   textures on the mesh.
 - `camera` is optional (origin, identity quat); `cli pt --scene f.json`
   uses it as the starting pose.
-- `env`: gradient-sky environment light — `[r, g, b]` (constant) or
-  `{"bottom": [r,g,b], "top": [r,g,b]}` (lerped on the ray's z). Escaped
-  rays read it at full weight (BSDF-sampling-only, never NEE-sampled).
+- `env`: environment light. `[r, g, b]` (constant) or
+  `{"bottom": [r,g,b], "top": [r,g,b]}` (gradient lerped on the ray's z;
+  escaped rays read it at full weight, BSDF-sampling-only) — or
+  `{"image": <(H,W,3) nested list | path.npy>, "pick": p?, "rows": K?}`:
+  an equirect HDR env MAP, NEE-importance-sampled via a luminance alias
+  table and MIS-paired with BSDF sampling (scene.build_env_map).
 - `mesh_lights: true` routes emissive triangles through the area-CDF
   mesh-light sampler (required when emissive tris exceed the per-slot
   NEE unroll limit — build_pt_scene raises loudly otherwise).
@@ -301,17 +304,30 @@ def load_scene_json(path: str) -> SceneBundle:
                  for t, uv in zip(parts, part_uvs)], axis=0)
 
     env = spec.get("env")
+    env_kw = {}
     if isinstance(env, dict):
-        extra = set(env) - {"bottom", "top"}
+        extra = set(env) - {"bottom", "top", "image", "pick", "rows"}
         if extra:
             raise ValueError(f"env: unknown keys {sorted(extra)}")
-        env = (tuple(env.get("bottom", (0, 0, 0))),
-               tuple(env.get("top", (0, 0, 0))))
+        if "image" in env:
+            # HDR env map with NEE importance sampling: an inline (H, W, 3)
+            # nested list, or a path to a .npy radiance array
+            img = env["image"]
+            if isinstance(img, str):
+                img = np.load(os.path.join(base_dir, img))
+            if "pick" in env:
+                env_kw["env_pick"] = float(env["pick"])
+            if "rows" in env:
+                env_kw["env_rows"] = int(env["rows"])
+            env = np.asarray(img, np.float32)
+        else:
+            env = (tuple(env.get("bottom", (0, 0, 0))),
+                   tuple(env.get("top", (0, 0, 0))))
     scene = build_pt_scene(
         spheres=spheres, triangles=tris, tri_mats=tri_mats,
         materials=materials,
         mesh_lights=bool(spec.get("mesh_lights", False)),
-        env=env, tri_uvs=tri_uvs,
+        env=env, tri_uvs=tri_uvs, **env_kw,
     )
 
     instanced = None

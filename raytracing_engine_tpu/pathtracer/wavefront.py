@@ -903,6 +903,63 @@ def _atlas_fetch(atlas, ty, tx):
     return tuple(out)
 
 
+def _env_texel_of(d, K):
+    """(ty, tx) int32 texel planes of direction d under the equirect map —
+    the exact inverse convention of _sample_env (u = azimuth/2π + 0.5 with
+    +x at u=0.5, v = polar/π, Z-up; same parametrization as _sphere_uv).
+    Polynomial inverse-trig keeps it kernel-safe and engine-identical."""
+    u = _poly_atan2(d[1], d[0]) * (0.5 / _PI) + 0.5
+    v = _poly_acos(jnp.clip(d[2], -1.0, 1.0)) * (1.0 / _PI)
+    tx = jnp.clip(jnp.floor(u * 128.0), 0.0, 127.0).astype(jnp.int32)
+    ty = jnp.clip(jnp.floor(v * K), 0.0, float(K - 1)).astype(jnp.int32)
+    return ty, tx
+
+
+def _env_pdf_w(scene: PTScene, ty, tx, sin_t):
+    """Solid-angle pdf of the env NEE sampler for the direction in texel
+    (ty, tx) with polar sine sin_t: within the chosen texel the sampler is
+    uniform in (u, v), so pdf_w = p_sel * N / (2π² sinθ) (dω = 2π² sinθ
+    du dv). env_smp's three K-row blocks are exactly _atlas_fetch's
+    channel layout — block 0 is p_sel."""
+    K = scene.env_img.shape[0] // 3
+    psel, _, _ = _atlas_fetch(scene.env_smp, ty, tx)
+    return psel * (K * 128.0) / jnp.maximum(2.0 * _PI * _PI * sin_t, 1e-8)
+
+
+def _sample_env(scene: PTScene, s, j1, j2):
+    """Alias-sample an env-map texel and jitter inside it.
+
+    s: the (rescaled) selection uniform; j1/j2: in-texel jitter (the same
+    draws the light branch uses for its surface point — the branches are
+    mutually exclusive, so the streams never collide). Returns
+    (dir V3, pdf_w, le V3). Two per-lane table fetches (alias row, then
+    the chosen texel's p_sel + radiance) — O(1) per sample regardless of
+    map energy distribution."""
+    K = scene.env_img.shape[0] // 3
+    N = float(K * 128)
+    x = s * N
+    j = jnp.clip(jnp.floor(x), 0.0, N - 1.0)
+    f = x - j
+    ty0 = jnp.floor(j / 128.0)
+    tx0 = j - ty0 * 128.0
+    _, ap, ai = _atlas_fetch(scene.env_smp,
+                             ty0.astype(jnp.int32), tx0.astype(jnp.int32))
+    t = jnp.where(f < ap, j, ai)
+    ty = jnp.floor(t / 128.0)
+    tx = t - ty * 128.0
+    u = (tx + j1) / 128.0
+    v = (ty + j2) / K
+    theta = v * _PI
+    phi = (u - 0.5) * (2.0 * _PI)
+    sin_t = jnp.sin(theta)
+    d = (sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), jnp.cos(theta))
+    tyi, txi = ty.astype(jnp.int32), tx.astype(jnp.int32)
+    psel, _, _ = _atlas_fetch(scene.env_smp, tyi, txi)
+    le = _atlas_fetch(scene.env_img, tyi, txi)
+    pdf = psel * N / jnp.maximum(2.0 * _PI * _PI * sin_t, 1e-8)
+    return d, pdf, le
+
+
 def _rect_texel(x0, y0, tw, th, uv, s):
     """Scale-tiled UV -> (ty, tx) int32 texel coordinates inside the
     [x0, y0, tw, th] atlas rect (wrap addressing, nearest texel).
@@ -1473,6 +1530,10 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
                     isect["is_tri"],
                     mesh_light[13] / jnp.maximum(mesh_light[12], 1e-20),
                     sel_density)
+        if scene.has_env_map and cfg.use_nee:
+            # the light-table branch runs with probability 1 - env_pick;
+            # the hit-side MIS density must carry the same marginal
+            sel_density = sel_density * (1.0 - scene.env_pick)
         pdf_light_w = (sel_density * isect["t"] ** 2
                        / jnp.maximum(cos_l, 1e-6))
         w_b = jnp.where(
@@ -1482,6 +1543,26 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         )
         gate = jnp.where(hit & emissive, w_b, 0.0)
         st["rad"] = v3.add(st["rad"], v3.mul(st["thr"], v3.scale(emission, gate)))
+
+        if scene.has_env_map:  # static: map-free scenes pay nothing
+            # escaped rays fetch the env-map texel of their direction and
+            # MIS-weight against the env NEE strategy of the PREVIOUS
+            # vertex (pick * pdf_env of this direction); delta-bounce
+            # lanes (prev_did_nee = 0) read it at full weight
+            esc = jnp.where(alive_b & ~isect["hit"], 1.0, 0.0)
+            K_env = scene.env_img.shape[0] // 3
+            e_ty, e_tx = _env_texel_of(st["d"], K_env)
+            e_rad = _atlas_fetch(scene.env_img, e_ty, e_tx)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - st["d"][2] * st["d"][2],
+                                         1e-12))
+            pdf_env_h = _env_pdf_w(scene, e_ty, e_tx, sin_t)
+            w_esc = jnp.where(
+                (st["prev_did_nee"] != 0.0) & jnp.bool_(cfg.use_nee),
+                sampler.power_heuristic(st["prev_pdf"],
+                                        scene.env_pick * pdf_env_h),
+                1.0)
+            st["rad"] = v3.add(st["rad"],
+                               v3.mul(st["thr"], v3.scale(e_rad, esc * w_esc)))
 
         if scene.env is not None:  # static: env-free scenes pay nothing
             # escaped rays read the gradient sky at FULL weight (the env is
@@ -1497,8 +1578,18 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
 
         # --- NEE ------------------------------------------------------------
         if cfg.use_nee:
+            u_sel = u[2]
+            if scene.has_env_map:
+                # one-coin split between the env map and the light table;
+                # the selection uniform is rescaled into the chosen branch
+                # (standard CDF reuse — no extra random number)
+                pick = scene.env_pick
+                sel_env = u[2] < pick
+                u_sel = jnp.clip((u[2] - pick)
+                                 / jnp.maximum(1.0 - pick, 1e-6),
+                                 0.0, 1.0 - 1e-7)
             lp, ln, le, pdf_area = _sample_light(
-                scene, u[2], u[3], u[4], mesh_light=mesh_light,
+                scene, u_sel, u[3], u[4], mesh_light=mesh_light,
                 uniform=cfg.light_sampling == "uniform",
                 # tree weights are evaluated at p + eps*n — the exact
                 # origin the next segment carries in st["o"], so the
@@ -1508,16 +1599,28 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             to_l = v3.sub(lp, p)
             dist = v3.length(to_l)
             wi = v3.scale(to_l, 1.0 / jnp.maximum(dist, 1e-20))
-            cos_s = v3.dot(n, wi)
             cos_ll = jnp.abs(v3.dot(ln, wi))
+            light_ok = ((scene.light_count > 0) & (cos_ll > 1e-6)
+                        & (dist > cfg.eps))
+            if scene.has_env_map:
+                e_d, e_pdf, e_le = _sample_env(
+                    scene,
+                    jnp.clip(u[2] / jnp.maximum(pick, 1e-6),
+                             0.0, 1.0 - 1e-7), u[3], u[4])
+                wi = v3.where(sel_env, e_d, wi)
+                le = v3.where(sel_env, e_le, le)
+                # env lanes have no light-surface terms; their shadow
+                # segment runs to the fog horizon (1e4 — the same segment
+                # the escape path attenuates over), and the occlusion
+                # t_max is unbounded
+                light_ok = sel_env | light_ok
+                dist = jnp.where(sel_env, 1e4, dist)
+            cos_s = v3.dot(n, wi)
 
             nee_kind = kind == DIFFUSE
             if scene.has_metal:  # GGX surfaces are NEE-sampled too
                 nee_kind = nee_kind | (kind == METAL)
-            cand = (
-                hit & nee_kind & (scene.light_count > 0)
-                & (cos_s > 0.0) & (cos_ll > 1e-6) & (dist > cfg.eps)
-            )
+            cand = hit & nee_kind & light_ok & (cos_s > 0.0)
             st["nrays"] = st["nrays"] + jnp.sum(cand)
             sh_o = v3.add(p, v3.scale(n, cfg.eps))
             # park non-candidate shadow rays (mirror hits, misses, dead
@@ -1527,13 +1630,21 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             dead_d = (zero + _INV_SQRT3,) * 3
             sh_o = v3.where(cand, sh_o, dead_o)
             sh_d = v3.where(cand, wi, dead_d)
+            max_t = dist * (1.0 - 1e-3)
+            if scene.has_env_map:
+                max_t = jnp.where(sel_env, BIG, max_t)
             if probe is not None:  # instrumentation: NEE occlusion rays
                 probe("shadow", b, dict(o=sh_o, d=sh_d, cand=cand,
-                                        dist=dist * (1.0 - 1e-3)))
-            blocked = _occluded(scene, sh_o, sh_d, dist * (1.0 - 1e-3), cfg.t_min, bvh, packet)
+                                        dist=max_t))
+            blocked = _occluded(scene, sh_o, sh_d, max_t, cfg.t_min, bvh, packet)
             vis = cand & ~blocked
 
             pdf_w = pdf_area * dist**2 / jnp.maximum(cos_ll, 1e-6)
+            if scene.has_env_map:
+                # fold each branch's selection probability into its pdf —
+                # the same marginals the hit-/escape-side MIS uses
+                pdf_w = jnp.where(sel_env, pick * e_pdf,
+                                  (1.0 - pick) * pdf_w)
             if scene.has_metal:
                 # general form: f = albedo/π (diffuse) or the GGX
                 # conductor BRDF (metal); the MIS counter-pdf follows
@@ -1662,10 +1773,12 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         nee_kinds = kind == DIFFUSE
         if scene.has_metal:
             nee_kinds = nee_kinds | (kind == METAL)
-        did_nee = (
-            hit & nee_kinds & (scene.light_count > 0)
-            & jnp.bool_(cfg.use_nee)
-        )
+        # the env map is an NEE target too: a vertex with no slot lights
+        # still "did NEE" when a map exists, so the next segment's
+        # emission/escape reads get MIS-weighted, not full weight
+        nee_avail = (jnp.bool_(True) if scene.has_env_map
+                     else scene.light_count > 0)
+        did_nee = hit & nee_kinds & nee_avail & jnp.bool_(cfg.use_nee)
         st["prev_did_nee"] = jnp.where(did_nee, 1.0, 0.0)
         st["prev_pdf"] = pdf_bsdf
 
