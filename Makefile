@@ -1,6 +1,6 @@
 # Convenience targets (see README.md / BASELINE.md for details)
 
-.PHONY: test test-fast test-tpu bench benchmarks golden native clean
+.PHONY: test test-fast test-core test-tpu bench benchmarks gate golden native clean
 
 # Suite cost (1-CPU box): full ~45 min (compile-dominated kernel
 # suites). The persistent XLA compile cache is deliberately DISABLED in
@@ -20,6 +20,17 @@ test:            ## full suite (CPU, 8 virtual devices via tests/conftest.py)
 test-fast:       ## skip the slow interpret-mode kernel suites (marker: slow)
 	python -m pytest tests/ -q -n auto -m "not slow"
 
+# Sub-10-minute core tier (1-CPU box, measured): golden-anchored parity,
+# scene/config/RNG/math units, scene IO, kernel smoke via the rebin parity
+# (one cluster megakernel + bounce kernels in interpret mode), sharding
+# smoke. Keeps future rounds honest without the ~45 min full-suite tax.
+test-core:       ## quick correctness core (golden parity + units + smoke)
+	python -m pytest -q -n auto -m "not slow" \
+	  tests/test_parity_jnp_vs_golden.py tests/test_config.py \
+	  tests/test_quaternion.py tests/test_scene.py tests/test_sceneio.py \
+	  tests/test_pallas_rng.py tests/test_light_power.py \
+	  tests/test_rebin.py tests/test_sharding.py
+
 test-tpu:        ## compiled-kernel parity tier (needs a real TPU; run before benchmarks)
 	python -m pytest tests_tpu/ -q
 
@@ -28,6 +39,9 @@ bench:           ## headline benchmark (run on TPU hardware)
 
 benchmarks:      ## all BASELINE configs (run on TPU hardware)
 	python benchmarks/run_all.py
+
+gate:            ## perf-regression gate: fresh chip run vs history medians
+	python benchmarks/gate.py
 
 golden:          ## regenerate the stored golden artifact (slow scalar render)
 	GOLDEN_REGEN=1 python -m pytest tests/test_parity_jnp_vs_golden.py -q

@@ -99,7 +99,8 @@ def _unpack_scene(sph, tri, mat, light, counts,
                   has_texture=False, has_dispersion=False,
                   has_space=False, atlas=None, has_rect=False,
                   has_triuv=False, has_nrm=False,
-                  has_metal=False, ltree=None, envm=None) -> PTScene:
+                  has_metal=False, ltree=None, envm=None,
+                  has_rdiel=False) -> PTScene:
     """Rebuild a PTScene view (of in-kernel arrays) from the packed tables.
     Optional-feature column offsets mirror pack_pt_scene's layout."""
     i32 = jnp.int32
@@ -127,6 +128,7 @@ def _unpack_scene(sph, tri, mat, light, counts,
         dispersion = mat[:, col]
     return PTScene(
         has_dielectric=has_dielectric,
+        has_rough_dielectric=has_rdiel,
         env=env,
         env_img=None if envm is None else envm[0],
         env_smp=None if envm is None else envm[1],
@@ -182,7 +184,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                has_space: bool = False, has_image: bool = False,
                has_triuv: bool = False, has_nrm: bool = False,
                has_metal: bool = False, has_ltree: bool = False,
-               has_envm: bool = False,
+               has_envm: bool = False, has_rdiel: bool = False,
                adaptive_tol: float = 0.0, adaptive_min: int = 8):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
@@ -260,7 +262,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                           has_triuv=has_triuv, has_nrm=has_nrm,
                           has_metal=has_metal,
                           ltree=ltree_ref[:] if has_ltree else None,
-                          envm=envm)
+                          envm=envm, has_rdiel=has_rdiel)
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
 
@@ -490,6 +492,7 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         has_nrm=scene.has_normal_map, has_metal=scene.has_metal,
         has_ltree=scene.has_light_tree,
         has_envm=scene.has_env_map,
+        has_rdiel=scene.has_rough_dielectric,
         adaptive_tol=float(adaptive_tol),
         adaptive_min=int(adaptive_min),
     )
@@ -666,7 +669,8 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
                      has_disp: bool = False, has_space: bool = False,
                      has_image: bool = False, has_triuv: bool = False,
                      has_nrm: bool = False, has_metal: bool = False,
-                     has_ltree: bool = False, has_envm: bool = False):
+                     has_ltree: bool = False, has_envm: bool = False,
+                     has_rdiel: bool = False):
     """One bounce window [bounce_lo, bounce_hi] of the wavefront core per
     tile. bounce_lo == 0 generates camera rays from (striped) pixel ids;
     later windows read the packed state planes emitted by the previous
@@ -725,7 +729,7 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
                           has_triuv=has_triuv, has_nrm=has_nrm,
                           has_metal=has_metal,
                           ltree=ltree_ref[:] if has_ltree else None,
-                          envm=envm)
+                          envm=envm, has_rdiel=has_rdiel)
     mlt = tuple(mlt_ref[0, c] for c in range(14)) if has_mlt else None
 
     kw = dict(band_h=tile_h, band_w=tile_w, seed0=seed_pass,
@@ -755,6 +759,10 @@ def rebin_keys(state, mode: str, lo, hi):
 
     All modes put parked/dead rays (|o| >= 1e17) last; live sub-order:
 
+      none        skip the regroup for this gap (keep the incoming order
+                  — right when most rays are still alive and coherent,
+                  e.g. bounce 0 -> 1: a camera-coherent layout beats any
+                  re-binning until enough lanes die)
       oct         direction octant, then original pixel order (the stable
                   sort preserves it) — the model's 'compact+oct'
       morton      24-bit origin Morton, then octant — 'morton+oct'
@@ -879,6 +887,7 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
         has_nrm=scene.has_normal_map, has_metal=scene.has_metal,
         has_ltree=scene.has_light_tree,
         has_envm=scene.has_env_map,
+        has_rdiel=scene.has_rough_dielectric,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -972,13 +981,17 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
             # measured ~4 ms/plane of scalarized HBM gather at 512^2 —
             # see benchmarks/experiment_transport.json)
             mode = gap_mode(b)
-            bbox_lo = bbox_hi = None
-            if mode != "oct":
-                bbox_lo, bbox_hi = live_bbox(state)
-            keys = rebin_keys(state, mode, bbox_lo, bbox_hi).reshape(-1)
-            ops = [keys] + [state[k].reshape(-1) for k in range(S)]
-            srt = jax.lax.sort(ops, num_keys=1, is_stable=True)
-            state = jnp.stack(srt[1:]).reshape(S, h, w)
+            if mode == "none":
+                state = state.reshape(S, h, w)
+            else:
+                bbox_lo = bbox_hi = None
+                if mode != "oct":
+                    bbox_lo, bbox_hi = live_bbox(state)
+                keys = rebin_keys(state, mode, bbox_lo,
+                                  bbox_hi).reshape(-1)
+                ops = [keys] + [state[k].reshape(-1) for k in range(S)]
+                srt = jax.lax.sort(ops, num_keys=1, is_stable=True)
+                state = jnp.stack(srt[1:]).reshape(S, h, w)
             kernel_b = functools.partial(_pt_rebin_kernel, bounce_lo=b,
                                          bounce_hi=b, **static_kw)
             state, nr = pl.pallas_call(

@@ -719,6 +719,47 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
             # its cosine-hemisphere sample, so the streams never collide
             reflect = u[0] < refl_p
             is_diel = kind == DIELECTRIC
+            diel_w = None
+            if scene.has_rough_dielectric:
+                # GGX rough dielectric — same Walter construction as
+                # wavefront.py (NDF half-vector on u[3]/u[4], Fresnel coin
+                # about h, |d.h|*G/(cos_o*cos_h) weight); the engines must
+                # agree
+                un_ = lambda a: (a[..., 0], a[..., 1], a[..., 2])
+                rough_d = scene.mat_rough[mat_id]
+                alpha_d = jnp.maximum(rough_d * rough_d, 1e-4)
+                h_t, cos_hd = sampler.sample_ggx_h(u[3], u[4], un_(n3),
+                                                   alpha_d)
+                h_d3 = jnp.stack(h_t, -1)
+                cosi_h = -jnp.sum(st["d3"] * h_d3, axis=-1)
+                kk_h = 1.0 - eta * eta * (1.0 - cosi_h * cosi_h)
+                cost_h = jnp.sqrt(jnp.maximum(kk_h, 0.0))
+                rs_h = ((eta * cosi_h - cost_h)
+                        / jnp.maximum(eta * cosi_h + cost_h, 1e-20))
+                rp_h = ((eta * cost_h - cosi_h)
+                        / jnp.maximum(eta * cost_h + cosi_h, 1e-20))
+                reflp_h = jnp.where(kk_h <= 0.0, 1.0,
+                                    0.5 * (rs_h * rs_h + rp_h * rp_h))
+                refl_h = u[0] < reflp_h
+                mirr_h3 = (st["d3"] - 2.0 * jnp.sum(
+                    st["d3"] * h_d3, axis=-1, keepdims=True) * h_d3)
+                refr_h3 = (eta[..., None] * st["d3"]
+                           + (eta * cosi_h - cost_h)[..., None] * h_d3)
+                d_r3 = jnp.where(refl_h[..., None], mirr_h3, refr_h3)
+                cos_i_r = jnp.sum(d_r3 * n3, axis=-1)
+                g_r = (sampler.ggx_smith_g1(cosi, alpha_d)
+                       * sampler.ggx_smith_g1(jnp.abs(cos_i_r), alpha_d))
+                w_g = (jnp.abs(cosi_h) * g_r
+                       / jnp.maximum(cosi * jnp.maximum(cos_hd, 1e-6),
+                                     1e-6))
+                ok_r = ((cosi_h > 0.0)
+                        & jnp.where(refl_h, cos_i_r > 0.0, cos_i_r < 0.0))
+                w_g = jnp.where(ok_r, w_g, 0.0)
+                is_rough_d = is_diel & (rough_d > 0.0)
+                reflect = jnp.where(is_rough_d, refl_h, reflect)
+                diel_w = jnp.where(is_rough_d, w_g, 1.0)
+                mirr_d3 = jnp.where(is_rough_d[..., None], d_r3, mirr_d3)
+                refr_d3 = jnp.where(is_rough_d[..., None], d_r3, refr_d3)
             new_d3 = jnp.where(is_diel[..., None],
                                jnp.where(reflect[..., None], mirr_d3,
                                          refr_d3), new_d3)
@@ -747,6 +788,8 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         else:
             new_thr = st["throughput"] * albedo  # f*cos/pdf = albedo
             pdf_bsdf = pdf_cos
+        if scene.has_rough_dielectric:  # Walter weight on rough-glass lanes
+            new_thr = new_thr * diel_w[..., None]
 
         cont = hit & (jnp.max(new_thr, axis=-1) > 0.0)
         if cfg.rr_start > 0:  # static: RR-off keeps the 5-plane stream

@@ -238,6 +238,15 @@ class PTScene:
     # scatter planes entirely — no per-bounce cost for configs 2/3/4
     has_dielectric: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # static flag: any DIELECTRIC material with roughness > 0 — the
+    # scatter step then adds the GGX rough-dielectric branch (Walter 2007
+    # microfacet refraction: NDF half-vector, Fresnel coin about h, the
+    # |oh|·G/(cos_o·cos_h) weight). Smooth-glass lanes keep the exact
+    # prior math via per-lane selects; scenes without rough glass compile
+    # the prior program (same None/static-gating contract as every
+    # feature). mat_rough ships whenever metal OR rough glass exists.
+    has_rough_dielectric: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
     # number of TRIANGLE slot lights in the NEE table (static, set by
     # build_pt_scene). The light-tree render guard needs it: in-kernel
     # cluster/instanced sweeps return padded-reordered triangle indices,
@@ -667,7 +676,11 @@ def build_pt_scene(
         mat_kind=jnp.asarray(mat_kind),
         mat_ior=jnp.asarray(mat_ior),
         mat_rough=(jnp.asarray(mat_rough)
-                   if bool((mat_kind == METAL).any()) else None),
+                   if bool((mat_kind == METAL).any()
+                           or ((mat_kind == DIELECTRIC)
+                               & (mat_rough > 0)).any()) else None),
+        has_rough_dielectric=bool(
+            ((mat_kind == DIELECTRIC) & (mat_rough > 0)).any()),
         mat_albedo2=jnp.asarray(mat_albedo2) if textured else None,
         mat_tex_scale=jnp.asarray(mat_tex_scale) if textured else None,
         mat_tex_space=jnp.asarray(mat_tex_space) if uv_space else None,

@@ -1715,6 +1715,51 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             # its cosine-hemisphere sample, so the streams never collide
             reflect = u[0] < refl_p
             is_diel = kind == DIELECTRIC
+            diel_w = None
+            if scene.has_rough_dielectric:
+                # GGX rough dielectric (Walter 2007): sample an NDF
+                # half-vector (u[3]/u[4] are free on glass lanes — NEE
+                # never touches them), run the SAME Fresnel coin about h,
+                # reflect/refract about h, and weight the path by
+                # |d·h|·G/(cos_o·cos_h) — the microfacet-refraction
+                # throughput for D·cos_h half-vector sampling (the
+                # Fresnel factor still cancels via the coin). Smooth
+                # (roughness 0) glass lanes keep the exact prior math.
+                h_d, cos_hd = sampler.sample_ggx_h(u[3], u[4], n, alpha)
+                cosi_h = -v3.dot(st["d"], h_d)
+                kk_h = 1.0 - eta * eta * (1.0 - cosi_h * cosi_h)
+                cost_h = jnp.sqrt(jnp.maximum(kk_h, 0.0))
+                rs_h = ((eta * cosi_h - cost_h)
+                        / jnp.maximum(eta * cosi_h + cost_h, 1e-20))
+                rp_h = ((eta * cost_h - cosi_h)
+                        / jnp.maximum(eta * cost_h + cosi_h, 1e-20))
+                reflp_h = jnp.where(kk_h <= 0.0, 1.0,
+                                    0.5 * (rs_h * rs_h + rp_h * rp_h))
+                refl_h = u[0] < reflp_h
+                mirr_h = sampler.reflect(st["d"], h_d)
+                refr_h = v3.add(v3.scale(st["d"], eta),
+                                v3.scale(h_d, eta * cosi_h - cost_h))
+                d_r = v3.where(refl_h, mirr_h, refr_h)
+                cos_i_r = v3.dot(d_r, n)
+                g_r = (sampler.ggx_smith_g1(cosi, alpha)
+                       * sampler.ggx_smith_g1(jnp.abs(cos_i_r), alpha))
+                w_g = (jnp.abs(cosi_h) * g_r
+                       / jnp.maximum(cosi * jnp.maximum(cos_hd, 1e-6),
+                                     1e-6))
+                # h must face the ray, and the outgoing direction must
+                # land on its branch's side of the surface; invalid
+                # samples get weight 0 (standard NDF rejection — the
+                # throughput gate kills the lane, as for metal)
+                ok_r = ((cosi_h > 0.0)
+                        & jnp.where(refl_h, cos_i_r > 0.0, cos_i_r < 0.0))
+                w_g = jnp.where(ok_r, w_g, 0.0)
+                Mr = scene.mat_albedo.shape[0]
+                rough_d = _sel(isect["mat_id"], scene.mat_rough, Mr)
+                is_rough_d = is_diel & (rough_d > 0.0)
+                reflect = jnp.where(is_rough_d, refl_h, reflect)
+                diel_w = jnp.where(is_rough_d, w_g, 1.0)
+                mirr_d = v3.where(is_rough_d, d_r, mirr_d)   # reflect slot
+                refr_d = v3.where(is_rough_d, d_r, refr_d)   # refract slot
             new_d = v3.where(is_diel, v3.where(reflect, mirr_d, refr_d),
                              new_d)
             # refracted rays continue THROUGH the surface: offset inward
@@ -1744,6 +1789,8 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         else:
             new_thr = v3.mul(st["thr"], albedo)
             pdf_bsdf = pdf_cos
+        if scene.has_rough_dielectric:  # Walter weight on rough-glass lanes
+            new_thr = v3.scale(new_thr, diel_w)
 
         cont = hit & (
             jnp.maximum(new_thr[0], jnp.maximum(new_thr[1], new_thr[2])) > 0.0

@@ -75,12 +75,12 @@ def bloom(img: np.ndarray, threshold: float = 1.0, radius: int = 8,
     return x + strength * blur_axis(blur_axis(bright, 0), 1)
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """Write (H, W, 3) u8 or linear-float image to an RGB PNG."""
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode (H, W, 3) u8 or linear-float image as RGB PNG bytes."""
     if img.dtype != np.uint8:
         img = to_srgb_u8(img)
     h, w, c = img.shape
-    assert c == 3, "write_png expects RGB"
+    assert c == 3, "encode_png expects RGB"
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         block = tag + data
@@ -91,14 +91,18 @@ def write_png(path: str, img: np.ndarray) -> None:
     # filter type 0 (None) per scanline
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Write (H, W, 3) u8 or linear-float image to an RGB PNG."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(img))
 
 
 def read_png(path: str) -> np.ndarray:
