@@ -20,16 +20,19 @@ test:            ## full suite (CPU, 8 virtual devices via tests/conftest.py)
 test-fast:       ## skip the slow interpret-mode kernel suites (marker: slow)
 	python -m pytest tests/ -q -n auto -m "not slow"
 
-# Sub-10-minute core tier (1-CPU box, measured): golden-anchored parity,
-# scene/config/RNG/math units, scene IO, kernel smoke via the rebin parity
-# (one cluster megakernel + bounce kernels in interpret mode), sharding
-# smoke. Keeps future rounds honest without the ~45 min full-suite tax.
+# Sub-10-minute core tier (1-CPU box; measured per file, ~5 min total):
+# golden-anchored parity 14s, config/quaternion/scene units 11s, scene IO
+# 40s, RNG 18s, light selection 55s, ONE rebin parity case as the kernel
+# smoke (cluster megakernel + bounce kernels + regroup sort in interpret
+# mode, ~100s), ONE sharded-vs-single case as the mesh smoke. Keeps
+# future rounds honest without the ~45 min full-suite tax.
 test-core:       ## quick correctness core (golden parity + units + smoke)
 	python -m pytest -q -n auto -m "not slow" \
 	  tests/test_parity_jnp_vs_golden.py tests/test_config.py \
 	  tests/test_quaternion.py tests/test_scene.py tests/test_sceneio.py \
 	  tests/test_pallas_rng.py tests/test_light_power.py \
-	  tests/test_rebin.py tests/test_sharding.py
+	  "tests/test_rebin.py::test_rebin_bit_identical_to_mega[oct]" \
+	  "tests/test_sharding.py::test_sharded_matches_single_device[8-1]"
 
 test-tpu:        ## compiled-kernel parity tier (needs a real TPU; run before benchmarks)
 	python -m pytest tests_tpu/ -q

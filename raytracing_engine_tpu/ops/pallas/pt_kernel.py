@@ -100,7 +100,7 @@ def _unpack_scene(sph, tri, mat, light, counts,
                   has_space=False, atlas=None, has_rect=False,
                   has_triuv=False, has_nrm=False,
                   has_metal=False, ltree=None, envm=None,
-                  has_rdiel=False) -> PTScene:
+                  has_rdiel=False, lmlt=None) -> PTScene:
     """Rebuild a PTScene view (of in-kernel arrays) from the packed tables.
     Optional-feature column offsets mirror pack_pt_scene's layout."""
     i32 = jnp.int32
@@ -129,6 +129,10 @@ def _unpack_scene(sph, tri, mat, light, counts,
     return PTScene(
         has_dielectric=has_dielectric,
         has_rough_dielectric=has_rdiel,
+        mlt_rows=None if lmlt is None else lmlt[0],
+        mlt_smp=None if lmlt is None else lmlt[1],
+        mesh_light_area=None if lmlt is None else lmlt[2],
+        mesh_light_pick=None if lmlt is None else lmlt[3],
         env=env,
         env_img=None if envm is None else envm[0],
         env_smp=None if envm is None else envm[1],
@@ -185,6 +189,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                has_triuv: bool = False, has_nrm: bool = False,
                has_metal: bool = False, has_ltree: bool = False,
                has_envm: bool = False, has_rdiel: bool = False,
+               has_lmlt: bool = False,
                adaptive_tol: float = 0.0, adaptive_min: int = 8):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
@@ -195,6 +200,12 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
         envm_img_ref, envm_smp_ref, envm_meta_ref = rest[:3]
         rest = rest[3:]
         envm = (envm_img_ref[:], envm_smp_ref[:], envm_meta_ref[0])
+    lmlt = None
+    if has_lmlt:  # per-lane mesh-light tables + [total_area, pick] scalars
+        lmlt_rows_ref, lmlt_smp_ref, lmlt_meta_ref = rest[:3]
+        rest = rest[3:]
+        lmlt = (lmlt_rows_ref[:], lmlt_smp_ref[:], lmlt_meta_ref[0],
+                lmlt_meta_ref[1])
     atlas_ref = rest.pop(0) if (has_image or has_nrm) else None
     spp_ref = rest.pop() if adaptive_tol > 0.0 else None  # trailing output
     if n_super:
@@ -262,7 +273,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                           has_triuv=has_triuv, has_nrm=has_nrm,
                           has_metal=has_metal,
                           ltree=ltree_ref[:] if has_ltree else None,
-                          envm=envm, has_rdiel=has_rdiel)
+                          envm=envm, has_rdiel=has_rdiel, lmlt=lmlt)
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
 
@@ -493,6 +504,7 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         has_ltree=scene.has_light_tree,
         has_envm=scene.has_env_map,
         has_rdiel=scene.has_rough_dielectric,
+        has_lmlt=scene.has_lane_mesh_light,
         adaptive_tol=float(adaptive_tol),
         adaptive_min=int(adaptive_min),
     )
@@ -542,6 +554,15 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         in_specs += [full(), full(), pl.BlockSpec(memory_space=pltpu.SMEM)]
         args += [scene.env_img, scene.env_smp,
                  jnp.stack([scene.env_pick])]
+    if scene.has_lane_mesh_light:
+        # per-lane mesh-light tables (lane-row fetch: tile width 128)
+        if tile_w != scene.mlt_rows.shape[1] and not interpret:
+            raise ValueError(
+                f"lane mesh lights need tile width "
+                f"{scene.mlt_rows.shape[1]}; got tile={tile_h, tile_w}")
+        in_specs += [full(), full(), pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args += [scene.mlt_rows, scene.mlt_smp,
+                 jnp.stack([scene.mesh_light_area, scene.mesh_light_pick])]
     if scene.has_atlas:
         # (3K, 128) texture atlas; the per-lane fetch is a lane-axis
         # take_along_axis on a broadcast row — on hardware the VMEM
@@ -670,7 +691,7 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
                      has_image: bool = False, has_triuv: bool = False,
                      has_nrm: bool = False, has_metal: bool = False,
                      has_ltree: bool = False, has_envm: bool = False,
-                     has_rdiel: bool = False):
+                     has_rdiel: bool = False, has_lmlt: bool = False):
     """One bounce window [bounce_lo, bounce_hi] of the wavefront core per
     tile. bounce_lo == 0 generates camera rays from (striped) pixel ids;
     later windows read the packed state planes emitted by the previous
@@ -693,6 +714,12 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
         envm_img_ref, envm_smp_ref, envm_meta_ref = rest[:3]
         rest = rest[3:]
         envm = (envm_img_ref[:], envm_smp_ref[:], envm_meta_ref[0])
+    lmlt = None
+    if has_lmlt:  # per-lane mesh-light tables + [total_area, pick] scalars
+        lmlt_rows_ref, lmlt_smp_ref, lmlt_meta_ref = rest[:3]
+        rest = rest[3:]
+        lmlt = (lmlt_rows_ref[:], lmlt_smp_ref[:], lmlt_meta_ref[0],
+                lmlt_meta_ref[1])
     atlas_ref = rest.pop(0) if (has_image or has_nrm) else None
     if n_orders:
         (order_ref, sboxes_ref, cboxes_ref, ctri_ref, orders_ref,
@@ -729,7 +756,7 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
                           has_triuv=has_triuv, has_nrm=has_nrm,
                           has_metal=has_metal,
                           ltree=ltree_ref[:] if has_ltree else None,
-                          envm=envm, has_rdiel=has_rdiel)
+                          envm=envm, has_rdiel=has_rdiel, lmlt=lmlt)
     mlt = tuple(mlt_ref[0, c] for c in range(14)) if has_mlt else None
 
     kw = dict(band_h=tile_h, band_w=tile_w, seed0=seed_pass,
@@ -754,7 +781,7 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
     nrays_ref[i, j] = st["nrays"]
 
 
-def rebin_keys(state, mode: str, lo, hi):
+def rebin_keys(state, mode: str, lo, hi, tile_ids=None):
     """int32 regroup sort key per ray from a packed state array.
 
     All modes put parked/dead rays (|o| >= 1e17) last; live sub-order:
@@ -768,6 +795,11 @@ def rebin_keys(state, mode: str, lo, hi):
       morton      24-bit origin Morton, then octant — 'morton+oct'
       oct_morton  octant major, origin Morton minor — direction coherence
                   first (it gates the most boxes), origin locality within
+      tile_oct    CURRENT-tile id major, octant minor: rays stay in their
+                  (origin-coherent) tile neighborhood and only re-bucket
+                  by direction within it — keeps the locality the global
+                  sorts trade away; parked rays carry octant 7 and sink
+                  to each tile's tail on their own
     """
     ox, oy, oz = state[0], state[1], state[2]
     dx, dy, dz = state[3], state[4], state[5]
@@ -777,6 +809,8 @@ def rebin_keys(state, mode: str, lo, hi):
               + (dz > 0.0).astype(jnp.int32))
     if mode == "oct":
         return dead * 8 + octant
+    if mode == "tile_oct":
+        return tile_ids * 8 + octant  # parked dirs are (+,+,+): octant 7
 
     def q(x, a, b):
         c = (x - a) / jnp.maximum(b - a, 1e-6) * 256.0
@@ -888,6 +922,7 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
         has_ltree=scene.has_light_tree,
         has_envm=scene.has_env_map,
         has_rdiel=scene.has_rough_dielectric,
+        has_lmlt=scene.has_lane_mesh_light,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -915,6 +950,16 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
                     f"got {tile_h, tile_w}")
             args += [scene.env_img, scene.env_smp,
                      jnp.stack([scene.env_pick])]
+            specs += [full(), full(),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)]
+        if scene.has_lane_mesh_light:
+            if tile_w != scene.mlt_rows.shape[1] and not interpret:
+                raise ValueError(
+                    f"lane mesh lights need tile width "
+                    f"{scene.mlt_rows.shape[1]}; got {tile_h, tile_w}")
+            args += [scene.mlt_rows, scene.mlt_smp,
+                     jnp.stack([scene.mesh_light_area,
+                                scene.mesh_light_pick])]
             specs += [full(), full(),
                       pl.BlockSpec(memory_space=pltpu.SMEM)]
         if scene.has_atlas:
@@ -985,10 +1030,17 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
                 state = state.reshape(S, h, w)
             else:
                 bbox_lo = bbox_hi = None
-                if mode != "oct":
+                if mode not in ("oct", "tile_oct"):
                     bbox_lo, bbox_hi = live_bbox(state)
+                tids = None
+                if mode == "tile_oct":
+                    hh, ww = state.shape[1], state.shape[2]
+                    yy = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
+                    xx = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
+                    tids = ((yy // tile_h) * (ww // tile_w)
+                            + xx // tile_w)
                 keys = rebin_keys(state, mode, bbox_lo,
-                                  bbox_hi).reshape(-1)
+                                  bbox_hi, tile_ids=tids).reshape(-1)
                 ops = [keys] + [state[k].reshape(-1) for k in range(S)]
                 srt = jax.lax.sort(ops, num_keys=1, is_stable=True)
                 state = jnp.stack(srt[1:]).reshape(S, h, w)

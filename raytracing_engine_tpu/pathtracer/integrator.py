@@ -32,6 +32,7 @@ from raytracing_engine_tpu.pathtracer.intersect import ray_sphere, ray_triangle
 from raytracing_engine_tpu.pathtracer.scene import (
     DIELECTRIC,
     DIFFUSE,
+    LIGHT_MESH,
     METAL,
     MIRROR,
     PTScene,
@@ -182,7 +183,8 @@ def intersect_scene(scene: PTScene, o3, d3, t_min, bvh=None):
     )
     if scene.has_light_tree:  # slot index of the hit primitive (tree MIS)
         out["prim"] = jnp.where(use_tri, i_t, i_s)
-        out["is_tri"] = use_tri
+    if scene.has_light_tree or scene.has_lane_mesh_light:
+        out["is_tri"] = use_tri  # lane-mesh hit-side MIS needs it too
     if scene.needs_uv:  # static: UV-free scenes compile the prior program
         # sphere: analytic spherical parametrization (Z-up); triangle:
         # barycentrics recomputed at the hit, interpolating scene.tri_uv
@@ -289,7 +291,7 @@ def tree_cluster_weights(scene: PTScene, p3):
 
 
 def sample_light_point(scene: PTScene, u_sel, u1, u2, uniform=False,
-                       tree_p3=None):
+                       tree_p3=None, u_tri=None):
     """Pick a light (power-weighted by default, uniform with uniform=True,
     light tree with tree_p3=the shading point), sample a uniform-area
     point on it.
@@ -359,6 +361,21 @@ def sample_light_point(scene: PTScene, u_sel, u1, u2, uniform=False,
     normal = jnp.where(is_tri, n_t, n_s)
     mat = jnp.where(kind == 1, mat_t, mat_s)
     le = scene.mat_emission[mat]
+
+    if scene.has_lane_mesh_light:
+        # per-lane emissive-triangle sampling — same helper as the
+        # wavefront engine (lane-row fetch machinery works on any 2D
+        # plane shape), same b1/b2 barycentrics
+        from raytracing_engine_tpu.pathtracer.wavefront import (
+            _sample_mesh_tri_lane,
+        )
+
+        p_m, n_m, le_m = _sample_mesh_tri_lane(
+            scene, u_tri, b1[..., 0], b2[..., 0])
+        is_mesh = (kind == LIGHT_MESH)[..., None]
+        point = jnp.where(is_mesh, jnp.stack(p_m, -1), point)
+        normal = jnp.where(is_mesh, jnp.stack(n_m, -1), normal)
+        le = jnp.where(is_mesh, jnp.stack(le_m, -1), le)
 
     if tree_pick is not None:
         pdf_area = tree_pick / jnp.maximum(area, 1e-20)
@@ -467,7 +484,12 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
 
     def bounce(b, st):
         kb = random.fold_in(key, b + 1)
-        u = draw(kb, 6 if cfg.rr_start > 0 else 5)  # [5] = roulette coin
+        nu = 6 if cfg.rr_start > 0 else 5  # [5] = roulette coin
+        # lane mesh lights append one dedicated triangle-selection dim
+        # AFTER the fixed layout (matches wavefront._trace_core exactly —
+        # same dim count keeps the threefry streams engine-identical)
+        mlt_dim = nu if scene.has_lane_mesh_light else None
+        u = draw(kb, nu + (1 if scene.has_lane_mesh_light else 0))
 
         st = dict(st)
         st["nrays"] += jnp.sum(st["alive"])
@@ -524,8 +546,13 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         emissive = jnp.any(emission > 0.0, axis=-1)
         cos_l = jnp.abs(jnp.sum(n3 * st["d3"], axis=-1))
         if cfg.light_sampling == "uniform":
+            light_area_h = isect["light_area"]
+            if scene.has_lane_mesh_light:  # mesh hits: 1/total marginal
+                light_area_h = jnp.where(isect["is_tri"],
+                                         scene.mesh_light_area,
+                                         light_area_h)
             sel_density = 1.0 / jnp.maximum(
-                isect["light_area"] * jnp.maximum(scene.light_count, 1),
+                light_area_h * jnp.maximum(scene.light_count, 1),
                 1e-20)
         elif cfg.light_sampling == "tree":
             # exact tree-selection pdf of the hit light as seen from the
@@ -551,6 +578,13 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
             lum_e = (0.2126 * emission[..., 0] + 0.7152 * emission[..., 1]
                      + 0.0722 * emission[..., 2])
             sel_density = lum_e / jnp.maximum(scene.light_total_power, 1e-20)
+            if scene.has_lane_mesh_light:
+                # per-lane scheme: identical pick/total_area marginal
+                sel_density = jnp.where(
+                    isect["is_tri"],
+                    scene.mesh_light_pick
+                    / jnp.maximum(scene.mesh_light_area, 1e-20),
+                    sel_density)
         if scene.has_env_map and cfg.use_nee:
             # the light-table branch runs with probability 1 - env_pick
             # (see wavefront._trace_core — the engines must agree exactly)
@@ -618,7 +652,8 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
                 # evaluated at p + eps*n — the next segment's o3, so the
                 # hit-side tree pdf above reproduces this pdf exactly
                 tree_p3=(p3 + n3 * cfg.eps
-                         if cfg.light_sampling == "tree" else None))
+                         if cfg.light_sampling == "tree" else None),
+                u_tri=None if mlt_dim is None else u[mlt_dim])
             to_l = lp3 - p3
             dist = jnp.linalg.norm(to_l, axis=-1)
             wi3 = to_l / jnp.maximum(dist[..., None], 1e-20)

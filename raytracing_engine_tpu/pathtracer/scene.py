@@ -152,6 +152,15 @@ class PTScene:
     mesh_light_cdf: jax.Array | None = None   # (E,) normalized area CDF
     mesh_light_area: jax.Array | None = None  # () total emissive area
     mesh_light_pick: jax.Array | None = None  # () the mesh slot's pick prob
+    # PER-LANE mesh lights (mesh_lights="lane"): all emissive triangles in
+    # lane-row tables — 12 K-row blocks [v0, e1, e2, Le] + a Vose alias
+    # table over the area pmf (padding probability 0). Every lane NEE
+    # draw area-samples its OWN triangle (two alias fetches + 12 row
+    # fetches, the env-map fetch machinery); the point pdf marginalizes
+    # to 1/total_area exactly like the per-pass scheme, so hit-side MIS
+    # is unchanged. None = per-pass or no mesh lights (static gate).
+    mlt_rows: jax.Array | None = None   # (12K, 128) triangle component rows
+    mlt_smp: jax.Array | None = None    # (2K, 128) [alias-prob; alias-idx]
     # procedural world-space checker texture: cells of size 1/scale
     # alternate between mat_albedo and mat_albedo2; scale 0 = untextured.
     # World-space procedural is the gather-free texture model: pure
@@ -273,6 +282,11 @@ class PTScene:
     @property
     def has_mesh_light(self) -> bool:
         return self.mesh_light_tri is not None
+
+    @property
+    def has_lane_mesh_light(self) -> bool:
+        """Per-lane emissive-triangle sampling tables present — static."""
+        return self.mlt_rows is not None
 
     @property
     def has_texture(self) -> bool:
@@ -545,7 +559,13 @@ def build_pt_scene(
     emissive_tris = [i for i in range(T)
                      if np.any(mat_emission[tri_mats[i]] > 0)]
     mesh_tri = mesh_cdf = mesh_area = None
-    if mesh_lights:
+    mlt_rows = mlt_smp = None
+    mesh_mode = (mesh_lights if isinstance(mesh_lights, str)
+                 else ("pass" if mesh_lights else None))
+    if mesh_mode not in (None, "pass", "lane"):
+        raise ValueError(f"mesh_lights must be bool, 'pass' or 'lane'; "
+                         f"got {mesh_lights!r}")
+    if mesh_mode:
         if not emissive_tris:
             raise ValueError("mesh_lights=True but no triangle has an "
                              "emissive material")
@@ -555,11 +575,40 @@ def build_pt_scene(
         total = float(areas.sum())
         if total <= 0:
             raise ValueError("emissive triangles have zero total area")
-        mesh_tri = np.concatenate(
-            [v0[idxs], e1[idxs], e2[idxs],
-             mat_emission[tri_mats[idxs]]], axis=1).astype(np.float32)
-        mesh_cdf = np.cumsum(areas / total).astype(np.float32)
-        mesh_cdf[-1] = 1.0  # guard fp drift: last bin must cover u -> 1
+        if mesh_mode == "pass":
+            mesh_tri = np.concatenate(
+                [v0[idxs], e1[idxs], e2[idxs],
+                 mat_emission[tri_mats[idxs]]], axis=1).astype(np.float32)
+            mesh_cdf = np.cumsum(areas / total).astype(np.float32)
+            mesh_cdf[-1] = 1.0  # guard fp drift: last bin covers u -> 1
+        else:
+            # PER-LANE mesh lights: every lane area-samples its own
+            # emissive triangle via a Vose alias table over lane-row
+            # tables (the env-map machinery) — no per-pass correlation,
+            # no slot limit up to MLT_MAX_ROWS*128 triangles. The point
+            # pdf is area_t/total * 1/area_t = 1/total: the same
+            # marginal as the per-pass scheme, so the hit-side MIS is
+            # identical and needs no per-lane triangle match.
+            E = len(idxs)
+            if E > MLT_MAX_ROWS * ENV_W:
+                raise ValueError(
+                    f"mesh_lights='lane' holds up to "
+                    f"{MLT_MAX_ROWS * ENV_W} emissive triangles (got {E})"
+                    " — use mesh_lights=True (per-pass, unlimited)")
+            K_m = max((E + ENV_W - 1) // ENV_W, 1)
+            Ep = K_m * ENV_W
+            pmf = np.zeros(Ep, np.float64)
+            pmf[:E] = areas / total  # padding stays probability 0
+            ap, ai = _alias_table(pmf)
+            cols = np.concatenate(
+                [v0[idxs], e1[idxs], e2[idxs],
+                 mat_emission[tri_mats[idxs]]], axis=1).astype(np.float32)
+            rows = np.zeros((12 * K_m, ENV_W), np.float32)
+            for b in range(12):
+                rows[b * K_m:(b + 1) * K_m].reshape(-1)[:E] = cols[:, b]
+            mlt_rows = rows
+            mlt_smp = np.concatenate(
+                [ap.reshape(K_m, ENV_W), ai.reshape(K_m, ENV_W)], axis=0)
         mesh_area = np.float32(total)
         mesh_lum = mat_emission[tri_mats[idxs]] @ _LUM  # per-tri luminance
         mesh_power = float((areas * mesh_lum).sum())
@@ -606,7 +655,7 @@ def build_pt_scene(
     light_cdf = np.minimum(np.cumsum(light_pick), 1.0).astype(np.float32)
     light_cdf[max(L - 1, 0):] = 1.0  # padded slots are never selected
     mesh_pick = None
-    if mesh_tri is not None and total_power > 0:
+    if (mesh_tri is not None or mlt_rows is not None) and total_power > 0:
         mesh_pick = np.float32(mesh_power / total_power)
 
     lt = None
@@ -702,6 +751,8 @@ def build_pt_scene(
         mesh_light_cdf=None if mesh_cdf is None else jnp.asarray(mesh_cdf),
         mesh_light_area=None if mesh_area is None else jnp.float32(mesh_area),
         mesh_light_pick=None if mesh_pick is None else jnp.float32(mesh_pick),
+        mlt_rows=None if mlt_rows is None else jnp.asarray(mlt_rows),
+        mlt_smp=None if mlt_smp is None else jnp.asarray(mlt_smp),
         env=_env_rows(env),
         env_img=None if env_img is None else jnp.asarray(env_img),
         env_smp=None if env_smp is None else jnp.asarray(env_smp),
@@ -719,6 +770,7 @@ def build_pt_scene(
 
 ENV_W = 128         # env-map texels per row = one TPU lane row
 ENV_MAX_ROWS = 32   # polar rows budget (same fetch-chain bound as the atlas)
+MLT_MAX_ROWS = 32   # per-lane mesh-light budget: 32 * 128 = 4096 triangles
 
 
 def _alias_table(p):

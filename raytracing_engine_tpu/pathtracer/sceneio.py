@@ -326,7 +326,8 @@ def load_scene_json(path: str) -> SceneBundle:
     scene = build_pt_scene(
         spheres=spheres, triangles=tris, tri_mats=tri_mats,
         materials=materials,
-        mesh_lights=bool(spec.get("mesh_lights", False)),
+        # bool or the string mode ("pass" / "lane" — per-lane alias NEE)
+        mesh_lights=spec.get("mesh_lights", False),
         env=env, tri_uvs=tri_uvs, **env_kw,
     )
 

@@ -688,7 +688,7 @@ def _tree_cluster_weights(scene: PTScene, p):
 
 
 def _sample_light(scene: PTScene, u_sel, u1, u2, mesh_light=None,
-                  uniform=False, tree_p=None):
+                  uniform=False, tree_p=None, u_tri=None):
     """Plane-native NEE light sample (see integrator.sample_light_point).
 
     mesh_light: optional tuple of 14 SCALARS [v0(3), e1(3), e2(3), Le(3),
@@ -791,7 +791,16 @@ def _sample_light(scene: PTScene, u_sel, u1, u2, mesh_light=None,
     point = v3.where(is_tri, p_t, p_s)
     normal = v3.where(is_tri, n_t, n_s)
 
-    if mesh_light is not None:
+    if scene.has_lane_mesh_light:
+        # per-lane emissive-triangle selection (u_tri is this draw's
+        # dedicated dim — see the bounce's nu extension); barycentrics
+        # reuse the b1/b2 sqrt warp above exactly like the per-pass scheme
+        p_m, n_m, le_m = _sample_mesh_tri_lane(scene, u_tri, b1, b2)
+        is_mesh = kind == LIGHT_MESH
+        point = v3.where(is_mesh, p_m, point)
+        normal = v3.where(is_mesh, n_m, normal)
+        le = v3.where(is_mesh, le_m, le)
+    elif mesh_light is not None:
         mv0 = mesh_light[0:3]
         me1 = mesh_light[3:6]
         me2 = mesh_light[6:9]
@@ -901,6 +910,53 @@ def _atlas_fetch(atlas, ty, tx):
             acc = jnp.where(ty == k, vals, acc)
         out.append(acc)
     return tuple(out)
+
+
+def _fetch_row_block(tab, nblocks, block, ty, tx):
+    """Per-lane fetch of ONE component block from an (nblocks*K, 128)
+    lane-row table (K-row select chain + lane-axis take_along_axis — the
+    atlas/env fetch machinery, one channel at a time)."""
+    K = tab.shape[0] // nblocks
+    acc = jnp.zeros(tx.shape, jnp.float32)
+    for k in range(K):
+        row = tab[block * K + k]
+        vals = jnp.take_along_axis(
+            jnp.broadcast_to(row[None, :], tx.shape[:-1] + row.shape),
+            tx, axis=-1)
+        acc = jnp.where(ty == k, vals, acc)
+    return acc
+
+
+def _sample_mesh_tri_lane(scene: PTScene, u_tri, b1, b2):
+    """Per-lane emissive-triangle sample (mesh_lights='lane').
+
+    Alias-samples a triangle from the area pmf (two table fetches), then
+    interpolates the point with the caller's sqrt-warp barycentrics and
+    fetches Le. Returns (point V3, unit normal V3, le V3). The marginal
+    point pdf is (area_t/total) * (1/area_t) = 1/total — identical to the
+    per-pass scheme, so callers' pdf/MIS handling is unchanged."""
+    K_m = scene.mlt_rows.shape[0] // 12
+    N = float(K_m * 128)
+    x = u_tri * N
+    j = jnp.clip(jnp.floor(x), 0.0, N - 1.0)
+    f = x - j
+    ty0 = jnp.floor(j / 128.0)
+    tx0 = (j - ty0 * 128.0).astype(jnp.int32)
+    ty0 = ty0.astype(jnp.int32)
+    ap = _fetch_row_block(scene.mlt_smp, 2, 0, ty0, tx0)
+    ai = _fetch_row_block(scene.mlt_smp, 2, 1, ty0, tx0)
+    t = jnp.where(f < ap, j, ai)
+    ty = jnp.floor(t / 128.0)
+    tx = (t - ty * 128.0).astype(jnp.int32)
+    ty = ty.astype(jnp.int32)
+    comp = [_fetch_row_block(scene.mlt_rows, 12, b, ty, tx)
+            for b in range(12)]
+    v0m, e1m, e2m, lem = (tuple(comp[0:3]), tuple(comp[3:6]),
+                          tuple(comp[6:9]), tuple(comp[9:12]))
+    p_m = v3.add(v0m, v3.add(v3.scale(e1m, b1), v3.scale(e2m, b2)))
+    n_m = v3.cross(e1m, e2m)
+    n_m = v3.scale(n_m, 1.0 / jnp.maximum(v3.length(n_m), 1e-20))
+    return p_m, n_m, lem
 
 
 def _env_texel_of(d, K):
@@ -1428,6 +1484,10 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         if probe is not None:  # instrumentation: pre-sweep ray state
             probe("ray", b, dict(o=st["o"], d=st["d"], alive=st["alive"]))
         nu = 6 if cfg.rr_start > 0 else 5  # [5] = roulette coin
+        # lane mesh lights append one dedicated per-lane triangle-selection
+        # dim AFTER the fixed layout (streams of other scenes unchanged)
+        mlt_dim = nu if scene.has_lane_mesh_light else None
+        nu = nu + (1 if scene.has_lane_mesh_light else 0)
         if sort or staged:
             from raytracing_engine_tpu.ops.rng_pcg import uniform_pcg_coords
 
@@ -1489,6 +1549,9 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
                 # pdf the sampler used, 1/(total_area*count)
                 light_area = jnp.where(isect["is_tri"], mesh_light[12],
                                        light_area)
+            elif scene.has_lane_mesh_light:  # same 1/total marginal
+                light_area = jnp.where(isect["is_tri"],
+                                       scene.mesh_light_area, light_area)
             sel_density = 1.0 / jnp.maximum(
                 light_area * jnp.maximum(scene.light_count, 1), 1e-20)
         elif cfg.light_sampling == "tree":
@@ -1529,6 +1592,13 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
                 sel_density = jnp.where(
                     isect["is_tri"],
                     mesh_light[13] / jnp.maximum(mesh_light[12], 1e-20),
+                    sel_density)
+            elif scene.has_lane_mesh_light:
+                # per-lane scheme: identical pick/total_area marginal
+                sel_density = jnp.where(
+                    isect["is_tri"],
+                    scene.mesh_light_pick
+                    / jnp.maximum(scene.mesh_light_area, 1e-20),
                     sel_density)
         if scene.has_env_map and cfg.use_nee:
             # the light-table branch runs with probability 1 - env_pick;
@@ -1595,7 +1665,8 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
                 # origin the next segment carries in st["o"], so the
                 # hit-side MIS pdf above reproduces this pdf exactly
                 tree_p=(v3.add(p, v3.scale(n, cfg.eps))
-                        if cfg.light_sampling == "tree" else None))
+                        if cfg.light_sampling == "tree" else None),
+                u_tri=None if mlt_dim is None else u[mlt_dim])
             to_l = v3.sub(lp, p)
             dist = v3.length(to_l)
             wi = v3.scale(to_l, 1.0 / jnp.maximum(dist, 1e-20))
