@@ -699,8 +699,16 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
                 rough = scene.mat_rough[mat_id]
                 alpha = jnp.maximum(rough * rough, 1e-4)
                 un = lambda a: (a[..., 0], a[..., 1], a[..., 2])
-                f_m, pdf_m = sampler.ggx_eval(
-                    un(n3), un(-st["d3"]), un(wi3), un(albedo), alpha)
+                if scene.has_aniso:  # same ONB-frame aniso as wavefront
+                    alpha_y = jnp.maximum(
+                        scene.mat_rough2[mat_id] ** 2, 1e-4)
+                    onb_t, onb_s = sampler.build_onb(un(n3))
+                    f_m, pdf_m = sampler.ggx_eval_aniso(
+                        un(n3), onb_t, onb_s, un(-st["d3"]), un(wi3),
+                        un(albedo), alpha, alpha_y)
+                else:
+                    f_m, pdf_m = sampler.ggx_eval(
+                        un(n3), un(-st["d3"]), un(wi3), un(albedo), alpha)
                 is_met = kind == METAL
                 f = jnp.where(is_met[..., None], jnp.stack(f_m, -1), f)
                 pdf_b = jnp.where(is_met, pdf_m, pdf_b)
@@ -806,10 +814,20 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
             rough = scene.mat_rough[mat_id]
             alpha = jnp.maximum(rough * rough, 1e-4)
             un = lambda a: (a[..., 0], a[..., 1], a[..., 2])
-            h_t, _ = sampler.sample_ggx_h(u[0], u[1], un(n3), alpha)
-            met_t = sampler.reflect(un(st["d3"]), h_t)
-            f_s, pdf_s = sampler.ggx_eval(un(n3), un(-st["d3"]), met_t,
-                                          un(albedo), alpha)
+            if scene.has_aniso:
+                alpha_y = jnp.maximum(scene.mat_rough2[mat_id] ** 2, 1e-4)
+                onb_t, onb_s = sampler.build_onb(un(n3))
+                h_t = sampler.sample_ggx_h_aniso(
+                    u[0], u[1], onb_t, onb_s, un(n3), alpha, alpha_y)
+                met_t = sampler.reflect(un(st["d3"]), h_t)
+                f_s, pdf_s = sampler.ggx_eval_aniso(
+                    un(n3), onb_t, onb_s, un(-st["d3"]), met_t,
+                    un(albedo), alpha, alpha_y)
+            else:
+                h_t, _ = sampler.sample_ggx_h(u[0], u[1], un(n3), alpha)
+                met_t = sampler.reflect(un(st["d3"]), h_t)
+                f_s, pdf_s = sampler.ggx_eval(un(n3), un(-st["d3"]), met_t,
+                                              un(albedo), alpha)
             cos_i_s = sum(nc * mc for nc, mc in zip(un(n3), met_t))
             w_met = jnp.stack(f_s, -1) * jnp.where(
                 pdf_s > 0.0,

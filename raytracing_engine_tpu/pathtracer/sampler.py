@@ -109,6 +109,70 @@ def sample_ggx_h(u1, u2, normal, alpha):
     return h, cos_h
 
 
+def ggx_d_aniso(hx, hy, hz, ax, ay):
+    """Anisotropic GGX NDF in the tangent frame (hx along the tangent,
+    hy along the bitangent, hz along the normal)."""
+    e = (hx / ax) ** 2 + (hy / ay) ** 2 + hz * hz
+    return 1.0 / jnp.maximum(_PI * ax * ay * e * e, 1e-12)
+
+
+def ggx_smith_g1_aniso(vx, vy, vz, ax, ay):
+    """Smith G1 for the anisotropic GGX (Heitz 2014 Λ form), tangent-frame
+    direction components."""
+    vz2 = jnp.maximum(vz * vz, 1e-12)
+    lam = 0.5 * (jnp.sqrt(1.0 + (ax * ax * vx * vx + ay * ay * vy * vy)
+                          / vz2) - 1.0)
+    return jnp.where(vz > 1e-6, 1.0 / (1.0 + lam), 0.0)
+
+
+def sample_ggx_h_aniso(u1, u2, t, s, n, ax, ay):
+    """Sample an anisotropic-GGX half-vector about the (t, s, n) tangent
+    frame via slope space: slopes (ax·r·cosφ, ay·r·sinφ) with
+    r² = u1/(1-u1) follow the stretched P22, so pdf_h = D(h)·cos_h —
+    the anisotropic generalization of sample_ggx_h. Returns h (V3, world)."""
+    r = jnp.sqrt(jnp.clip(u1 / jnp.maximum(1.0 - u1, 1e-12), 0.0, 1e12))
+    phi = 2.0 * _PI * u2
+    sx = ax * r * jnp.cos(phi)
+    sy = ay * r * jnp.sin(phi)
+    inv = 1.0 / jnp.sqrt(1.0 + sx * sx + sy * sy)
+    # h = normalize(sx·t + sy·s + n): P22 is even in the slopes, so the
+    # positive sign is the same distribution AND reduces to sample_ggx_h's
+    # exact sample values at ax == ay (hx = a·r·cosφ/√(1+a²r²) =
+    # sinθ·cosφ with the iso cosθ = √((1-u1)/(1+(a²-1)u1)))
+    h = v3.add(v3.add(v3.scale(t, sx * inv), v3.scale(s, sy * inv)),
+               v3.scale(n, inv))
+    return h
+
+
+def ggx_eval_aniso(n, t, s, wo, wi, f0, ax, ay):
+    """Anisotropic GGX conductor BRDF + the pdf of
+    sample_ggx_h_aniso-driven reflection (D·cos_h / (4·(wo·h))). The
+    tangent frame is build_onb(n) — a deterministic per-normal frame; the
+    material's ax/ay axes live in it. Returns (f V3, pdf plane);
+    ax == ay reproduces the isotropic ggx_eval math exactly."""
+    h_raw = v3.add(wo, wi)
+    hl = jnp.maximum(v3.length(h_raw), 1e-12)
+    h = v3.scale(h_raw, 1.0 / hl)
+    # tangent-frame components
+    tf = lambda v: (v3.dot(v, t), v3.dot(v, s), v3.dot(v, n))
+    hx, hy, hz = tf(h)
+    ox, oy_, oz = tf(wo)
+    ix, iy, iz = tf(wi)
+    oh = v3.dot(wo, h)
+    d = ggx_d_aniso(hx, hy, hz, ax, ay)
+    g = (ggx_smith_g1_aniso(ox, oy_, oz, ax, ay)
+         * ggx_smith_g1_aniso(ix, iy, iz, ax, ay))
+    fres = tuple(f0[c] + (1.0 - f0[c])
+                 * (1.0 - jnp.clip(oh, 0.0, 1.0)) ** 5 for c in range(3))
+    denom = jnp.maximum(4.0 * oz * iz, 1e-6)
+    valid = (iz > 0.0) & (oz > 0.0) & (oh > 0.0)
+    spec = jnp.where(valid, d * g / denom, 0.0)
+    f = v3.scale(fres, spec)
+    pdf = jnp.where(valid, d * jnp.maximum(hz, 0.0)
+                    / jnp.maximum(4.0 * oh, 1e-6), 0.0)
+    return f, pdf
+
+
 def ggx_eval(n, wo, wi, f0, alpha):
     """GGX conductor BRDF f(wo, wi) with Schlick Fresnel (F0 = `f0` V3)
     and separable Smith masking, plus the solid-angle pdf of

@@ -173,6 +173,12 @@ class PTScene:
     # static gate that keeps metal-free scenes compiling the prior
     # program (same None-gating contract as every optional feature).
     mat_rough: jax.Array | None = None      # (M,) f32
+    # ANISOTROPIC GGX conductors: second roughness axis (material key
+    # "roughness_y"). alpha_x/alpha_y = Disney-remapped squares; the
+    # anisotropy axes live in the deterministic per-normal ONB frame
+    # (sampler.build_onb). None = all metals isotropic — the exact prior
+    # (cheaper) isotropic GGX program compiles (static None gate).
+    mat_rough2: jax.Array | None = None     # (M,) f32 — roughness_y
     # UV texturing. Geometry carries per-corner UVs (ClusterSet rows
     # 32-37 / `tri_uv` below); spheres get the analytic spherical
     # parametrization. Procedural checkers may evaluate in UV space
@@ -278,6 +284,11 @@ class PTScene:
     def has_metal(self) -> bool:
         """GGX rough-conductor materials present — static predicate."""
         return self.mat_rough is not None
+
+    @property
+    def has_aniso(self) -> bool:
+        """Anisotropic GGX conductors present — static predicate."""
+        return self.mat_rough2 is not None
 
     @property
     def has_mesh_light(self) -> bool:
@@ -482,6 +493,7 @@ def build_pt_scene(
     mat_kind = np.zeros((M,), np.int32)
     mat_ior = np.ones((M,), np.float32)
     mat_rough = np.zeros((M,), np.float32)
+    mat_rough2 = np.zeros((M,), np.float32)
     mat_albedo2 = np.zeros((M, 3), np.float32)
     mat_tex_scale = np.zeros((M,), np.float32)
     mat_tex_space = np.zeros((M,), np.float32)
@@ -499,6 +511,7 @@ def build_pt_scene(
         mat_ior[i] = m.get("ior", 1.5)
         mat_rough[i] = m.get("roughness", 0.3 if mat_kind[i] == METAL
                              else 0.0)
+        mat_rough2[i] = m.get("roughness_y", mat_rough[i])
         if "checker" in m:  # {"color": (3,), "scale", "space": "world"|"uv"}
             mat_albedo2[i] = m["checker"].get("color", (0.0, 0.0, 0.0))
             mat_tex_scale[i] = m["checker"].get("scale", 1.0)
@@ -728,6 +741,9 @@ def build_pt_scene(
                    if bool((mat_kind == METAL).any()
                            or ((mat_kind == DIELECTRIC)
                                & (mat_rough > 0)).any()) else None),
+        mat_rough2=(jnp.asarray(mat_rough2)
+                    if bool(((mat_kind == METAL)
+                             & (mat_rough2 != mat_rough)).any()) else None),
         has_rough_dielectric=bool(
             ((mat_kind == DIELECTRIC) & (mat_rough > 0)).any()),
         mat_albedo2=jnp.asarray(mat_albedo2) if textured else None,

@@ -92,7 +92,7 @@ _KINDS = {"diffuse": DIFFUSE, "mirror": MIRROR,
 _TOP_KEYS = {"materials", "spheres", "meshes", "camera", "mesh_lights",
              "env", "instances"}
 _MAT_KEYS = {"albedo", "emission", "kind", "ior", "checker",
-             "dispersion", "image", "normal", "roughness"}
+             "dispersion", "image", "normal", "roughness", "roughness_y"}
 _SPH_KEYS = {"center", "radius", "mat"}
 _MESH_KEYS = {"obj", "icosphere", "knot", "mat", "scale", "translate",
               "smooth", "uvs"}
@@ -213,6 +213,8 @@ def load_scene_json(path: str) -> SceneBundle:
                "dispersion": float(m.get("dispersion", 0.0))}
         if "roughness" in m or kind == "metal":
             mat["roughness"] = float(m.get("roughness", 0.3))
+        if "roughness_y" in m:  # anisotropic GGX second axis
+            mat["roughness_y"] = float(m["roughness_y"])
         if "checker" in m:  # {"color", "scale", "space": "world"|"uv"}
             extra = set(m["checker"]) - {"color", "scale", "space"}
             if extra:

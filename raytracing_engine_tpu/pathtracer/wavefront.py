@@ -1521,11 +1521,14 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         alive_b = st["alive"] != 0.0
         hit = isect["hit"] & alive_b
         albedo, emission, kind, ior = _mat_lookup(scene, isect["mat_id"])
-        alpha = None
+        alpha = alpha_y = onb_t = onb_s = None
         if scene.has_metal:  # static: metal-free scenes pay nothing
             Mn = scene.mat_albedo.shape[0]
             rough = _sel(isect["mat_id"], scene.mat_rough, Mn)
             alpha = jnp.maximum(rough * rough, 1e-4)  # Disney remap
+            if scene.has_aniso:  # static: second roughness axis
+                rough2 = _sel(isect["mat_id"], scene.mat_rough2, Mn)
+                alpha_y = jnp.maximum(rough2 * rough2, 1e-4)
         n = isect["n"]
         p = isect["p"]
         if scene.has_normal_map:  # static: unmapped scenes pay nothing
@@ -1538,6 +1541,11 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             albedo = _textured_albedo(scene, isect["mat_id"], albedo, p,
                                       uv=isect.get("uv"),
                                       bilinear=cfg.tex_filter == "bilinear")
+        if scene.has_metal and scene.has_aniso:
+            # deterministic per-normal tangent frame: the anisotropy axes
+            # (and the aniso NDF sampler/eval) live in it — built from
+            # the FINAL shading normal so normal maps rotate the frame
+            onb_t, onb_s = sampler.build_onb(n)
 
         # --- emission (MIS vs NEE of the previous vertex) ------------------
         emissive = (emission[0] > 0.0) | (emission[1] > 0.0) | (emission[2] > 0.0)
@@ -1719,8 +1727,13 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             if scene.has_metal:
                 # general form: f = albedo/π (diffuse) or the GGX
                 # conductor BRDF (metal); the MIS counter-pdf follows
-                f_m, pdf_m = sampler.ggx_eval(n, v3.neg(st["d"]), wi,
-                                              albedo, alpha)
+                if scene.has_aniso:
+                    f_m, pdf_m = sampler.ggx_eval_aniso(
+                        n, onb_t, onb_s, v3.neg(st["d"]), wi, albedo,
+                        alpha, alpha_y)
+                else:
+                    f_m, pdf_m = sampler.ggx_eval(n, v3.neg(st["d"]), wi,
+                                                  albedo, alpha)
                 is_met = kind == METAL
                 pdf_b = jnp.where(is_met, pdf_m, cos_s / _PI)
                 f_nee = v3.where(is_met, f_m,
@@ -1844,10 +1857,18 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             # from ggx_eval, so their throughput dies at the cont gate —
             # the standard NDF-sampling rejection, consistent across all
             # engines.
-            h_vec, _ = sampler.sample_ggx_h(u[0], u[1], n, alpha)
-            met_d = sampler.reflect(st["d"], h_vec)
-            f_s, pdf_s = sampler.ggx_eval(n, v3.neg(st["d"]), met_d,
-                                          albedo, alpha)
+            if scene.has_aniso:
+                h_vec = sampler.sample_ggx_h_aniso(u[0], u[1], onb_t,
+                                                   onb_s, n, alpha, alpha_y)
+                met_d = sampler.reflect(st["d"], h_vec)
+                f_s, pdf_s = sampler.ggx_eval_aniso(
+                    n, onb_t, onb_s, v3.neg(st["d"]), met_d, albedo,
+                    alpha, alpha_y)
+            else:
+                h_vec, _ = sampler.sample_ggx_h(u[0], u[1], n, alpha)
+                met_d = sampler.reflect(st["d"], h_vec)
+                f_s, pdf_s = sampler.ggx_eval(n, v3.neg(st["d"]), met_d,
+                                              albedo, alpha)
             w_met = v3.scale(
                 f_s, jnp.where(pdf_s > 0.0,
                                v3.dot(n, met_d)
