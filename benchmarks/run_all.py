@@ -158,14 +158,17 @@ def config3_bvh(results, size=512, segments=1100):
     key = jax.random.PRNGKey(1)
     nrays = {}
 
-    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_rebin
 
     def frame(z):
-        # cluster megakernel: whole bounce loop (incl. NEE shadow sweeps)
-        # in-kernel — the fastest mesh path (render_pt_fast measured ~6%
-        # slower; sort=True neutral at this scale, see DESIGN.md §6)
-        img, nr = render_pt_mega(cfg, scene, jnp.array([0.0, 0.0, z]), quat,
-                                 1, key, bvh=bvh, tile=(32, 128))
+        # rebin renderer: per-bounce megakernel launches + a lax.sort ray
+        # regroup between bounces (bit-identical to the single-launch
+        # megakernel, tested). Chip A/B @512^2: mega 132.9 ms -> rebin
+        # 95.4 ms with the default 'none,morton' gap keys — the bounce
+        # sweeps' dead lanes compact away and survivors group by origin
+        # cell, which the in-kernel levers could never buy (ROADMAP §1).
+        img, nr = render_pt_rebin(cfg, scene, jnp.array([0.0, 0.0, z]),
+                                  quat, 1, key, bvh=bvh, tile=(32, 128))
         nrays["n"] = nr
         return img
 
@@ -179,8 +182,9 @@ def config3_bvh(results, size=512, segments=1100):
         "mrays": round(n_rays / dt / 1e6, 2),
         "accel_build_s": round(build_s, 2),
         "clusters": int(bvh.num_clusters),
-        "note": "cluster megakernel (hierarchical sweep in-kernel), "
-                "chained dependency-linked frames",
+        "note": "rebin engine (per-bounce megakernel + lax.sort regroup, "
+                "bit-identical to the single-launch megakernel), chained "
+                "dependency-linked frames",
     }
 
 

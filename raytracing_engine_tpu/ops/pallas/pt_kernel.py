@@ -846,17 +846,21 @@ def rebin_keys(state, mode: str, lo, hi, tile_ids=None):
 def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
                     spp: int, key=None, bvh=None, spp_offset=0,
                     interpret=None, tile=(32, 128), stripes=None,
-                    rebin="morton", fast_math=False):
+                    rebin="none,morton", fast_math=False):
     """Rebin render: ((H, W, 3) image, nrays) — bit-identical estimator to
     render_pt_mega, executed as one Pallas launch per bounce with an
     image-wide ray regroup (stable multi-operand lax.sort on a coherence
     key) between launches. Requires a ClusterSet bvh and rng='pcg'.
 
-    rebin: 'oct' (alive-partition + direction octant, pixel order within —
-    the replay model's compact+oct), 'morton' (origin Morton major),
-    'oct_morton' (octant major, Morton minor), or a comma-joined
-    per-gap list ('oct,morton' = oct before bounce 1, morton before 2+;
-    the last entry repeats for deeper bounces).
+    rebin: regroup key per gap, comma-joined; the last entry repeats for
+    deeper bounces (modes: rebin_keys). The default 'none,morton' keeps
+    the camera-coherent layout into bounce 1 (most rays still alive —
+    every re-binning there measured slower than pixel order) and
+    Morton-major regroups before bounce 2+ (dead rays compact away,
+    survivors group by origin cell). Chip A/B, config 3 @512^2: mega
+    132.9 -> rebin oct 123.4 / morton 111.8 / none,morton 95.4 ms with
+    contiguous-rank tiling; tile_oct (no dead compaction) 138 — dead-ray
+    compaction, not direction coherence, dominates.
     """
     from raytracing_engine_tpu.accel.clusters import ClusterSet, visit_order
 
