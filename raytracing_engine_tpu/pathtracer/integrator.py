@@ -86,6 +86,17 @@ class PTConfig:
     # 0 (default) = off, zero cost, bit-identical.
     fog_density: float = 0.0
     fog_color: tuple = (0.0, 0.0, 0.0)
+    # single-scatter in-scattering from the scene's NEE lights inside the
+    # fog_density medium: fog_scatter = the scattering coefficient
+    # sigma_s <= sigma_t (= fog_density); the remainder is absorption.
+    # Each path segment adds one EQUIANGULARLY-sampled scatter vertex
+    # (t chosen by angle subtended at a sampled light point — the classic
+    # variance killer for lights inside media), isotropic phase, with a
+    # medium-attenuated shadow ray. Single scatter: in-scattered INDIRECT
+    # light is not simulated (standard real-time approximation; the
+    # constant fog_color ambient term remains available for it).
+    # 0 (default) = off: zero cost, bit-identical streams.
+    fog_scatter: float = 0.0
     # RNG implementation for the SoA integrator:
     #   "threefry" — jax.random; portable, matches the reference integrator
     #                bit-for-bit (the default for reproducible tests)
@@ -489,7 +500,12 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
         # AFTER the fixed layout (matches wavefront._trace_core exactly —
         # same dim count keeps the threefry streams engine-identical)
         mlt_dim = nu if scene.has_lane_mesh_light else None
-        u = draw(kb, nu + (1 if scene.has_lane_mesh_light else 0))
+        nu = nu + (1 if scene.has_lane_mesh_light else 0)
+        media_dim = None
+        if cfg.fog_scatter > 0.0:  # media dims after the lane-mlt dim
+            media_dim = nu
+            nu = nu + (5 if scene.has_lane_mesh_light else 4)
+        u = draw(kb, nu)
 
         st = dict(st)
         st["nrays"] += jnp.sum(st["alive"])
@@ -503,6 +519,53 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
             fogc = jnp.asarray(cfg.fog_color, jnp.float32)
             st["radiance"] = st["radiance"] + (
                 st["throughput"] * (1.0 - trans)[..., None] * fogc)
+            if cfg.fog_scatter > 0.0:
+                # equiangular single-scatter NEE — same estimator as
+                # wavefront._trace_core (the engines must agree)
+                from raytracing_engine_tpu.pathtracer.wavefront import (
+                    _poly_atan2,
+                )
+
+                m0 = media_dim
+                u_tri_m = (u[m0 + 4] if scene.has_lane_mesh_light
+                           else None)
+                lp_m, ln_m, le_m, pdfa_m = sample_light_point(
+                    scene, u[m0], u[m0 + 1], u[m0 + 2],
+                    uniform=cfg.light_sampling == "uniform",
+                    u_tri=u_tri_m)
+                rel = lp_m - st["o3"]
+                delta = jnp.sum(rel * st["d3"], axis=-1)
+                perp = rel - st["d3"] * delta[..., None]
+                d_m = jnp.sqrt(jnp.maximum(
+                    jnp.sum(perp * perp, axis=-1), 1e-12))
+                tha = _poly_atan2(-delta, d_m)
+                thb = _poly_atan2(seg - delta, d_m)
+                th = tha + (thb - tha) * u[m0 + 3]
+                tt = delta + d_m * (jnp.sin(th)
+                                    / jnp.maximum(jnp.cos(th), 1e-9))
+                tt = jnp.clip(tt, 0.0, seg)
+                pdf_t = d_m / jnp.maximum(
+                    (thb - tha) * (d_m * d_m + (tt - delta) ** 2), 1e-12)
+                xm = st["o3"] + st["d3"] * tt[..., None]
+                tol = lp_m - xm
+                rdist = jnp.linalg.norm(tol, axis=-1)
+                wim = tol / jnp.maximum(rdist[..., None], 1e-20)
+                cos_lm = jnp.abs(jnp.sum(ln_m * wim, axis=-1))
+                cand_m = (st["alive"] & (scene.light_count > 0)
+                          & (rdist > cfg.eps) & (thb > tha + 1e-7))
+                st["nrays"] += jnp.sum(cand_m)
+                blocked_m = occluded(scene, xm, wim,
+                                     rdist * (1.0 - 1e-3), cfg.t_min,
+                                     bvh=bvh)
+                gain = (jnp.float32(cfg.fog_scatter)
+                        * jnp.exp(-cfg.fog_density * tt)
+                        * (1.0 / (4.0 * _PI)) * cos_lm
+                        * jnp.exp(-cfg.fog_density * rdist)
+                        / jnp.maximum(pdfa_m * rdist * rdist * pdf_t,
+                                      1e-20))
+                gain = jnp.where(cand_m & ~blocked_m, gain, 0.0)
+                st["radiance"] = st["radiance"] + (
+                    st["throughput"] * le_m * gain[..., None])
             st["throughput"] = st["throughput"] * trans[..., None]
         hit = isect["hit"] & st["alive"]
         mat_id = isect["mat_id"]

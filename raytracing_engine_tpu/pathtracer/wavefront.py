@@ -1345,6 +1345,11 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
     staged = emit_state or state_in is not None or bounce_lo > 0
     if staged and cfg.rng != "pcg":
         raise ValueError("state_in/emit_state staging requires rng='pcg'")
+    if cfg.fog_scatter > 0.0 and not (0.0 < cfg.fog_scatter
+                                      <= cfg.fog_density):
+        raise ValueError(
+            f"fog_scatter (sigma_s={cfg.fog_scatter}) needs "
+            f"0 < sigma_s <= fog_density (sigma_t={cfg.fog_density})")
     if bounce_hi is None:
         bounce_hi = cfg.max_bounces
     if staged and sort:
@@ -1488,6 +1493,12 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         # dim AFTER the fixed layout (streams of other scenes unchanged)
         mlt_dim = nu if scene.has_lane_mesh_light else None
         nu = nu + (1 if scene.has_lane_mesh_light else 0)
+        # single-scatter media appends its own light-sample + distance
+        # dims after that (same stream-extension contract)
+        media_dim = None
+        if cfg.fog_scatter > 0.0:
+            media_dim = nu
+            nu = nu + (5 if scene.has_lane_mesh_light else 4)
         if sort or staged:
             from raytracing_engine_tpu.ops.rng_pcg import uniform_pcg_coords
 
@@ -1517,6 +1528,62 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             st["rad"] = v3.add(st["rad"], (st["thr"][0] * inscat * fc[0],
                                            st["thr"][1] * inscat * fc[1],
                                            st["thr"][2] * inscat * fc[2]))
+            if cfg.fog_scatter > 0.0:
+                # EQUIANGULAR single-scatter NEE inside the medium: pick
+                # a light point first, then sample the scatter distance t
+                # by the angle subtended at it — pdf_t ∝ 1/(D² + (t-Δ)²)
+                # cancels the geometric 1/r² spike that makes uniform-t
+                # sampling explode near in-medium lights. Isotropic phase
+                # (1/4π), both segments medium-attenuated. Single scatter:
+                # indirect in-scatter is not simulated (documented; the
+                # fog_color ambient above remains for it). Light selection
+                # uses the power/uniform CDF (never the position-dependent
+                # tree — the scatter vertex doesn't exist until the light
+                # is chosen). Same math as integrator.py.
+                m0 = media_dim
+                u_tri_m = (u[m0 + 4] if scene.has_lane_mesh_light
+                           else None)
+                lp_m, ln_m, le_m, pdfa_m = _sample_light(
+                    scene, u[m0], u[m0 + 1], u[m0 + 2],
+                    mesh_light=mesh_light,
+                    uniform=cfg.light_sampling == "uniform",
+                    u_tri=u_tri_m)
+                rel = v3.sub(lp_m, st["o"])
+                delta = v3.dot(rel, st["d"])
+                perp = v3.sub(rel, v3.scale(st["d"], delta))
+                d_m = jnp.sqrt(jnp.maximum(v3.dot(perp, perp), 1e-12))
+                tha = _poly_atan2(-delta, d_m)
+                thb = _poly_atan2(seg - delta, d_m)
+                th = tha + (thb - tha) * u[m0 + 3]
+                tt = delta + d_m * (jnp.sin(th)
+                                    / jnp.maximum(jnp.cos(th), 1e-9))
+                tt = jnp.clip(tt, 0.0, seg)
+                pdf_t = d_m / jnp.maximum(
+                    (thb - tha) * (d_m * d_m + (tt - delta) ** 2), 1e-12)
+                xm = v3.add(st["o"], v3.scale(st["d"], tt))
+                tol = v3.sub(lp_m, xm)
+                rdist = v3.length(tol)
+                wim = v3.scale(tol, 1.0 / jnp.maximum(rdist, 1e-20))
+                cos_lm = jnp.abs(v3.dot(ln_m, wim))
+                cand_m = ((st["alive"] != 0.0) & (scene.light_count > 0)
+                          & (rdist > cfg.eps) & (thb > tha + 1e-7))
+                st["nrays"] = st["nrays"] + jnp.sum(cand_m)
+                dead_o_m = (zero + _DEAD_O,) * 3
+                dead_d_m = (zero + _INV_SQRT3,) * 3
+                sh_om = v3.where(cand_m, xm, dead_o_m)
+                sh_dm = v3.where(cand_m, wim, dead_d_m)
+                blocked_m = _occluded(scene, sh_om, sh_dm,
+                                      rdist * (1.0 - 1e-3), cfg.t_min,
+                                      bvh, packet)
+                gain = (jnp.float32(cfg.fog_scatter)
+                        * jnp.exp(-cfg.fog_density * tt)
+                        * (1.0 / (4.0 * _PI)) * cos_lm
+                        * jnp.exp(-cfg.fog_density * rdist)
+                        / jnp.maximum(pdfa_m * rdist * rdist * pdf_t,
+                                      1e-20))
+                gain = jnp.where(cand_m & ~blocked_m, gain, 0.0)
+                st["rad"] = v3.add(
+                    st["rad"], v3.mul(st["thr"], v3.scale(le_m, gain)))
             st["thr"] = v3.scale(st["thr"], trans)
         alive_b = st["alive"] != 0.0
         hit = isect["hit"] & alive_b
