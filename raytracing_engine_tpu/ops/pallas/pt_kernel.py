@@ -693,6 +693,7 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
                      tile_h: int, tile_w: int, stripes: int = 1,
                      n_super: int = 0, approx_ok: bool = False,
                      has_mlt: bool = False, n_orders: int = 0,
+                     n_instances: int = 0, t_pad: int = 0,
                      fast_math: bool = False, has_diel: bool = False,
                      has_env: bool = False, has_tex: bool = False,
                      has_disp: bool = False, has_space: bool = False,
@@ -730,6 +731,9 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
         lmlt = (lmlt_rows_ref[:], lmlt_smp_ref[:], lmlt_meta_ref[0],
                 lmlt_meta_ref[1])
     atlas_ref = rest.pop(0) if (has_image or has_nrm) else None
+    inst_ref = iorder_ref = iorders_ref = None
+    if n_instances:  # two-level: instance table + per-instance orders
+        inst_ref, iorder_ref, iorders_ref, *rest = rest
     if n_orders:
         (order_ref, sboxes_ref, cboxes_ref, ctri_ref, orders_ref,
          refs_ref, *rest) = rest
@@ -745,6 +749,13 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
                          orders_ref=orders_ref, refs_ref=refs_ref,
                          n_orders=n_orders, fast_math=fast_math,
                          emit_tan=has_nrm)
+    if n_instances:
+        from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
+            KernelInstances,
+        )
+
+        bvh = KernelInstances(inst_ref, iorder_ref, bvh, n_instances,
+                              t_pad, iorders_ref=iorders_ref)
 
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -863,10 +874,13 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
     compaction, not direction coherence, dominates.
     """
     from raytracing_engine_tpu.accel.clusters import ClusterSet, visit_order
+    from raytracing_engine_tpu.accel.instancing import InstancedClusters
 
-    if not isinstance(bvh, ClusterSet):
-        raise TypeError("render_pt_rebin needs a ClusterSet bvh "
-                        "(accel.clusters.build_clusters)")
+    instanced = isinstance(bvh, InstancedClusters)
+    if not isinstance(bvh, ClusterSet) and not instanced:
+        raise TypeError("render_pt_rebin needs a ClusterSet "
+                        "(accel.clusters.build_clusters) or an "
+                        "InstancedClusters (make_instanced_clusters)")
     if scene.has_mesh_light:
         raise NotImplementedError(
             "mesh_lights over the rebin path: ship the per-pass row table "
@@ -919,14 +933,17 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
         jnp.asarray(cam_quat, jnp.float32),
     ])
 
-    cs = bvh
-    multi_order = cs.order_refs is not None and cs.order_refs.shape[0] > 0
+    cs = bvh.cs if instanced else bvh
+    multi_order = (not instanced and cs.order_refs is not None
+                   and cs.order_refs.shape[0] > 0)
     n_orders = 1 + cs.order_refs.shape[0] if multi_order else 0
     S = state_plane_count(scene)
 
     static_kw = dict(
         cfg=cfg, tile_h=tile_h, tile_w=tile_w, n_super=cs.num_super,
         approx_ok=not interpret, has_mlt=False, n_orders=n_orders,
+        n_instances=bvh.num_instances if instanced else 0,
+        t_pad=cs.padded_tris if instanced else 0,
         fast_math=fast_math, has_diel=scene.has_dielectric,
         has_env=scene.has_env, has_tex=scene.has_texture,
         has_disp=scene.has_dispersion,
@@ -984,7 +1001,25 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
                     f"{scene.tex_atlas.shape[1]}; got {tile_h, tile_w}")
             args += [scene.tex_atlas]
             specs += [full()]
-        order = visit_order(cs, jnp.asarray(cam_pos, jnp.float32))
+        if instanced:
+            from raytracing_engine_tpu.accel.clusters import visit_orders
+            from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
+                object_space_origins,
+            )
+
+            # instance table + camera-near-to-far instance order + the
+            # per-instance OBJECT-space super orders (mirrors render_pt_mega)
+            center = (bvh.inst_tab[:, 13:16] + bvh.inst_tab[:, 16:19]) * 0.5
+            delta = center - jnp.asarray(cam_pos, jnp.float32)
+            iorder = jnp.argsort(
+                jnp.sum(delta * delta, -1)).astype(jnp.int32)
+            iorders = visit_orders(
+                cs, object_space_origins(bvh.inst_tab, cam_pos))
+            args += [bvh.inst_tab, iorder, iorders]
+            specs += [smem(), smem(), smem()]
+            order = jnp.arange(cs.num_super, dtype=jnp.int32)
+        else:
+            order = visit_order(cs, jnp.asarray(cam_pos, jnp.float32))
         args += [order, cs.super_boxes, cs.boxes, cs.tri]
         specs += [smem(), smem(), smem(), full()]
         if multi_order:

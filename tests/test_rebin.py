@@ -92,3 +92,42 @@ def test_rebin_requires_clusterset():
     cfg = PTConfig(width=16, height=16, rng="pcg")
     with pytest.raises(TypeError):
         render_pt_rebin(cfg, scene, jnp.zeros(3), QUAT, 1, KEY, bvh=None)
+
+
+def test_rebin_instanced_matches_mega():
+    """Two-level (KernelInstances) scenes through the rebin renderer: the
+    per-bounce launches build the same in-kernel instance sweep as the
+    megakernel — bit-identical result (config-5 PT's occupancy collapse is
+    the same disease the regroup cures)."""
+    from raytracing_engine_tpu.accel import build_bvh, icosphere
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+    from raytracing_engine_tpu.accel.instancing import (
+        make_instanced_clusters,
+        make_instances,
+    )
+
+    mesh = icosphere(subdivisions=2, radius=1.2)
+    cs = build_clusters(mesh, tri_mats=np.zeros(mesh.shape[0], np.int32))
+    bvh = build_bvh(mesh)
+    rz = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+                  np.float32)
+    inst = make_instances(
+        bvh,
+        [(np.eye(3, dtype=np.float32), np.array([-1.5, 6.0, 0.0]), 1.0),
+         (rz, np.array([1.8, 7.0, 0.6]), 0.75)],
+        mats=np.array([0, 2], np.int32))
+    scene = build_pt_scene(
+        spheres=[((3.0, 5.0, 4.0), 1.0, 1), ((0.0, 6.0, -52.0), 50.0, 2)],
+        materials=[{"albedo": (0.7, 0.6, 0.5), "kind": DIFFUSE},
+                   {"albedo": (0, 0, 0), "emission": (8.0,) * 3,
+                    "kind": DIFFUSE},
+                   {"albedo": (0.5, 0.5, 0.65), "kind": DIFFUSE}])
+    ic = make_instanced_clusters(inst, cs, scene=scene)
+    cfg = PTConfig(width=32, height=16, max_bounces=2, rng="pcg")
+    pos = jnp.array([0.0, -2.0, 0.3])
+    want, n_want = render_pt_mega(cfg, scene, pos, QUAT, 2, KEY, bvh=ic,
+                                  tile=(8, 128))
+    got, n_got = render_pt_rebin(cfg, scene, pos, QUAT, 2, KEY, bvh=ic,
+                                 tile=(8, 128))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert float(n_want) == float(n_got)
