@@ -2,22 +2,37 @@
 
 The round-3 quality-normalized row compared fixed vs adaptive at the same
 spp BUDGET and measured adaptive at worse MSE — an operating point, not an
-equal-error claim. This sweep produces the claim properly: on two scenes
-(one variance-UNIFORM — Cornell interior, adaptive's worst case — and one
-variance-CONTRAST — spheres over a flat gradient sky, adaptive's case),
-measure (seconds, MSE-vs-2048spp-reference) for
+equal-error claim. This sweep produces the claim properly, in RAYS rather
+than wall seconds: at 256² through the tunnel every dispatch pays ~2.5 s of
+transfer/RTT regardless of spp (measured: fixed 16 spp and fixed 512 spp
+both ~2.6 s), so time-at-equal-error would measure the tunnel, not the
+renderer. Per-tile adaptive stopping saves whole sequential grid passes, so
+saved spp IS saved device time at compute-dominated sizes; mean_spp is the
+overhead-free proxy.
 
-  fixed     R_d sampler, spp in a ladder
-  adaptive  R_d sampler + per-tile stopping, tol ladder, budget = max spp
+Method: on two scenes (variance-UNIFORM Cornell interior — adaptive's worst
+case — and a variance-CONTRAST sphere cluster over a flat gradient sky),
+measure MSE-vs-2048spp-reference for
 
-then for each tol log-interpolate the fixed curve at the adaptive MSE:
-speedup = fixed-time-at-equal-error / adaptive-time. Writes
-benchmarks/adaptive_equal_error.json and prints the per-scene curves; the
-recommended default tol maximizes the worst-scene speedup (>= 1 means
-"never worse at equal error").
+  fixed     spp ladder
+  adaptive  (tol, adaptive_min) grid, budget = max spp of the ladder
+
+then log-log-interpolate the fixed (spp, MSE) curve at each adaptive MSE:
+ratio = fixed-spp-at-equal-error / adaptive-mean-spp (>= 1 means "adaptive
+needs no more rays than fixed for the same error"). The adaptive_min axis
+exists because the default sampler here is r2 (the advertised config-4
+combination): low-discrepancy passes are NOT i.i.d. — the first few
+stratified passes of a tile can agree almost exactly while the estimate is
+still far from converged, so the across-pass Welford variance under-reads
+and tiles stop at adaptive_min with frozen error. A larger adaptive_min
+washes the stratification structure out before the rule may fire. One
+sampler="random" diagnostic point per scene isolates that interaction.
+
+Writes benchmarks/adaptive_equal_error.json; the recommended default
+(tol, min) maximizes the worst-scene equal-error spp ratio.
 
 Usage: python benchmarks/adaptive_equal_error.py [--size 256] [--quick]
-(TPU hardware; timings are input-fresh second calls with fetched outputs.)
+(TPU hardware.)
 """
 
 from __future__ import annotations
@@ -27,7 +42,6 @@ import dataclasses
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -77,71 +91,94 @@ def main():
     key = jax.random.PRNGKey(1)
     tile = (16, 256)
     fixed_ladder = [32, 64, 128] if args.quick else [16, 32, 64, 128, 256, 512]
-    tols = [0.05, 0.1] if args.quick else [0.02, 0.05, 0.1, 0.15]
+    tols = [0.05, 0.1] if args.quick else [0.02, 0.05, 0.1]
+    mins = [8, 32] if args.quick else [8, 32, 64]
     budget = max(fixed_ladder)
 
     out = {"size": args.size, "scenes": {}}
     for name, (cfg, scene, pos) in _scenes(args.size).items():
         r2 = dataclasses.replace(cfg, sampler="r2")
+        rnd = cfg  # sampler="random" (the PTConfig default)
         ref_img, _ = render_pt_mega(cfg, scene, pos, quat, 2048,
                                     jax.random.PRNGKey(99), tile=tile)
         ref = np.asarray(jax.block_until_ready(ref_img))
 
-        def timed(spp, tol):
-            kw = dict(tile=tile)
+        def run(base, spp, tol, amin):
+            kw = dict(tile=tile, spp_offset=1)
             if tol:
-                kw.update(adaptive_tol=tol, return_spp=True)
-            r = render_pt_mega(r2, scene, pos, quat, spp, key, **kw)
-            float(np.asarray(r[0]).ravel()[0])  # warm/compile
-            t0 = time.perf_counter()
-            r = render_pt_mega(r2, scene, pos, quat, spp, key,
-                               spp_offset=1, **kw)
-            float(np.asarray(r[0]).ravel()[0])
-            dt = time.perf_counter() - t0
-            mse = float(((np.asarray(r[0]) - ref) ** 2).mean())
+                kw.update(adaptive_tol=tol, adaptive_min=amin,
+                          return_spp=True)
+            r = render_pt_mega(base, scene, pos, quat, spp, key, **kw)
+            img = np.asarray(jax.block_until_ready(r[0]))
+            mse = float(((img - ref) ** 2).mean())
             mean_spp = (float(np.asarray(r[2]).mean()) if tol else spp)
-            return dt, mse, mean_spp
+            return mse, mean_spp
 
         fixed = []
         for spp in fixed_ladder:
-            dt, mse, _ = timed(spp, None)
-            fixed.append({"spp": spp, "s": round(dt, 3),
-                          "mse": round(mse, 7)})
-            print(f"{name:9s} fixed {spp:4d}: {dt:6.2f} s  mse {mse:.3g}")
-        adapt = []
-        ft = np.array([f["s"] for f in fixed])
-        fm = np.array([f["mse"] for f in fixed])
-        for tol in tols:
-            dt, mse, mean_spp = timed(budget, tol)
-            # fixed time at this MSE: log-log interp of the fixed curve
-            # (MSE decreasing in spp); outside the ladder -> clamp + note
-            lm = np.log(fm[::-1])
-            lt = np.log(ft[::-1])
-            t_eq = float(np.exp(np.interp(np.log(mse), lm, lt)))
-            clamped = mse < fm.min() or mse > fm.max()
-            adapt.append({"tol": tol, "s": round(dt, 3),
-                          "mse": round(mse, 7),
-                          "mean_spp": round(mean_spp, 1),
-                          "fixed_s_at_equal_mse": round(t_eq, 3),
-                          "speedup": round(t_eq / dt, 3),
-                          "extrapolated": bool(clamped)})
-            print(f"{name:9s} tol {tol:5.2f}: {dt:6.2f} s  mse {mse:.3g}  "
-                  f"mean_spp {mean_spp:6.1f}  equal-error fixed "
-                  f"{t_eq:6.2f} s  -> x{t_eq / dt:.2f}")
-        out["scenes"][name] = {"fixed": fixed, "adaptive": adapt}
+            mse, _ = run(r2, spp, None, None)
+            fixed.append({"spp": spp, "mse": round(mse, 7)})
+            print(f"{name:9s} fixed {spp:4d} spp: mse {mse:.3g}")
+        fs = np.array([f["spp"] for f in fixed], np.float64)
+        fm = np.array([f["mse"] for f in fixed], np.float64)
+        # fixed spp at a given MSE: log-log interp (MSE decreasing in spp)
+        lm = np.log(fm[::-1])
+        ls = np.log(fs[::-1])
 
-    # default tol = best WORST-scene speedup (>= 1 = never worse)
+        def spp_at(mse):
+            s_eq = float(np.exp(np.interp(np.log(mse), lm, ls)))
+            clamped = mse < fm.min() or mse > fm.max()
+            return s_eq, clamped
+
+        adapt = []
+        for tol in tols:
+            for amin in mins:
+                mse, mean_spp = run(r2, budget, tol, amin)
+                s_eq, clamped = spp_at(mse)
+                adapt.append({"tol": tol, "min": amin,
+                              "mse": round(mse, 7),
+                              "mean_spp": round(mean_spp, 1),
+                              "fixed_spp_at_equal_mse": round(s_eq, 1),
+                              "spp_ratio": round(s_eq / mean_spp, 3),
+                              "extrapolated": bool(clamped)})
+                print(f"{name:9s} tol {tol:5.2f} min {amin:2d}: "
+                      f"mse {mse:.3g}  mean_spp {mean_spp:6.1f}  "
+                      f"equal-error fixed {s_eq:6.1f} spp  "
+                      f"-> x{s_eq / mean_spp:.2f}")
+        # diagnostic: same rule under i.i.d. passes (sampler="random") —
+        # isolates the QMC/variance-estimator interaction at min=8
+        mse, mean_spp = run(rnd, budget, tols[0], mins[0])
+        s_eq, clamped = spp_at(mse)
+        diag = {"tol": tols[0], "min": mins[0], "sampler": "random",
+                "mse": round(mse, 7), "mean_spp": round(mean_spp, 1),
+                "fixed_spp_at_equal_mse": round(s_eq, 1),
+                "spp_ratio": round(s_eq / mean_spp, 3),
+                "extrapolated": bool(clamped)}
+        print(f"{name:9s} [random sampler diagnostic] tol {tols[0]} "
+              f"min {mins[0]}: mse {mse:.3g}  mean_spp {mean_spp:.1f} "
+              f"-> x{s_eq / mean_spp:.2f}")
+        out["scenes"][name] = {"fixed": fixed, "adaptive": adapt,
+                               "random_sampler_diag": diag}
+
+    # default (tol, min) = best WORST-scene equal-error spp ratio
     worst = {}
     for tol in tols:
-        worst[tol] = min(
-            next(a["speedup"] for a in out["scenes"][s]["adaptive"]
-                 if a["tol"] == tol)
-            for s in out["scenes"])
-    best_tol = max(worst, key=worst.get)
-    out["recommended_tol"] = best_tol
-    out["worst_scene_speedup"] = worst[best_tol]
-    print(f"recommended tol {best_tol} (worst-scene equal-error speedup "
-          f"x{worst[best_tol]:.2f})")
+        for amin in mins:
+            worst[(tol, amin)] = min(
+                next(a["spp_ratio"] for a in out["scenes"][s]["adaptive"]
+                     if a["tol"] == tol and a["min"] == amin)
+                for s in out["scenes"])
+    best = max(worst, key=worst.get)
+    out["recommended_tol"] = best[0]
+    out["recommended_min"] = best[1]
+    out["worst_scene_spp_ratio"] = worst[best]
+    out["note"] = ("equal-error comparison in SPP (rays), not seconds: "
+                   "at this render size every tunnel dispatch costs ~2.5 s "
+                   "regardless of spp, so wall time measures the link. "
+                   "Per-tile stopping skips whole sequential grid passes — "
+                   "saved spp is saved device time at compute-bound sizes.")
+    print(f"recommended tol {best[0]} min {best[1]} "
+          f"(worst-scene equal-error spp ratio x{worst[best]:.2f})")
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "adaptive_equal_error.json")

@@ -607,9 +607,12 @@ def main(argv=None):
     p.add_argument("--gamma", type=float, default=1.0,
                    help="final 1/gamma encode (2.2 for sRGB-ish output; "
                         "default 1.0 = the reference's linear UNORM present)")
-    p.add_argument("--tex-filter", choices=["nearest", "bilinear"],
+    p.add_argument("--tex-filter",
+                   choices=["nearest", "bilinear", "trilinear"],
                    default="nearest", dest="tex_filter",
-                   help="atlas texture filtering (images + normal maps)")
+                   help="atlas texture filtering (images + normal maps; "
+                        "trilinear = ray-cone mip LOD, needs a scene "
+                        "with tex_mips: true)")
     p.add_argument("--rng", choices=["threefry", "pcg", "pallas"], default="pcg")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bvh", action="store_true")

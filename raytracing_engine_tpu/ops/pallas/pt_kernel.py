@@ -66,6 +66,8 @@ def pack_pt_scene(scene: PTScene):
         mat_cols += [scene.mat_tex_space[:, None]]
     if scene.has_image:
         mat_cols += [scene.mat_tex_rect]
+    if scene.has_mips:
+        mat_cols += [scene.mat_tex_mips]
     if scene.has_normal_map:
         mat_cols += [scene.mat_nrm_rect, scene.mat_nrm_scale[:, None]]
     if scene.has_metal:
@@ -102,7 +104,8 @@ def _unpack_scene(sph, tri, mat, light, counts,
                   has_space=False, atlas=None, has_rect=False,
                   has_triuv=False, has_nrm=False,
                   has_metal=False, ltree=None, envm=None,
-                  has_rdiel=False, lmlt=None, has_aniso=False) -> PTScene:
+                  has_rdiel=False, lmlt=None, has_aniso=False,
+                  n_mips=0) -> PTScene:
     """Rebuild a PTScene view (of in-kernel arrays) from the packed tables.
     Optional-feature column offsets mirror pack_pt_scene's layout."""
     i32 = jnp.int32
@@ -118,6 +121,10 @@ def _unpack_scene(sph, tri, mat, light, counts,
     if has_rect:
         tex_rect = mat[:, col:col + 4]
         col += 4
+    tex_mips = None
+    if n_mips:
+        tex_mips = mat[:, col:col + 4 * n_mips]
+        col += 4 * n_mips
     if has_nrm:
         nrm_rect = mat[:, col:col + 4]
         nrm_scale = mat[:, col + 4]
@@ -147,6 +154,7 @@ def _unpack_scene(sph, tri, mat, light, counts,
         mat_tex_space=tex_space,
         tex_atlas=atlas,
         mat_tex_rect=tex_rect,
+        mat_tex_mips=tex_mips,
         mat_nrm_rect=nrm_rect,
         mat_nrm_scale=nrm_scale,
         mat_rough=rough,
@@ -196,6 +204,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                has_metal: bool = False, has_ltree: bool = False,
                has_envm: bool = False, has_rdiel: bool = False,
                has_lmlt: bool = False, has_aniso: bool = False,
+               n_mips: int = 0,
                adaptive_tol: float = 0.0, adaptive_min: int = 8):
     rest = list(rest)
     mlt_ref = rest.pop(0) if has_mlt else None
@@ -228,7 +237,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
              cboxes_ref, ctri_ref, out_ref, nrays_ref) = rest
             kc = KernelClusters(order_ref, sboxes_ref, cboxes_ref, ctri_ref,
                                 n_super, approx_ok=approx_ok,
-                                emit_tan=has_nrm)
+                                emit_tan=has_nrm or n_mips > 0)
             bvh = KernelInstances(inst_ref, iorder_ref, kc, n_instances,
                                   t_pad, iorders_ref=iorders_ref)
         elif n_orders:
@@ -238,13 +247,13 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                                  n_super, approx_ok=approx_ok,
                                  orders_ref=orders_ref, refs_ref=refs_ref,
                                  n_orders=n_orders, groups=groups,
-                                 fast_math=fast_math, emit_tan=has_nrm)
+                                 fast_math=fast_math, emit_tan=has_nrm or n_mips > 0)
         else:
             (order_ref, sboxes_ref, cboxes_ref, ctri_ref,
              out_ref, nrays_ref) = rest
             bvh = KernelClusters(order_ref, sboxes_ref, cboxes_ref, ctri_ref,
                                  n_super, approx_ok=approx_ok, groups=groups,
-                                 fast_math=fast_math, emit_tan=has_nrm)
+                                 fast_math=fast_math, emit_tan=has_nrm or n_mips > 0)
     else:
         out_ref, nrays_ref = rest
         bvh = None
@@ -280,7 +289,7 @@ def _pt_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref, mat_ref,
                           has_metal=has_metal,
                           ltree=ltree_ref[:] if has_ltree else None,
                           envm=envm, has_rdiel=has_rdiel, lmlt=lmlt,
-                          has_aniso=has_aniso)
+                          has_aniso=has_aniso, n_mips=n_mips)
 
     zero = jnp.zeros((tile_h, tile_w), jnp.float32)
 
@@ -512,7 +521,7 @@ def render_pt_mega(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, spp: int,
         has_envm=scene.has_env_map,
         has_rdiel=scene.has_rough_dielectric,
         has_lmlt=scene.has_lane_mesh_light,
-        has_aniso=scene.has_aniso,
+        has_aniso=scene.has_aniso, n_mips=scene.n_mip_levels,
         adaptive_tol=float(adaptive_tol),
         adaptive_min=int(adaptive_min),
     )
@@ -701,7 +710,7 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
                      has_nrm: bool = False, has_metal: bool = False,
                      has_ltree: bool = False, has_envm: bool = False,
                      has_rdiel: bool = False, has_lmlt: bool = False,
-                     has_aniso: bool = False):
+                     has_aniso: bool = False, n_mips: int = 0):
     """One bounce window [bounce_lo, bounce_hi] of the wavefront core per
     tile. bounce_lo == 0 generates camera rays from (striped) pixel ids;
     later windows read the packed state planes emitted by the previous
@@ -748,7 +757,7 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
                          n_super, approx_ok=approx_ok,
                          orders_ref=orders_ref, refs_ref=refs_ref,
                          n_orders=n_orders, fast_math=fast_math,
-                         emit_tan=has_nrm)
+                         emit_tan=has_nrm or n_mips > 0)
     if n_instances:
         from raytracing_engine_tpu.ops.pallas.instanced_intersect import (
             KernelInstances,
@@ -777,7 +786,7 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
                           has_metal=has_metal,
                           ltree=ltree_ref[:] if has_ltree else None,
                           envm=envm, has_rdiel=has_rdiel, lmlt=lmlt,
-                          has_aniso=has_aniso)
+                          has_aniso=has_aniso, n_mips=n_mips)
     mlt = tuple(mlt_ref[0, c] for c in range(14)) if has_mlt else None
 
     kw = dict(band_h=tile_h, band_w=tile_w, seed0=seed_pass,
@@ -796,8 +805,11 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
                                  pix=(py, px), **kw)
     else:
         st = trace_window_planes(cfg, scene, cam, quat, None, bvh=bvh,
-                                 state_in=unpack_state(state_in_ref[:],
-                                                       has_disp), **kw)
+                                 state_in=unpack_state(
+                                     state_in_ref[:], has_disp,
+                                     has_tacc=(n_mips > 0
+                                               and cfg.tex_filter
+                                               == "trilinear")), **kw)
     out_ref[:] = pack_state(st)
     nrays_ref[i, j] = st["nrays"]
 
@@ -937,7 +949,7 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
     multi_order = (not instanced and cs.order_refs is not None
                    and cs.order_refs.shape[0] > 0)
     n_orders = 1 + cs.order_refs.shape[0] if multi_order else 0
-    S = state_plane_count(scene)
+    S = state_plane_count(scene, cfg)
 
     static_kw = dict(
         cfg=cfg, tile_h=tile_h, tile_w=tile_w, n_super=cs.num_super,
@@ -954,7 +966,7 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
         has_envm=scene.has_env_map,
         has_rdiel=scene.has_rough_dielectric,
         has_lmlt=scene.has_lane_mesh_light,
-        has_aniso=scene.has_aniso,
+        has_aniso=scene.has_aniso, n_mips=scene.n_mip_levels,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)

@@ -106,10 +106,15 @@ class PTConfig:
     #   "pallas"   — TPU hardware PRNG planes (kept for comparison)
     rng: str = "threefry"
     # atlas texture filtering: "nearest" (default — exact texel reads,
-    # bit-identical to the pre-filtering program) or "bilinear" (4-texel
+    # bit-identical to the pre-filtering program), "bilinear" (4-texel
     # lerp with rect-clamped corners; ~4x the per-hit fetch cost, still
-    # the same lane-axis gather — kernel-safe everywhere). Applies to
-    # image textures AND normal maps.
+    # the same lane-axis gather — kernel-safe everywhere), or
+    # "trilinear" (ray-cone mip LOD + two bilinear taps lerped across
+    # the bracketing mip levels — kills minification aliasing; needs a
+    # build_pt_scene(tex_mips=True) scene, production engines only).
+    # nearest/bilinear apply to image textures AND normal maps;
+    # trilinear mips apply to image textures (normal maps stay
+    # bilinear — naive normal averaging denormalizes).
     tex_filter: str = "nearest"
 
     @property
@@ -455,6 +460,12 @@ def trace_pass(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key, bvh=None,
             "sampler='r2' is a production-path (rng='pcg') feature — the "
             "stacked reference integrator stays purely random as the "
             "cross-check estimator; use render_pt_fast / render_pt_mega")
+    if cfg.tex_filter == "trilinear":
+        raise ValueError(
+            "tex_filter='trilinear' is a production-path feature (the mip "
+            "LOD is execution-strategy state, not an estimator change) — "
+            "use render_pt_fast / render_pt_mega / render_pt_rebin; their "
+            "mutual bit-exactness is the trilinear cross-check")
     h, w = (band_h or cfg.height), cfg.width
 
     def draw(k, n):

@@ -60,6 +60,26 @@ ATLAS_W = 128        # texels per atlas row = one TPU lane row
 ATLAS_MAX_ROWS = 32  # in-kernel texture budget: 32 * 128 = 4096 texels
 
 
+def build_mip_chain(img):
+    """Box-filtered mip chain of an (h, w, 3) image: level 0 is the image
+    itself, each next level 2x2-averages the previous (odd dims edge-pad
+    by duplicating the last row/column, ceil-halving) until 1x1. The
+    chain is the standard pre-filtering pyramid for trilinear sampling —
+    level L integrates the texture over 2^L x 2^L texel footprints."""
+    img = np.asarray(img, np.float32)
+    chain = [img]
+    while img.shape[0] > 1 or img.shape[1] > 1:
+        h, w = img.shape[:2]
+        if h % 2:
+            img = np.concatenate([img, img[-1:]], axis=0)
+        if w % 2:
+            img = np.concatenate([img, img[:, -1:]], axis=1)
+        img = 0.25 * (img[0::2, 0::2] + img[1::2, 0::2]
+                      + img[0::2, 1::2] + img[1::2, 1::2])
+        chain.append(img)
+    return chain
+
+
 def pack_texture_atlas(images):
     """Shelf-pack RGB images into the shared texture atlas.
 
@@ -193,6 +213,20 @@ class PTScene:
     mat_tex_space: jax.Array | None = None  # (M,) f32 — 1 = UV-space checker
     tex_atlas: jax.Array | None = None      # (3K, 128) f32 atlas rows
     mat_tex_rect: jax.Array | None = None   # (M, 4) f32 — x0, y0, w, h texels
+    # trilinear mip filtering (build_pt_scene tex_mips=True + PTConfig
+    # tex_filter="trilinear"): each albedo image's box-filtered mip chain
+    # is shelf-packed into the SAME atlas, and this table carries the
+    # per-(material, level) rects, flattened (M, 4*L) = L blocks of
+    # [x0, y0, w, h]. Level 0 duplicates mat_tex_rect (nearest/bilinear
+    # renders of a mipped scene are bit-identical to an unmipped one);
+    # chains shorter than L repeat their last (1x1) level, so a clamped
+    # LOD never reads out of chain. The LOD itself comes from a ray cone
+    # (see wavefront._trace_core): width = alpha * accumulated path
+    # distance, alpha = 2*fov/width — the Akenine-Moller ray-cone scheme
+    # without curvature/roughness growth. Normal maps stay un-mipped
+    # (naive normal averaging denormalizes; they sample bilinearly).
+    # None = no mips (static; zero cost, the existing program).
+    mat_tex_mips: jax.Array | None = None   # (M, 4*L) f32 per-level rects
     # tangent-space normal maps: a rect into the SAME atlas whose RGB
     # encodes the tangent-space normal as (n+1)/2 (standard encoding),
     # plus a per-material UV tiling scale. The shading tangent frame is
@@ -321,6 +355,24 @@ class PTScene:
         return self.mat_nrm_rect is not None
 
     @property
+    def has_mips(self) -> bool:
+        """Mip-chain rect table present (tex_mips=True) — static."""
+        return self.mat_tex_mips is not None
+
+    @property
+    def n_mip_levels(self) -> int:
+        """Static mip level count L of the per-material rect table."""
+        return 0 if self.mat_tex_mips is None else (
+            self.mat_tex_mips.shape[1] // 4)
+
+    @property
+    def needs_tan(self) -> bool:
+        """True when shading consumes the world texture-u tangent plane
+        triple: normal maps (the tangent frame) or mip LOD (the UV
+        density |du/dp| that converts a ray-cone width to texels)."""
+        return self.mat_nrm_rect is not None or self.mat_tex_mips is not None
+
+    @property
     def needs_uv(self) -> bool:
         """True when shading consumes hit UVs (image textures, normal
         maps, or UV-space checkers) — the intersectors then emit a `uv`
@@ -439,6 +491,7 @@ def build_pt_scene(
     light_tree: int = 0,  # > 0: build a C-cluster two-level light tree
     env_pick=None,       # NEE env-vs-lights probability override (map env)
     env_rows=None,       # env-map polar resolution override (<= 32)
+    tex_mips: bool = False,  # pack albedo-image mip chains (trilinear)
 ) -> PTScene:
     """Host-side scene assembly: pads SoA arrays, derives the light table.
 
@@ -537,19 +590,35 @@ def build_pt_scene(
     textured = bool((mat_tex_scale > 0).any())
     uv_space = bool((mat_tex_space > 0).any())
     dispersive = bool((mat_dispersion > 0).any())
-    tex_atlas = mat_rect = nrm_rect = None
+    tex_atlas = mat_rect = nrm_rect = mat_mips = None
     if images or normals:
         # albedo images and normal maps share ONE atlas (one VMEM table,
-        # one fetch implementation)
+        # one fetch implementation). tex_mips packs each albedo image's
+        # whole mip chain as extra rects in the same atlas; level 0 IS
+        # the image, so mat_tex_rect (and every nearest/bilinear read)
+        # is unchanged by mipping.
+        chains = ([build_mip_chain(img) for _, img in images]
+                  if tex_mips and images else
+                  [[np.asarray(img, np.float32)] for _, img in images])
+        flat = [lv for ch in chains for lv in ch]
         tex_atlas, rects = pack_texture_atlas(
-            [img for _, img in images] + [img for _, img in normals])
+            flat + [img for _, img in normals])
         if images:
             mat_rect = np.zeros((M, 4), np.float32)  # w=0 -> no image tex
-            for (i, _), r in zip(images, rects[:len(images)]):
-                mat_rect[i] = r
+            L = max(len(ch) for ch in chains)
+            if tex_mips:
+                mat_mips = np.zeros((M, 4 * L), np.float32)
+            off = 0
+            for (i, _), ch in zip(images, chains):
+                mat_rect[i] = rects[off]
+                if tex_mips:
+                    for lv in range(L):  # short chains repeat their 1x1
+                        mat_mips[i, 4 * lv:4 * lv + 4] = rects[
+                            off + min(lv, len(ch) - 1)]
+                off += len(ch)
         if normals:
             nrm_rect = np.zeros((M, 4), np.float32)  # w=0 -> no normal map
-            for (i, _), r in zip(normals, rects[len(images):]):
+            for (i, _), r in zip(normals, rects[len(flat):]):
                 nrm_rect[i] = r
     tri_uv6 = None
     if tri_uvs is not None:
@@ -751,6 +820,7 @@ def build_pt_scene(
         mat_tex_space=jnp.asarray(mat_tex_space) if uv_space else None,
         tex_atlas=None if tex_atlas is None else jnp.asarray(tex_atlas),
         mat_tex_rect=None if mat_rect is None else jnp.asarray(mat_rect),
+        mat_tex_mips=None if mat_mips is None else jnp.asarray(mat_mips),
         mat_nrm_rect=None if nrm_rect is None else jnp.asarray(nrm_rect),
         mat_nrm_scale=None if nrm_rect is None else jnp.asarray(mat_nrm_scale),
         tri_uv=None if tri_uv6 is None else jnp.asarray(tri_uv6),

@@ -90,7 +90,7 @@ from raytracing_engine_tpu.pathtracer.scene import (
 _KINDS = {"diffuse": DIFFUSE, "mirror": MIRROR,
           "dielectric": DIELECTRIC, "metal": METAL}
 _TOP_KEYS = {"materials", "spheres", "meshes", "camera", "mesh_lights",
-             "env", "instances"}
+             "env", "instances", "tex_mips"}
 _MAT_KEYS = {"albedo", "emission", "kind", "ior", "checker",
              "dispersion", "image", "normal", "roughness", "roughness_y"}
 _SPH_KEYS = {"center", "radius", "mat"}
@@ -330,7 +330,8 @@ def load_scene_json(path: str) -> SceneBundle:
         materials=materials,
         # bool or the string mode ("pass" / "lane" — per-lane alias NEE)
         mesh_lights=spec.get("mesh_lights", False),
-        env=env, tri_uvs=tri_uvs, **env_kw,
+        env=env, tri_uvs=tri_uvs,
+        tex_mips=spec.get("tex_mips", False), **env_kw,
     )
 
     instanced = None

@@ -208,7 +208,7 @@ def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
         sidx = sidx_f.astype(jnp.int32)
     else:
         res = cluster_intersect(cs, o, d, BIG, t_min=t_min, attrs=True,
-                                tan=scene.has_normal_map)
+                                tan=scene.needs_tan)
         t_t, sidx, cnx, cny, cnz, cmat, carea = res[:7]
         if len(res) >= 9:
             cuu, cvv = res[7], res[8]
@@ -262,7 +262,7 @@ def _intersect_clusters(scene: PTScene, o, d, t_min, cs):
             cuu = cvv = jnp.zeros_like(t)
         out["uv"] = (jnp.where(use_tri, cuu, su),
                      jnp.where(use_tri, cvv, sv))
-    if scene.has_normal_map:  # static: raw texture-u tangent plane triple
+    if scene.needs_tan:  # static: raw texture-u tangent plane triple
         if ctan is None:
             ctan = (jnp.zeros_like(t),) * 3
         out["tan"] = v3.where(use_tri, ctan, _sphere_tan(n_sph))
@@ -335,7 +335,7 @@ def _tri_hits(scene: PTScene, o, d, t_min, bvh, packet=None):
             if cs.has_uv:  # rows 32-37: interpolated texture UV
                 tuv = tuple(cs.tri[32 + a, safe] + u * cs.tri[34 + a, safe]
                             + v * cs.tri[36 + a, safe] for a in range(2))
-                if scene.has_normal_map:
+                if scene.needs_tan:
                     # world texture-u tangent from the barycentric
                     # gradient rows: d(u_tex)/dp = du1*r1 + du2*r2
                     # (translation-invariant — rebasing shifts only the
@@ -432,7 +432,7 @@ def _intersect_instanced(scene: PTScene, o, d, t_min, bvh):
     else:
         res = instanced_cluster_intersect(
             bvh.inst_tab, bvh.cs, o, d, t_min=t_min, attrs=True,
-            tan=scene.has_normal_map)
+            tan=scene.needs_tan)
         t_w, code_i, cnx, cny, cnz = res[:5]
         if len(res) >= 7:
             cuu, cvv = res[5], res[6]
@@ -481,7 +481,7 @@ def _intersect_instanced(scene: PTScene, o, d, t_min, bvh):
             cuu = cvv = jnp.zeros_like(t)
         out["uv"] = (jnp.where(use_tri, cuu, su),
                      jnp.where(use_tri, cvv, sv))
-    if scene.has_normal_map:  # static: raw texture-u tangent plane triple
+    if scene.needs_tan:  # static: raw texture-u tangent plane triple
         if ctan is None:
             ctan = (jnp.zeros_like(t),) * 3
         out["tan"] = v3.where(use_tri, ctan, _sphere_tan(n_sph))
@@ -561,14 +561,14 @@ def _intersect(scene: PTScene, o, d, t_min, bvh, packet=None):
             tuv = (uv6[..., 0] + ub * du1 + vb * du2,
                    uv6[..., 1] + ub * (uv6[..., 3] - uv6[..., 1])
                    + vb * (uv6[..., 5] - uv6[..., 1]))
-            if scene.has_normal_map:
+            if scene.needs_tan:
                 # world texture-u tangent: d(u_tex)/dp = du1*∇ub + du2*∇vb
                 ttan = v3.add(v3.scale(gu, du1), v3.scale(gv, du2))
         if tuv is None:
             tuv = (jnp.zeros_like(t), jnp.zeros_like(t))
         out["uv"] = (jnp.where(use_tri, tuv[0], su),
                      jnp.where(use_tri, tuv[1], sv))
-    if scene.has_normal_map:  # static: raw texture-u tangent plane triple
+    if scene.needs_tan:  # static: raw texture-u tangent plane triple
         if ttan is None:
             ttan = (jnp.zeros_like(t),) * 3
         out["tan"] = v3.where(use_tri, ttan, _sphere_tan(n_sph))
@@ -1071,6 +1071,73 @@ def _sample_rect(atlas, x0, y0, tw, th, uv, s, bilinear=False):
         for c in range(3))
 
 
+def _mip_lod_footprint(cfg: PTConfig, scene: PTScene, isect, d, tacc):
+    """Ray-cone texture footprint at the hit, in UV units (the `fp_uv`
+    input of _sample_rect_tri).
+
+    The cone: every pixel subtends ~2*fov/width radians on the image
+    plane (see _camera_rays: ncx spans ±fov across `width` pixels, both
+    axes share the per-pixel step), so after total path distance `tacc`
+    the cone's world width is tacc * alpha — the basic Akenine-Moller
+    ray cone, no curvature/roughness growth (secondary bounces only
+    accumulate distance; diffuse blur beyond that is not modeled).
+    Projection onto the surface divides by sqrt(|d.n|) (footprint AREA
+    scales with 1/|d.n|; the side length with its sqrt). The world->UV
+    conversion uses the intersector's texture-u tangent: triangles carry
+    the GRADIENT d(u_tex)/dp (units 1/length, |tan| = UV per world
+    unit); spheres carry (-y, x, 0) of the unnormalized normal (length
+    r*sin(theta) = world units per RADIAN of azimuth, so UV density is
+    1/(2*pi*|tan|) — blowing up to the coarsest mip at the poles, where
+    equirect texels degenerate)."""
+    tl = v3.length(isect["tan"])
+    inv_du = jnp.where(isect["is_tri"], tl,
+                       1.0 / (2.0 * _PI * jnp.maximum(tl, 1e-8)))
+    alpha = 2.0 * cfg.fov / cfg.width
+    cosw = jnp.abs(v3.dot(d, isect["n"]))
+    width = tacc * alpha / jnp.sqrt(jnp.maximum(cosw, 1e-2))
+    return width * inv_du
+
+
+def _sample_rect_tri(scene: PTScene, mat_id, uv, s, fp_uv):
+    """Trilinear mip sample of a material's albedo image: pick the LOD
+    whose texel size matches the ray-cone footprint, bilinear-sample the
+    two bracketing levels from the per-(material, level) rect table
+    (mat_tex_mips), and lerp.
+
+    fp_uv: footprint in (tiled) UV units; in level-0 texels that is
+    fp_uv * s * tw0, and lod = log2 of it, clamped to the chain. Level
+    rects are selected by an unrolled chain over the STATIC level axis —
+    the same scalar-table discipline as every other per-material read,
+    kernel-safe. Cost: 2 bilinear taps = 8 _atlas_fetch reads."""
+    M = scene.mat_albedo.shape[0]
+    L = scene.n_mip_levels
+    mips = scene.mat_tex_mips
+    tw0 = _sel(mat_id, mips[:, 2], M)
+    texels = fp_uv * s * jnp.maximum(tw0, 1.0)
+    lod = jnp.log2(jnp.clip(texels, 1.0, float(1 << (L - 1))))
+    l0 = jnp.floor(lod)
+    fr = lod - l0
+
+    def level_rect(lev):
+        x0 = jnp.zeros_like(lod)
+        y0 = jnp.zeros_like(lod)
+        tw = jnp.zeros_like(lod)
+        th = jnp.zeros_like(lod)
+        for l in range(L):
+            m = lev == l
+            x0 = jnp.where(m, _sel(mat_id, mips[:, 4 * l + 0], M), x0)
+            y0 = jnp.where(m, _sel(mat_id, mips[:, 4 * l + 1], M), y0)
+            tw = jnp.where(m, _sel(mat_id, mips[:, 4 * l + 2], M), tw)
+            th = jnp.where(m, _sel(mat_id, mips[:, 4 * l + 3], M), th)
+        return x0, y0, tw, th
+
+    ra = level_rect(l0)
+    rb = level_rect(jnp.minimum(l0 + 1.0, float(L - 1)))
+    ca = _sample_rect(scene.tex_atlas, *ra, uv, s, bilinear=True)
+    cb = _sample_rect(scene.tex_atlas, *rb, uv, s, bilinear=True)
+    return tuple(ca[c] * (1.0 - fr) + cb[c] * fr for c in range(3))
+
+
 def _perturb_normal(scene: PTScene, mat_id, n, tan, uv, bilinear=False):
     """Tangent-space normal mapping: fetch the map texel from the shared
     atlas, decode n_t = 2*rgb - 1, and rotate it into the world frame
@@ -1114,12 +1181,14 @@ def _perturb_normal(scene: PTScene, mat_id, n, tan, uv, bilinear=False):
 
 
 def _textured_albedo(scene: PTScene, mat_id, albedo, p, uv=None,
-                     bilinear=False):
+                     bilinear=False, fp_uv=None):
     """Procedural checker + image-atlas textures. Checker cells of size
     1/scale alternate albedo and mat_albedo2 (scale 0 = flat), evaluated
     in world space or — for mat_tex_space=1 materials — texture-UV space.
     Image-textured materials (mat_tex_rect w > 0) then sample the shared
-    atlas at the scale-tiled hit UV. Kernel-safe throughout."""
+    atlas at the scale-tiled hit UV — trilinearly across the mip chain
+    when a ray-cone footprint `fp_uv` is provided (tex_filter=
+    "trilinear" + a tex_mips=True scene). Kernel-safe throughout."""
     M = scene.mat_albedo.shape[0]
     s = _sel(mat_id, scene.mat_tex_scale, M)
     a2 = (_sel(mat_id, scene.mat_albedo2[:, 0], M),
@@ -1133,12 +1202,15 @@ def _textured_albedo(scene: PTScene, mat_id, albedo, p, uv=None,
     odd = jnp.mod(cells, 2.0) >= 1.0  # mod handles negative cells
     out = v3.where((s > 0.0) & odd, a2, albedo)
     if scene.mat_tex_rect is not None and uv is not None:
-        x0 = _sel(mat_id, scene.mat_tex_rect[:, 0], M)
-        y0 = _sel(mat_id, scene.mat_tex_rect[:, 1], M)
         tw = _sel(mat_id, scene.mat_tex_rect[:, 2], M)
-        th = _sel(mat_id, scene.mat_tex_rect[:, 3], M)
-        rgb = _sample_rect(scene.tex_atlas, x0, y0, tw, th, uv, s,
-                           bilinear=bilinear)
+        if fp_uv is not None and scene.has_mips:
+            rgb = _sample_rect_tri(scene, mat_id, uv, s, fp_uv)
+        else:
+            x0 = _sel(mat_id, scene.mat_tex_rect[:, 0], M)
+            y0 = _sel(mat_id, scene.mat_tex_rect[:, 1], M)
+            th = _sel(mat_id, scene.mat_tex_rect[:, 3], M)
+            rgb = _sample_rect(scene.tex_atlas, x0, y0, tw, th, uv, s,
+                               bilinear=bilinear)
         out = v3.where(tw > 0.0, rgb, out)
     return out
 
@@ -1240,9 +1312,11 @@ _STATE_V3 = ("o", "d", "thr", "rad")
 _STATE_SCALAR = ("alive", "prev_did_nee", "prev_pdf")
 
 
-def state_plane_count(scene: PTScene) -> int:
+def state_plane_count(scene: PTScene, cfg: PTConfig | None = None) -> int:
     """Number of (h, w) f32 planes in a packed inter-launch ray state."""
-    return 4 * 3 + 3 + 2 + (1 if scene.has_dispersion else 0)
+    tacc = 1 if (cfg is not None and scene.has_mips
+                 and cfg.tex_filter == "trilinear") else 0
+    return 4 * 3 + 3 + 2 + (1 if scene.has_dispersion else 0) + tacc
 
 
 def pack_state(st) -> jnp.ndarray:
@@ -1258,10 +1332,12 @@ def pack_state(st) -> jnp.ndarray:
     planes.append(st["py"].astype(jnp.float32))
     if "chan" in st:
         planes.append(st["chan"])
+    if "tacc" in st:
+        planes.append(st["tacc"])
     return jnp.stack(planes)
 
 
-def unpack_state(arr, has_chan: bool):
+def unpack_state(arr, has_chan: bool, has_tacc: bool = False):
     """Inverse of pack_state (arr: (S, h, w) f32 — array or kernel ref)."""
     st = {}
     i = 0
@@ -1276,6 +1352,9 @@ def unpack_state(arr, has_chan: bool):
     i += 2
     if has_chan:
         st["chan"] = arr[i]
+        i += 1
+    if has_tacc:
+        st["tacc"] = arr[i]
     return st
 
 
@@ -1350,6 +1429,10 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         raise ValueError(
             f"fog_scatter (sigma_s={cfg.fog_scatter}) needs "
             f"0 < sigma_s <= fog_density (sigma_t={cfg.fog_density})")
+    if cfg.tex_filter == "trilinear" and not scene.has_mips:
+        raise ValueError(
+            "tex_filter='trilinear' needs packed mip chains — build the "
+            "scene with build_pt_scene(tex_mips=True)")
     if bounce_hi is None:
         bounce_hi = cfg.max_bounces
     if staged and sort:
@@ -1477,6 +1560,10 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             # committed color channel per lane (-1 = achromatic so far);
             # set at the first dispersive-glass hit — see scene.mat_dispersion
             st["chan"] = zero - 1.0
+        if scene.has_mips and cfg.tex_filter == "trilinear":
+            # ray-cone LOD state: total path distance so far (the cone
+            # width is tacc * 2*fov/width — see _mip_lod_footprint)
+            st["tacc"] = zero
         if sort or staged:
             if pix is not None:
                 st["py"], st["px"] = pix[0], pix[1]
@@ -1604,10 +1691,18 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
             n = _perturb_normal(scene, isect["mat_id"], n, isect["tan"],
                                 isect["uv"],
                                 bilinear=cfg.tex_filter == "bilinear")
+        fp_uv = None
+        if scene.has_mips and cfg.tex_filter == "trilinear":
+            # grow the cone by this segment BEFORE shading (the width at
+            # the hit includes the segment that reached it); carry it on
+            st["tacc"] = st["tacc"] + jnp.where(hit, isect["t"], 0.0)
+            fp_uv = _mip_lod_footprint(cfg, scene, isect, st["d"],
+                                       st["tacc"])
         if scene.has_texture:  # static: untextured scenes pay nothing
             albedo = _textured_albedo(scene, isect["mat_id"], albedo, p,
                                       uv=isect.get("uv"),
-                                      bilinear=cfg.tex_filter == "bilinear")
+                                      bilinear=cfg.tex_filter == "bilinear",
+                                      fp_uv=fp_uv)
         if scene.has_metal and scene.has_aniso:
             # deterministic per-normal tangent frame: the anisotropy axes
             # (and the aniso NDF sampler/eval) live in it — built from
