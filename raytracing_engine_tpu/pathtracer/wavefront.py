@@ -1688,9 +1688,13 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         if scene.has_normal_map:  # static: unmapped scenes pay nothing
             # every downstream consumer (MIS cos, NEE, BSDF scatter) sees
             # the perturbed shading normal, matching integrator.py
+            # normal maps stay bilinear under trilinear albedo filtering
+            # (no mip chain is packed for them) — but they must not drop
+            # to NEAREST, so any filtering mode enables the bilinear tap
             n = _perturb_normal(scene, isect["mat_id"], n, isect["tan"],
                                 isect["uv"],
-                                bilinear=cfg.tex_filter == "bilinear")
+                                bilinear=cfg.tex_filter in ("bilinear",
+                                                            "trilinear"))
         fp_uv = None
         if scene.has_mips and cfg.tex_filter == "trilinear":
             # grow the cone by this segment BEFORE shading (the width at
@@ -1701,7 +1705,8 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
         if scene.has_texture:  # static: untextured scenes pay nothing
             albedo = _textured_albedo(scene, isect["mat_id"], albedo, p,
                                       uv=isect.get("uv"),
-                                      bilinear=cfg.tex_filter == "bilinear",
+                                      bilinear=cfg.tex_filter in (
+                                          "bilinear", "trilinear"),
                                       fp_uv=fp_uv)
         if scene.has_metal and scene.has_aniso:
             # deterministic per-normal tangent frame: the anisotropy axes
