@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--rebin", default="morton",
                     help="regroup key(s), comma-joined per gap (rebin "
                          "path): oct | morton | oct_morton")
+    ap.add_argument("--tile-b", default=None, dest="tile_b",
+                    help="tile shape for bounce>=1 launches (rebin path; "
+                         "default = --tile)")
+    ap.add_argument("--no-skip-dead", action="store_true",
+                    help="disable the all-dead tile early-out in bounce "
+                         "launches (rebin path)")
     ap.add_argument("--bounces", type=int, default=None,
                     help="override cfg.max_bounces (per-bounce profiling)")
     ap.add_argument("--groups", type=int, default=1,
@@ -81,9 +87,12 @@ def main():
             img, nr = render_pt_fast(cfg, scene, pos, quat, 1, key, bvh=bvh,
                                      sort=sort)
         elif args.path == "rebin":
+            tile_b = (tuple(int(x) for x in args.tile_b.split("x"))
+                      if args.tile_b else None)
             img, nr = render_pt_rebin(cfg, scene, pos, quat, 1, key, bvh=bvh,
                                       tile=tile, rebin=args.rebin,
-                                      stripes=args.stripes)
+                                      stripes=args.stripes, tile_b=tile_b,
+                                      skip_dead=not args.no_skip_dead)
         else:
             img, nr = render_pt_mega(cfg, scene, pos, quat, 1, key, bvh=bvh,
                                      tile=tile, stripes=args.stripes,

@@ -263,6 +263,28 @@ def _pt_orbit(args, cfg, scene, bvh, key):
           + (", temporal" if args.temporal else "") + ")")
 
 
+def _resolve_pt_engine(args, bvh):
+    """Map --engine (+ the legacy --mega alias) to an execution path.
+
+    auto = the fastest engine the scene supports: rebin when cluster
+    tables are present (the flagship mesh path — per-bounce launches with
+    dead-lane compaction between them), mega for sphere/unrolled scenes,
+    with --adaptive staying on mega (per-tile stopping is a mega-loop
+    feature). Mirrors the reference's UX: the binary runs the fast path
+    (/root/reference/src/main.rs:417), flags only override it."""
+    engine = getattr(args, "engine", "auto")
+    if getattr(args, "mega", False) and engine == "auto":
+        engine = "mega"
+    if engine != "auto":
+        return engine
+    from raytracing_engine_tpu.accel.clusters import ClusterSet
+    from raytracing_engine_tpu.accel.instancing import InstancedClusters
+
+    if isinstance(bvh, (ClusterSet, InstancedClusters)):
+        return "mega" if args.adaptive else "rebin"
+    return "fast"
+
+
 def cmd_pt(args):
     import jax
     import numpy as np
@@ -299,7 +321,8 @@ def cmd_pt(args):
                 bvh = (build_clusters(mesh, tri_mats=tri_mats,
                                       vertex_normals=tri_normals,
                                       vertex_uvs=b.tri_uvs)
-                       if _jax.default_backend() == "tpu"
+                       if (_jax.default_backend() == "tpu"
+                           or args.engine in ("mega", "rebin"))
                        else build_bvh(mesh))
         if instanced is not None:
             import numpy as onp
@@ -371,7 +394,9 @@ def cmd_pt(args):
             bvh = (build_clusters(mesh,
                                   tri_mats=onp.zeros(mesh.shape[0], onp.int32),
                                   vertex_normals=vnorms)
-                   if _jax.default_backend() == "tpu" else build_bvh(mesh))
+                   if (_jax.default_backend() == "tpu"
+                       or args.engine in ("mega", "rebin"))
+                   else build_bvh(mesh))
         pos, quat = jnp.zeros(3), jnp.array([0.0, 0.0, 0.0, 1.0])
     else:
         raise SystemExit(f"unknown scene {args.scene}")
@@ -400,21 +425,41 @@ def cmd_pt(args):
             print(f"  {state.spp_done}/{args.spp} spp")
         img = state.image
         nrays = float("nan")
-    elif args.mega:
-        import dataclasses
-
-        from raytracing_engine_tpu.accel.clusters import ClusterSet
-        from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
-
-        if bvh is not None and not isinstance(bvh, ClusterSet):
-            raise SystemExit("--mega needs a ClusterSet (runs on TPU)")
-        img, nrays = render_pt_mega(
-            dataclasses.replace(cfg, rng="pcg"), scene, pos, quat,
-            args.spp, key, bvh=bvh, adaptive_tol=args.adaptive)
-        img = np.asarray(jax.block_until_ready(img))
     else:
-        img, nrays = render_pt_fast(cfg, scene, pos, quat, args.spp, key, bvh=bvh)
-        img = np.asarray(jax.block_until_ready(img))
+        engine = _resolve_pt_engine(args, bvh)
+        if engine in ("mega", "rebin"):
+            import dataclasses
+
+            from raytracing_engine_tpu.accel.clusters import ClusterSet
+            from raytracing_engine_tpu.accel.instancing import (
+                InstancedClusters,
+            )
+            from raytracing_engine_tpu.ops.pallas.pt_kernel import (
+                render_pt_mega,
+                render_pt_rebin,
+            )
+
+            if bvh is not None and not isinstance(
+                    bvh, (ClusterSet, InstancedClusters)):
+                raise SystemExit(
+                    f"--engine {engine} needs a ClusterSet (runs on TPU)")
+            pcg = dataclasses.replace(cfg, rng="pcg")
+            if engine == "rebin":
+                if bvh is None:
+                    raise SystemExit(
+                        "--engine rebin needs a mesh scene with --bvh "
+                        "(the per-bounce regroup runs over cluster tables)")
+                img, nrays = render_pt_rebin(pcg, scene, pos, quat,
+                                             args.spp, key, bvh=bvh)
+            else:
+                img, nrays = render_pt_mega(pcg, scene, pos, quat,
+                                            args.spp, key, bvh=bvh,
+                                            adaptive_tol=args.adaptive)
+            img = np.asarray(jax.block_until_ready(img))
+        else:
+            img, nrays = render_pt_fast(cfg, scene, pos, quat, args.spp,
+                                        key, bvh=bvh)
+            img = np.asarray(jax.block_until_ready(img))
     dt = time.perf_counter() - t0
     out = args.out or f"{args.scene}_{args.spp}spp.png"
     if args.denoise:
@@ -623,8 +668,16 @@ def main(argv=None):
     p.add_argument("--segments", type=int, default=1100)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--fresh", action="store_true")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "fast", "mega", "rebin"],
+                   help="execution path: fast = XLA wavefront, mega = "
+                        "Pallas megakernel (whole bounce loop in-kernel), "
+                        "rebin = per-bounce launches with a ray-regroup "
+                        "sort between bounces (fastest mesh path; needs "
+                        "--bvh). auto picks rebin for cluster meshes, "
+                        "mega with --adaptive, fast otherwise")
     p.add_argument("--mega", action="store_true",
-                   help="Pallas megakernel (whole bounce loop in-kernel)")
+                   help="legacy alias for --engine mega")
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_pt)
 

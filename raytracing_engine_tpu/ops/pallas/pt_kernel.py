@@ -710,11 +710,14 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
                      has_nrm: bool = False, has_metal: bool = False,
                      has_ltree: bool = False, has_envm: bool = False,
                      has_rdiel: bool = False, has_lmlt: bool = False,
-                     has_aniso: bool = False, n_mips: int = 0):
+                     has_aniso: bool = False, n_mips: int = 0,
+                     skip_dead: bool = True):
     """One bounce window [bounce_lo, bounce_hi] of the wavefront core per
     tile. bounce_lo == 0 generates camera rays from (striped) pixel ids;
     later windows read the packed state planes emitted by the previous
-    launch (in whatever ray order the driver regrouped them to)."""
+    launch (in whatever ray order the driver regrouped them to), and
+    skip the whole window when every lane in the tile is dead
+    (skip_dead — see the branch comment)."""
     from raytracing_engine_tpu.ops.pallas.cluster_intersect import (
         KernelClusters,
     )
@@ -799,10 +802,37 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
         rr = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
         sidx = cc // sub_w
-        py = i * (tile_h * stripes) + sidx * tile_h + rr
+        py = i * (tile_h * stripes) + sidx * tile_h + rr + seeds_ref[2]
         px = j * sub_w + (cc - sidx * sub_w)
         st = trace_window_planes(cfg, scene, cam, quat, None, bvh=bvh,
                                  pix=(py, px), **kw)
+        out_ref[:] = pack_state(st)
+        nrays_ref[i, j] = st["nrays"]
+    elif skip_dead:
+        # Dead-tile skip: after the Morton regroup, dead/parked rays
+        # (|o| >= 1e17) compact to the image tail, so entire trailing
+        # tiles are dead. A dead ray's state is a fixed point of the
+        # bounce window (throughput 0, all writes alive-masked), so
+        # passing the planes through unchanged is bit-exact — and skips
+        # the whole scalar super-sweep the parked lanes would otherwise
+        # still pay. One VPU reduction + one scalar branch per tile.
+        live_any = jnp.min(jnp.abs(state_in_ref[0])) < 1e17
+
+        @pl.when(live_any)
+        def _run():
+            st = trace_window_planes(
+                cfg, scene, cam, quat, None, bvh=bvh,
+                state_in=unpack_state(
+                    state_in_ref[:], has_disp,
+                    has_tacc=(n_mips > 0
+                              and cfg.tex_filter == "trilinear")), **kw)
+            out_ref[:] = pack_state(st)
+            nrays_ref[i, j] = st["nrays"]
+
+        @pl.when(jnp.logical_not(live_any))
+        def _skip():
+            out_ref[:] = state_in_ref[:]
+            nrays_ref[i, j] = 0.0
     else:
         st = trace_window_planes(cfg, scene, cam, quat, None, bvh=bvh,
                                  state_in=unpack_state(
@@ -810,8 +840,8 @@ def _pt_rebin_kernel(params_ref, seeds_ref, counts_ref, sph_ref, tri_ref,
                                      has_tacc=(n_mips > 0
                                                and cfg.tex_filter
                                                == "trilinear")), **kw)
-    out_ref[:] = pack_state(st)
-    nrays_ref[i, j] = st["nrays"]
+        out_ref[:] = pack_state(st)
+        nrays_ref[i, j] = st["nrays"]
 
 
 def rebin_keys(state, mode: str, lo, hi, tile_ids=None):
@@ -864,16 +894,26 @@ def rebin_keys(state, mode: str, lo, hi, tile_ids=None):
 
 @functools.partial(
     jax.jit, static_argnums=(0, 4),
-    static_argnames=("interpret", "tile", "stripes", "rebin", "fast_math"),
+    static_argnames=("interpret", "tile", "tile_b", "band_h", "stripes",
+                     "rebin", "fast_math", "skip_dead"),
 )
 def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
                     spp: int, key=None, bvh=None, spp_offset=0,
-                    interpret=None, tile=(32, 128), stripes=None,
-                    rebin="none,morton", fast_math=False):
-    """Rebin render: ((H, W, 3) image, nrays) — bit-identical estimator to
-    render_pt_mega, executed as one Pallas launch per bounce with an
-    image-wide ray regroup (stable multi-operand lax.sort on a coherence
-    key) between launches. Requires a ClusterSet bvh and rng='pcg'.
+                    interpret=None, tile=(32, 128), tile_b=None, row0=0,
+                    band_h=None, stripes=None, rebin="none,morton",
+                    fast_math=False, skip_dead=True):
+    """Rebin render: ((band_h or H, W, 3) image, nrays) — bit-identical
+    estimator to render_pt_mega, executed as one Pallas launch per bounce
+    with an image-wide ray regroup (stable multi-operand lax.sort on a
+    coherence key) between launches. Requires a ClusterSet bvh, rng='pcg'.
+
+    row0/band_h: render only a horizontal band (a device band in the
+    sharded render, parallel/pt_sharding.py). cfg keeps the FULL image
+    height; the camera projection and every counter-based RNG draw are
+    keyed on the GLOBAL pixel coordinates carried through the regroup
+    sorts, so a band render is bit-identical to the same rows of the
+    full render — the regroup (now per-band) only changes which VMEM
+    tile executes a ray, never its arithmetic.
 
     rebin: regroup key per gap, comma-joined; the last entry repeats for
     deeper bounces (modes: rebin_keys). The default 'none,morton' keeps
@@ -893,10 +933,6 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
         raise TypeError("render_pt_rebin needs a ClusterSet "
                         "(accel.clusters.build_clusters) or an "
                         "InstancedClusters (make_instanced_clusters)")
-    if scene.has_mesh_light:
-        raise NotImplementedError(
-            "mesh_lights over the rebin path: ship the per-pass row table "
-            "once it has a consumer (render_pt_mega covers it today)")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if cfg.rng != "pcg":
@@ -910,7 +946,7 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
     )
 
     base = key_to_seed(key)
-    h, w = cfg.height, cfg.width
+    h, w = (band_h or cfg.height), cfg.width
     from raytracing_engine_tpu.ops.pallas.common import pick_tile
 
     if scene.has_atlas and tile[1] != scene.tex_atlas.shape[1]:
@@ -918,6 +954,23 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
     if scene.has_env_map and tile[1] != scene.env_img.shape[1]:
         tile = (tile[0], scene.env_img.shape[1])  # same lane-gather rule
     tile_h, tile_w = pick_tile(h, w, *tile)
+    if tile_b is None:
+        tile_hb, tile_wb = tile_h, tile_w
+    else:
+        # bounce launches (b >= 1) may use their OWN tile shape — the
+        # per-bounce launch structure makes the granularity an
+        # independent knob per window (the bounce-1 incoherent sweep
+        # prefers different tiles than the camera-coherent bounce 0).
+        # Same lane-width constraints as bounce 0 (atlas-row gathers).
+        tb = tile_b
+        if scene.has_atlas and tb[1] != scene.tex_atlas.shape[1]:
+            tb = (tb[0], scene.tex_atlas.shape[1])
+        if scene.has_env_map and tb[1] != scene.env_img.shape[1]:
+            tb = (tb[0], scene.env_img.shape[1])
+        if (scene.has_lane_mesh_light
+                and tb[1] != scene.mlt_rows.shape[1]):
+            tb = (tb[0], scene.mlt_rows.shape[1])
+        tile_hb, tile_wb = pick_tile(h, w, *tb)
     if stripes is None:
         stripes = 1
     while stripes > 1 and not (
@@ -927,7 +980,6 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
     ):
         stripes //= 2
     grid = (h // (tile_h * stripes), w // (tile_w // stripes))
-    grid_b = (h // tile_h, w // tile_w)  # later launches: plain blocks
 
     import dataclasses as _dc
 
@@ -952,8 +1004,9 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
     S = state_plane_count(scene, cfg)
 
     static_kw = dict(
-        cfg=cfg, tile_h=tile_h, tile_w=tile_w, n_super=cs.num_super,
-        approx_ok=not interpret, has_mlt=False, n_orders=n_orders,
+        cfg=cfg, n_super=cs.num_super,
+        approx_ok=not interpret, has_mlt=scene.has_mesh_light,
+        n_orders=n_orders,
         n_instances=bvh.num_instances if instanced else 0,
         t_pad=cs.padded_tris if instanced else 0,
         fast_math=fast_math, has_diel=scene.has_dielectric,
@@ -973,9 +1026,22 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
     base_specs = [smem(), smem(), smem(), full(), full(), full(), full()]
 
     def common_args(gpass):
-        seeds = jnp.stack([base, gpass])
+        seeds = jnp.stack([base, gpass, jnp.asarray(row0, jnp.int32)])
         args = [params, seeds, counts, sph, tri, mat, light]
         specs = list(base_specs)
+        if scene.has_mesh_light:
+            # this pass's area-weighted emissive triangle as a (1, 16)
+            # SMEM row — the same global-pass-keyed selection as
+            # render_pt_mega's (spp, 16) table, one row per launch since
+            # every launch here belongs to a single pass
+            from raytracing_engine_tpu.pathtracer.scene import (
+                mesh_light_rows,
+            )
+
+            rows = mesh_light_rows(scene, base, gpass)  # (1, 14)
+            args += [jnp.concatenate(
+                [rows, jnp.zeros((1, 2), jnp.float32)], axis=1)]
+            specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
         if scene.has_env:
             args += [jnp.concatenate(
                 [scene.env, jnp.zeros((2, 5), jnp.float32)], axis=1)]
@@ -1047,9 +1113,9 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
             specs += [smem(), smem()]
         return args, specs
 
-    state_spec = lambda g: pl.BlockSpec((S, tile_h, tile_w),
-                                        lambda i, j: (0, i, j),
-                                        memory_space=pltpu.VMEM)
+    state_spec = lambda th, tw: pl.BlockSpec((S, th, tw),
+                                             lambda i, j: (0, i, j),
+                                             memory_space=pltpu.VMEM)
     modes = rebin.split(",")
     gap_mode = lambda b: modes[min(b - 1, len(modes) - 1)]
 
@@ -1070,6 +1136,7 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
         args, specs = common_args(gpass)
         kernel0 = functools.partial(_pt_rebin_kernel, bounce_lo=0,
                                     bounce_hi=0, stripes=stripes,
+                                    tile_h=tile_h, tile_w=tile_w,
                                     **static_kw)
         state, nr = pl.pallas_call(
             kernel0,
@@ -1078,7 +1145,7 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
                 jax.ShapeDtypeStruct(grid, jnp.float32)),
             grid=grid,
             in_specs=tuple(specs),
-            out_specs=(state_spec(grid), smem()),
+            out_specs=(state_spec(tile_h, tile_w), smem()),
             interpret=interpret,
         )(*args)
         nrays = jnp.sum(nr)
@@ -1112,18 +1179,24 @@ def render_pt_rebin(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat,
                 # across w/tile_w tiles, throwing most of the regroup's
                 # coherence away (measured +20-40 ms on config 3).
                 state = jnp.stack(srt[1:]).reshape(
-                    S, (h * w) // tile_w, tile_w)
+                    S, (h * w) // tile_wb, tile_wb)
             hh, ww = state.shape[1], state.shape[2]
-            grid_b = (hh // tile_h, ww // tile_w)
+            thb = tile_hb if (hh % tile_hb == 0
+                              and ww % tile_wb == 0) else tile_h
+            twb = tile_wb if (hh % tile_hb == 0
+                              and ww % tile_wb == 0) else tile_w
+            grid_b = (hh // thb, ww // twb)
             kernel_b = functools.partial(_pt_rebin_kernel, bounce_lo=b,
-                                         bounce_hi=b, **static_kw)
+                                         bounce_hi=b, tile_h=thb,
+                                         tile_w=twb, skip_dead=skip_dead,
+                                         **static_kw)
             state, nr = pl.pallas_call(
                 kernel_b,
                 out_shape=(jax.ShapeDtypeStruct((S, hh, ww), jnp.float32),
                            jax.ShapeDtypeStruct(grid_b, jnp.float32)),
                 grid=grid_b,
-                in_specs=tuple(specs) + (state_spec(grid_b),),
-                out_specs=(state_spec(grid_b), smem()),
+                in_specs=tuple(specs) + (state_spec(thb, twb),),
+                out_specs=(state_spec(thb, twb), smem()),
                 interpret=interpret,
             )(*(args + [state]))
             nrays = nrays + jnp.sum(nr)

@@ -1083,15 +1083,25 @@ def _mip_lod_footprint(cfg: PTConfig, scene: PTScene, isect, d, tacc):
     accumulate distance; diffuse blur beyond that is not modeled).
     Projection onto the surface divides by sqrt(|d.n|) (footprint AREA
     scales with 1/|d.n|; the side length with its sqrt). The world->UV
-    conversion uses the intersector's texture-u tangent: triangles carry
-    the GRADIENT d(u_tex)/dp (units 1/length, |tan| = UV per world
-    unit); spheres carry (-y, x, 0) of the unnormalized normal (length
-    r*sin(theta) = world units per RADIAN of azimuth, so UV density is
-    1/(2*pi*|tan|) — blowing up to the coarsest mip at the poles, where
-    equirect texels degenerate)."""
+    conversion uses the MAX UV density over the two texture axes (an
+    under-selected LOD aliases; over-selected only blurs):
+
+    - spheres: azimuthal density 1/(2*pi*|tan|) (|tan| = r*sin(theta)
+      from the (-y, x, 0) unnormalized-normal tangent — blowing up to
+      the coarsest mip at the poles, where equirect texels degenerate)
+      maxed with the POLAR density 1/(pi*r); v-texels are twice as dense
+      as u-texels at the equator, so azimuthal-only under-selected LOD
+      by one level there. r comes for free from the carried
+      light_area = 4*pi*r^2 — no extra intersector plane.
+    - triangles: the GRADIENT d(u_tex)/dp (units 1/length, |tan| = UV
+      per world unit). The v-gradient is not emitted by the sweeps
+      (3 more attr planes per test); strongly v-anisotropic triangle
+      UVs can still under-select — known approximation."""
     tl = v3.length(isect["tan"])
-    inv_du = jnp.where(isect["is_tri"], tl,
-                       1.0 / (2.0 * _PI * jnp.maximum(tl, 1e-8)))
+    sph_r = jnp.sqrt(isect["light_area"] * (0.25 / _PI))
+    sph_dens = jnp.maximum(1.0 / (2.0 * _PI * jnp.maximum(tl, 1e-8)),
+                           1.0 / (_PI * jnp.maximum(sph_r, 1e-8)))
+    inv_du = jnp.where(isect["is_tri"], tl, sph_dens)
     alpha = 2.0 * cfg.fov / cfg.width
     cosw = jnp.abs(v3.dot(d, isect["n"]))
     width = tacc * alpha / jnp.sqrt(jnp.maximum(cosw, 1e-2))

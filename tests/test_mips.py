@@ -214,6 +214,38 @@ def test_trilinear_rebin_matches_mega_on_mesh():
     assert int(n_want) == int(n_got)
 
 
+def test_trilinear_rebin_transport_small():
+    """Non-slow guard on the riskiest transport path (advisor round-4):
+    the tacc state plane must survive the rebin regroup sort bit-exactly.
+    Tiny mesh (subdiv-1), 1 spp, 1 bounce — one 'oct' regroup gap."""
+    from raytracing_engine_tpu.accel import icosphere
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import (
+        render_pt_mega,
+        render_pt_rebin,
+    )
+
+    tris = icosphere(subdivisions=1, radius=1.2, center=(0.0, 5.0, 0.0))
+    img = _checker_img()
+    mats = [{"albedo": (0.6, 0.5, 0.4), "kind": DIFFUSE},
+            {"albedo": (0, 0, 0), "emission": (8.0,) * 3, "kind": DIFFUSE},
+            {"albedo": (1, 1, 1), "kind": DIFFUSE,
+             "image": {"pixels": img, "scale": 4.0}}]
+    scene = build_pt_scene(
+        spheres=[((3.0, 3.0, 3.0), 1.0, 1), ((0.0, 5.0, -52.0), 50.0, 2)],
+        triangles=tris, tri_mats=np.zeros(len(tris), np.int32),
+        materials=mats, tex_mips=True)
+    cs = build_clusters(tris, tri_mats=np.zeros(len(tris), np.int32))
+    cfg = PTConfig(width=16, height=8, max_bounces=1, rng="pcg",
+                   tex_filter="trilinear")
+    pos = jnp.zeros(3)
+    want, n_want = render_pt_mega(cfg, scene, pos, QUAT, 1, KEY, bvh=cs)
+    got, n_got = render_pt_rebin(cfg, scene, pos, QUAT, 1, KEY, bvh=cs,
+                                 rebin="oct")
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    assert int(n_want) == int(n_got)
+
+
 def test_sceneio_tex_mips(tmp_path):
     import json
 

@@ -199,3 +199,39 @@ def test_sharded_glass_env_dof_matches_single():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
     assert abs(float(nrays) - float(want_rays)) < 1e-3
+
+
+def test_sharded_rebin_matches_unsharded_rebin():
+    """Rebin engine per device band == unsharded rebin bit-for-bit: the
+    regroup sort runs per band, but every RNG draw is keyed on the carried
+    global pixel coordinates, so band decomposition never changes a ray's
+    arithmetic (psum of disjoint spp ranges reassociates only the final
+    average)."""
+    import dataclasses
+
+    from raytracing_engine_tpu.accel import icosphere
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_rebin
+    from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+
+    tris = icosphere(subdivisions=2, radius=1.2, center=(0.0, 5.0, 0.0))
+    cs = build_clusters(tris, tri_mats=np.zeros(len(tris), np.int32))
+    scene = build_pt_scene(
+        spheres=[((3.0, 3.0, 3.0), 1.0, 1)],
+        triangles=tris, tri_mats=np.zeros(len(tris), np.int32),
+        materials=[{"albedo": (0.6, 0.5, 0.4), "kind": DIFFUSE},
+                   {"albedo": (0, 0, 0), "emission": (8.0,) * 3,
+                    "kind": DIFFUSE}],
+    )
+    cfg = PTConfig(width=32, height=32, max_bounces=2, rng="pcg")
+    pos = jnp.zeros(3)
+    quat = jnp.array([0.0, 0.0, 0.0, 1.0])
+    tile = (8, 32)
+    want, want_rays = render_pt_rebin(cfg, scene, pos, quat, 4, KEY,
+                                      tile=tile, bvh=cs)
+    got, nrays = render_pt_sharded(cfg, scene, pos, quat, 4, KEY,
+                                   make_mesh(4, 2), bvh=cs, rebin=True,
+                                   tile=tile)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)
+    assert abs(float(nrays) - float(want_rays)) < 1e-3
