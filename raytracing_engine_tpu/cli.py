@@ -202,10 +202,15 @@ def _pt_orbit(args, cfg, scene, bvh, key):
     positions, rotations = orbit_path(
         args.orbit, radius=args.orbit_radius, height=args.orbit_height,
         target=tuple(args.orbit_target))
-    use_mega = args.mega
-    if use_mega:
-        from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    engine = _resolve_pt_engine(args, bvh)
+    if engine in ("mega", "rebin"):
+        from raytracing_engine_tpu.ops.pallas.pt_kernel import (
+            render_pt_mega,
+            render_pt_rebin,
+        )
         cfg = dataclasses.replace(cfg, rng="pcg")
+        if engine == "rebin" and bvh is None:
+            raise SystemExit("--engine rebin needs a mesh scene with --bvh")
 
     tstate = None
     if args.temporal:
@@ -232,7 +237,10 @@ def _pt_orbit(args, cfg, scene, bvh, key):
                         quat_from_rotation_x(jnp.float32(pitch)))
         pos = jnp.asarray(positions[i])
         fkey = jax.random.fold_in(key, i)
-        if use_mega:
+        if engine == "rebin":
+            img, _ = render_pt_rebin(cfg, scene, pos, quat, args.spp, fkey,
+                                     bvh=bvh)
+        elif engine == "mega":
             img, _ = render_pt_mega(cfg, scene, pos, quat, args.spp, fkey,
                                     bvh=bvh, adaptive_tol=args.adaptive)
         else:

@@ -551,3 +551,117 @@ def test_megakernel_rough_dielectric_on_chip():
                              interpret=True)
     _assert_close(got, want, label="rough-dielectric", frac=1e-4, atol=1e-4)
     assert float(np.asarray(got).mean()) > 1e-3
+
+
+def test_megakernel_media_on_chip():
+    """Single-scatter participating media (fog_scatter: equiangular NEE
+    per segment) compiled on chip vs interpret parity — the equiangular
+    sampling adds atan/tan transcendentals that had never run through
+    Mosaic before this case."""
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+
+    scene = build_pt_scene(
+        spheres=[((0.0, 6.0, 0.0), 2.0, 0), ((0.0, 8.0, -1001.0), 1000.0, 1)],
+        materials=[{"albedo": (0, 0, 0), "emission": (5.0,) * 3,
+                    "kind": DIFFUSE},
+                   {"albedo": (0.5, 0.5, 0.5), "kind": DIFFUSE}])
+    cfg = PTConfig(width=W, height=H, max_bounces=2, rng="pcg",
+                   fog_density=0.15, fog_scatter=0.12)
+    key = jax.random.PRNGKey(23)
+    got, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                            interpret=False)
+    want, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                             interpret=True)
+    _assert_close(got, want, label="media", frac=1e-4, atol=1e-4)
+    assert float(np.asarray(got).mean()) > 1e-3
+
+
+def test_megakernel_lane_mesh_lights_on_chip():
+    """Per-lane mesh lights (mesh_lights='lane': channel-major row tables,
+    lane-axis alias fetch) compiled on chip vs interpret parity."""
+    from raytracing_engine_tpu.accel import icosphere
+    from raytracing_engine_tpu.accel.clusters import build_clusters
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+
+    tris = icosphere(subdivisions=2, radius=1.0, center=(0.0, 6.0, 2.5))
+    tri_mats = np.ones(len(tris), np.int32)
+    scene = build_pt_scene(
+        spheres=[((0.0, 6.0, -51.0), 50.0, 0)],
+        triangles=tris, tri_mats=tri_mats,
+        materials=[{"albedo": (0.7, 0.7, 0.7), "kind": DIFFUSE},
+                   {"albedo": (0, 0, 0), "emission": (12.0,) * 3,
+                    "kind": DIFFUSE}],
+        mesh_lights="lane")
+    cs = build_clusters(tris, tri_mats=tri_mats)
+    cfg = PTConfig(width=128, height=16, max_bounces=2, rng="pcg")
+    key = jax.random.PRNGKey(29)
+    got, n_got = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                                bvh=cs, interpret=False)
+    want, n_want = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                                  bvh=cs, interpret=True)
+    _assert_close(got, want, label="lane-mlt", frac=1e-4, atol=1e-4)
+    assert float(n_got) == float(n_want)
+    assert float(np.asarray(got).mean()) > 1e-3
+
+
+def test_megakernel_aniso_ggx_on_chip():
+    """Anisotropic GGX conductor (roughness_y: elliptical NDF sampling in
+    the tangent frame) compiled on chip vs interpret parity."""
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scene import (
+        DIFFUSE,
+        METAL,
+        build_pt_scene,
+    )
+
+    scene = build_pt_scene(
+        spheres=[((0.0, 6.0, 0.0), 2.0, 0), ((3.0, 4.0, 4.0), 1.0, 1),
+                 ((0.0, 8.0, -1001.0), 1000.0, 2)],
+        materials=[
+            {"albedo": (0.9, 0.7, 0.4), "kind": METAL, "roughness": 0.09,
+             "roughness_y": 0.36},
+            {"albedo": (0, 0, 0), "emission": (25.0,) * 3, "kind": DIFFUSE},
+            {"albedo": (0.5, 0.5, 0.5), "kind": DIFFUSE},
+        ], env=((0.2, 0.2, 0.3), (0.6, 0.7, 1.0)))
+    cfg = PTConfig(width=W, height=H, max_bounces=3, rng="pcg")
+    key = jax.random.PRNGKey(31)
+    got, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                            interpret=False)
+    want, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                             interpret=True)
+    _assert_close(got, want, label="aniso-ggx", frac=1e-4, atol=1e-4)
+    assert float(np.asarray(got).mean()) > 1e-3
+
+
+def test_megakernel_trilinear_mips_on_chip():
+    """Trilinear mip filtering (ray-cone LOD over the packed mip chain;
+    2 bilinear taps from per-level rects) compiled on chip vs interpret
+    parity."""
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.pathtracer import PTConfig
+    from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
+
+    img = np.zeros((16, 16, 3), np.float32)
+    img[::2, ::2] = (1.0, 0.2, 0.1)
+    img[1::2, 1::2] = (0.1, 0.2, 1.0)
+    scene = build_pt_scene(
+        spheres=[((0.0, 8.0, -51.0), 50.0, 0), ((0.0, 8.0, 4.0), 1.0, 1)],
+        materials=[{"albedo": (1, 1, 1), "kind": DIFFUSE,
+                    "image": {"pixels": img, "scale": 8.0}},
+                   {"albedo": (0, 0, 0), "emission": (10.0,) * 3,
+                    "kind": DIFFUSE}],
+        env=((0.3, 0.3, 0.3), (0.5, 0.5, 0.5)), tex_mips=True)
+    cfg = PTConfig(width=W, height=H, max_bounces=2, rng="pcg",
+                   tex_filter="trilinear")
+    key = jax.random.PRNGKey(37)
+    got, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                            interpret=False)
+    want, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
+                             interpret=True)
+    _assert_close(got, want, label="trilinear-mips", frac=1e-4, atol=1e-4)
+    assert float(np.asarray(got).mean()) > 1e-3
