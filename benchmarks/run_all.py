@@ -188,6 +188,43 @@ def config3_bvh(results, size=512, segments=1100):
     }
 
 
+def config3_1080p(results, segments=1100):
+    """The driver metric is 1080p frame time (BASELINE.json:2) — this row
+    puts the MESH path tracer on that axis, not just the cone-marcher:
+    same 70k-tri scene/cluster build as config 3, rendered 1920x1088
+    2-bounce+NEE through the rebin engine."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    mesh, bvh, scene, cfg, build_s = config3_scene(512, segments)
+    cfg = dataclasses.replace(cfg, width=1920, height=1088)
+    quat = jnp.array([0.0, 0.0, 0.0, 1.0])
+    key = jax.random.PRNGKey(1)
+    nrays = {}
+
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_rebin
+
+    def frame(z):
+        img, nr = render_pt_rebin(cfg, scene, jnp.array([0.0, 0.0, z]),
+                                  quat, 1, key, bvh=bvh, tile=(32, 128))
+        nrays["n"] = nr
+        return img
+
+    _timed(lambda z: (frame(z),), [5e-3])  # ray count (outside jit)
+    n_rays = float(nrays["n"])
+    dt = _chained(frame, frames=2)
+    results["config3_70ktri_bvh_1080p"] = {
+        "triangles": int(mesh.shape[0]),
+        "resolution": "1920x1088",
+        "frame_ms": round(dt * 1e3, 1),
+        "mrays": round(n_rays / dt / 1e6, 2),
+        "note": "70k-tri mesh PT at the driver's 1080p axis (rebin "
+                "engine, 2-bounce+NEE, 1 spp, chained frames)",
+    }
+
+
 def config4_progressive(results, spp=1024, size=256):
     """Progressive accumulation with NEE on the area-lit interior (Cornell)."""
     import jax
@@ -412,7 +449,7 @@ def config5pt_instanced(results, size=512):
         grid_instances,
         make_instanced_clusters,
     )
-    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
+    from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_rebin
     from raytracing_engine_tpu.pathtracer import PTConfig
     from raytracing_engine_tpu.pathtracer.scene import DIFFUSE, build_pt_scene
 
@@ -438,8 +475,12 @@ def config5pt_instanced(results, size=512):
     nrays = {}
 
     def frame(z):
-        img, nr = render_pt_mega(cfg, scene, jnp.array([0.0, 0.0, z]), quat,
-                                 1, key, bvh=ic, tile=(32, 128))
+        # rebin engine over the two-level scene: chip A/B (benchmarks/
+        # ab_instanced_rebin.json) mega 445.3 -> rebin 343.2 ms (-22.9%)
+        # — the 1M-tri bounce sweeps are even sparser than config 3's,
+        # so the between-bounce dead-lane compaction pays more
+        img, nr = render_pt_rebin(cfg, scene, jnp.array([0.0, 0.0, z]),
+                                  quat, 1, key, bvh=ic, tile=(32, 128))
         nrays["n"] = nr
         return img
 
@@ -453,7 +494,9 @@ def config5pt_instanced(results, size=512):
         "frame_ms": round(dt * 1e3, 1),
         "mrays": round(n_rays / dt / 1e6, 2),
         "note": "full NEE+MIS bounce loop in-kernel over the two-level "
-                "scene (KernelInstances), area-light sphere, chained frames",
+                "scene (KernelInstances) via the rebin engine "
+                "(ab_instanced_rebin.json A/B), area-light sphere, "
+                "chained frames",
     }
 
 
@@ -487,7 +530,8 @@ def main():
     if not args.quick:
         # (the old gather-based two-level traversal crashed the TPU worker;
         # this now runs the Pallas instanced cluster kernel, which is safe)
-        for fn, name in ((config5_instanced, "config5_instanced_1M_orbit"),
+        for fn, name in ((config3_1080p, "config3_70ktri_bvh_1080p"),
+                         (config5_instanced, "config5_instanced_1M_orbit"),
                          (config5_soft_shadows, "config5_soft_shadow_orbit"),
                          (config5pt_instanced, "config5pt_instanced_1M_pt")):
             try:
