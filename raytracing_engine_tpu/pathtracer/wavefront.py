@@ -2010,14 +2010,20 @@ def _trace_core(cfg: PTConfig, scene: PTScene, cam_pos, cam_quat, key=None,
                 # h must face the ray, and the outgoing direction must
                 # land on its branch's side of the surface; invalid
                 # samples get weight 0 (standard NDF rejection — the
-                # throughput gate kills the lane, as for metal)
+                # throughput gate kills the lane, as for metal).
+                # Logical form, not jnp.where-on-bools: Mosaic's i1
+                # select lowers through an i8->i1 trunci it rejects on
+                # wide tiles ("Unsupported target bitwidth for
+                # truncation") — &/| on masks lower clean.
                 ok_r = ((cosi_h > 0.0)
-                        & jnp.where(refl_h, cos_i_r > 0.0, cos_i_r < 0.0))
+                        & ((refl_h & (cos_i_r > 0.0))
+                           | (~refl_h & (cos_i_r < 0.0))))
                 w_g = jnp.where(ok_r, w_g, 0.0)
                 Mr = scene.mat_albedo.shape[0]
                 rough_d = _sel(isect["mat_id"], scene.mat_rough, Mr)
                 is_rough_d = is_diel & (rough_d > 0.0)
-                reflect = jnp.where(is_rough_d, refl_h, reflect)
+                reflect = ((is_rough_d & refl_h)
+                           | (~is_rough_d & reflect))
                 diel_w = jnp.where(is_rough_d, w_g, 1.0)
                 mirr_d = v3.where(is_rough_d, d_r, mirr_d)   # reflect slot
                 refr_d = v3.where(is_rough_d, d_r, refr_d)   # refract slot

@@ -610,7 +610,14 @@ def test_megakernel_lane_mesh_lights_on_chip():
 
 def test_megakernel_aniso_ggx_on_chip():
     """Anisotropic GGX conductor (roughness_y: elliptical NDF sampling in
-    the tangent frame) compiled on chip vs interpret parity."""
+    the tangent frame) compiled on chip vs interpret parity.
+
+    frac=1e-3 (not the usual 1e-4): the 0.09/0.36 ellipse is near-mirror
+    along x, so compiled-vs-interpret fma/scheduling differences flip the
+    GGX sample branch on ~0.05% of lanes (measured 0.0549%, max abs
+    0.082) and each flipped lane's whole 3-bounce path diverges — the
+    per-lane resampling signature, not a math drift (the NDF quadrature
+    + engine-parity tests in tests/test_aniso_metal.py pin the math)."""
     from raytracing_engine_tpu.ops.pallas.pt_kernel import render_pt_mega
     from raytracing_engine_tpu.pathtracer import PTConfig
     from raytracing_engine_tpu.pathtracer.scene import (
@@ -634,7 +641,7 @@ def test_megakernel_aniso_ggx_on_chip():
                             interpret=False)
     want, _ = render_pt_mega(cfg, scene, jnp.zeros(3), QUAT, 2, key,
                              interpret=True)
-    _assert_close(got, want, label="aniso-ggx", frac=1e-4, atol=1e-4)
+    _assert_close(got, want, label="aniso-ggx", frac=1e-3, atol=1e-4)
     assert float(np.asarray(got).mean()) > 1e-3
 
 
