@@ -77,6 +77,23 @@ def main():
     assert code == 200, code
     print(f"first frame (compile): {t_compile:.0f} ms, {nbytes} B png")
 
+    # component breakdown OUTSIDE the wire path (same loop/lock objects):
+    # device render+u8 fetch vs PNG encode — says where wire ms goes
+    import numpy as np
+
+    from raytracing_engine_tpu.runtime.frame import InputEvent
+    from raytracing_engine_tpu.utils.image import encode_png
+
+    t0 = time.perf_counter()
+    dev = srv.loop.step(InputEvent(move=(0, 1, 0), dt=DT))
+    u8 = np.asarray(jax.block_until_ready(srv._to_u8(dev)))
+    t_fetch = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    png = encode_png(u8, level=1)
+    t_enc = (time.perf_counter() - t0) * 1e3
+    print(f"breakdown: render+u8-fetch {t_fetch:.0f} ms, "
+          f"encode(level=1) {t_enc:.0f} ms, png {len(png)} B")
+
     lat = []
     for ev in session:
         ms, code, nbytes = step(ev)
@@ -106,6 +123,8 @@ def main():
         "size": [w, h],
         "frames": len(lat),
         "first_frame_compile_ms": round(t_compile, 1),
+        "render_u8_fetch_ms": round(t_fetch, 1),
+        "encode_ms": round(t_enc, 1),
         "wire_ms_median": round(med, 2),
         "wire_ms_mean": round(mean, 2),
         "wire_ms_p95": round(p95, 2),

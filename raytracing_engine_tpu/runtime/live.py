@@ -112,6 +112,18 @@ class LiveFrameServer:
         self._last_png = None
         server = self
 
+        # present-path quantization ON DEVICE: the same elementwise IEEE
+        # f32 ops as utils.image.to_srgb_u8 (clamp, *255, rint, clamp),
+        # so the fetched u8 plane is BIT-IDENTICAL to the host conversion
+        # (tests/test_live.py's wire==offline contract) while the tunnel
+        # moves 1/4 the bytes — at 1080p the f32 fetch alone was ~25 MB
+        # per frame.
+        import jax.numpy as jnp
+
+        self._to_u8 = jax.jit(lambda x: jnp.clip(
+            jnp.rint(jnp.clip(x, 0.0, 1.0) * 255.0), 0, 255
+        ).astype(jnp.uint8))
+
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet: the hud is the UI
                 pass
@@ -166,9 +178,10 @@ class LiveFrameServer:
                         self._send(204, headers=[
                             ("X-Quit", str(server.loop.quit).lower())])
                         return
-                    img = np.asarray(jax.block_until_ready(img))
+                    img = np.asarray(
+                        jax.block_until_ready(server._to_u8(img)))
                     server._frame_idx += 1
-                    server._last_png = encode_png(img)
+                    server._last_png = encode_png(img, level=1)
                     png, idx = server._last_png, server._frame_idx
                     cam = json.dumps(server._camera())
                 self._send(200, png, "image/png",

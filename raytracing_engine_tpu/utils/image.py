@@ -75,8 +75,12 @@ def bloom(img: np.ndarray, threshold: float = 1.0, radius: int = 8,
     return x + strength * blur_axis(blur_axis(bright, 0), 1)
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """Encode (H, W, 3) u8 or linear-float image as RGB PNG bytes."""
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """Encode (H, W, 3) u8 or linear-float image as RGB PNG bytes.
+
+    level: zlib effort — 6 for stored artifacts; the live serving path
+    uses 1 (encode time beats a few percent of PNG size at 1080p when a
+    human is waiting on the frame)."""
     if img.dtype != np.uint8:
         img = to_srgb_u8(img)
     h, w, c = img.shape
@@ -88,13 +92,17 @@ def encode_png(img: np.ndarray) -> bytes:
             ">I", zlib.crc32(block) & 0xFFFFFFFF
         )
 
-    # filter type 0 (None) per scanline
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    # filter type 0 (None) per scanline, inserted in one vectorized copy
+    # (the per-row Python join dominated 1080p encodes)
+    arr = np.ascontiguousarray(img).reshape(h, w * c)
+    rows = np.empty((h, 1 + w * c), np.uint8)
+    rows[:, 0] = 0
+    rows[:, 1:] = arr
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IDAT", zlib.compress(rows.tobytes(), level))
         + chunk(b"IEND", b"")
     )
 
